@@ -1,0 +1,62 @@
+"""Multi-source BFS hop distances — the reference's second query type
+(bfs/bfs.java, SURVEY.md §2.3).
+
+Semantics mirror bfs/bfs.java: a virtual root is connected to all query
+sources (bfs/bfs.java:69-72) with distance(root)=0, so distance(source)=1;
+unreached vertices are absent from the result (the reference's MAX_DIST
+sentinel, bfs/bfs.java:228-231). The per-round MapReduce job (map: frontier
+emits distance+1 to neighbors, bfs/bfs.java:88-108; reduce: keep min
+distance, :110-140) becomes frontier ⋈ edges + anti-join against visited —
+only the frontier shuffles, the adjacency table stays cached (ff3 schimmy
+lesson). Termination (bfs/bfs.java:218-222, "no new visits") = empty
+frontier.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.graph.graph import FlowGraph
+
+
+def bfs_distances(
+    graph: FlowGraph,
+    sources: Iterable[int],
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Hop distances from the source set. Returns (vertex BIGINT,
+    distance INT) for every reached vertex; distance(source)=1."""
+    spark = graph.spark
+    # undirected adjacency arcs, cached once per call (degenerate caps ignored)
+    arcs = (
+        graph.edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(graph.edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()
+    )
+    src_rows = [(int(x),) for x in dict.fromkeys(int(x) for x in sources)]
+    frontier = spark.createDataFrame(src_rows, "vertex long").localCheckpoint()
+    visited = frontier.withColumn("distance", F.lit(1).cast("int")).localCheckpoint()
+    dist = 1
+    while True:
+        if max_depth is not None and dist >= max_depth:
+            break
+        nxt = (
+            frontier.join(arcs, frontier.vertex == arcs.src)
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        dist += 1
+        visited = visited.unionAll(
+            nxt.withColumn("distance", F.lit(dist).cast("int"))
+        ).localCheckpoint()
+        frontier = nxt
+    arcs.unpersist()
+    return visited

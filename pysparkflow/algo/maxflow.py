@@ -1,0 +1,325 @@
+"""Multi-source / multi-sink maximum flow, Spark-first.
+
+Re-expresses the reference's Ford-Fulkerson-with-parallel-incremental-
+bidirectional-path-growing (ff1..ff5, SURVEY.md §2.2) on DataFrames:
+
+* the per-round MapReduce job (map = extend excesses D4, reduce = merge D5)
+  becomes a **frontier join against a cached residual-arc table** — only the
+  frontier shuffles, the graph does not (the ff3 "schimmy" lesson,
+  ff3/ReduceFF.java:82-163, applied structurally);
+* the bidirectional S/T excess growth (ff2/Vertex.java:70-92) becomes two
+  BFS frontiers with per-vertex best-path retention (the K-truncation of
+  D10, ff1/Vertex.java:118-131, with K=1 default);
+* meet-in-the-middle (D6/D7, ff1/Vertex.java:298-318) becomes an equi-join
+  of the newly extended frontier against the opposite side's path map;
+* the RMI ApServer's serial greedy acceptance (D8/D17,
+  ff2/ApServer.java:26-48) becomes a driver-side Python loop over the
+  collected candidates (engine/acceptor.py);
+* accepted flows return to the cluster as a small delta table merged into
+  the sparse flows state (the broadcast side-file of S6/D9,
+  ff1/FordFulkerson.java:44-63);
+* Hadoop counters (D12) become driver-side metrics; the convergence rule
+  (D11, ff1/FordFulkerson.java:240-244 "stop when no accepted flow and a
+  frontier cannot move") becomes: stop when a phase's bidirectional BFS
+  exhausts both frontiers without a meet — an *exact* termination proof
+  (no residual s-t path => max flow), strictly stronger than the
+  reference's heuristic rule.
+
+Phase structure (one "phase" = one bidirectional BFS + batch acceptance;
+one "round" = one frontier extension):
+
+    while True:
+        arcs  = residual arcs from edges ⋈ flows        (cached, co-partitioned)
+        grow S-frontier from s / T-frontier from t alternately (BFS, visited-pruned)
+        if frontiers exhaust with no meet: break         # proven optimal
+        candidates = meet rows (S-walk ++ T-walk + residual snapshots)
+        greedy-accept on driver; flows += deltas; loop
+
+Each phase accepts a *batch* of augmenting paths (all compatible meets), so
+the phase count scales with maxflow / batch-size, not maxflow — the same
+effect the reference gets from spraying many excesses per round.
+
+Scale notes (100 TB): the edge table is built once (one shuffle), then the
+two residual-arc projections are cached hash-partitioned on their join key;
+per-round shuffles move only the frontier (≤ |V| thin rows, array columns of
+walk prefixes). Driver traffic per phase is only the meet candidates
+(bounded by ``max_candidates``) and the accepted-flow deltas — both tiny.
+All randomness is hash-seeded (ff1/Vertex.java:60 discipline), so task
+retries and speculative execution are safe.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from pysparkflow.engine.acceptor import GreedyAcceptor
+from pysparkflow.engine.metrics import RoundMetrics
+from pysparkflow.graph.graph import FlowGraph
+
+_FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("vertex", T.LongType(), False),
+        T.StructField("verts", T.ArrayType(T.LongType()), False),
+        T.StructField("ress", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+@dataclass
+class MaxFlowConfig:
+    """Tuning knobs, mirroring the reference's ``-D mf.*`` keys
+    (main.java:17-20, run:123-139)."""
+
+    excess_list_max: int = 1  # K best paths kept per vertex/side (mf.excess.list.max, D10)
+    max_path_len: int | None = None  # mf.max.epath.length; binding cap => approx result
+    max_candidates: int = 20_000  # driver-side collect bound per phase
+    max_phases: int | None = None  # safety valve; None = run to optimality
+    seed: int = 42
+    validate: bool = False  # run flow-conservation/capacity invariant checks at end
+    verbose: bool = False
+
+
+@dataclass
+class MaxFlowResult:
+    value: int
+    flows: DataFrame  # (u BIGINT, v BIGINT, f BIGINT) canonical u<v, f != 0
+    s_id: int
+    t_id: int
+    metrics: RoundMetrics = field(default_factory=RoundMetrics)
+
+
+def _empty_flows(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], schema="u long, v long, f long")
+
+
+def _residual_arcs(edges: DataFrame, flows: DataFrame) -> DataFrame:
+    """Directed residual arcs from the canonical undirected edges + signed
+    flows: residue(u->v) = cap - f, residue(v->u) = cap + f
+    (ff2/Edge.java:29-33)."""
+    j = edges.join(flows, ["u", "v"], "left").withColumn(
+        "f", F.coalesce(F.col("f"), F.lit(0))
+    )
+    fwd = j.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), (F.col("cap") - F.col("f")).alias("res")
+    )
+    bwd = j.select(
+        F.col("v").alias("src"), F.col("u").alias("dst"), (F.col("cap") + F.col("f")).alias("res")
+    )
+    return fwd.unionAll(bwd).where(F.col("res") > 0)
+
+
+def _extend(
+    frontier: DataFrame,
+    arcs: DataFrame,
+    own_paths: DataFrame,
+    forward: bool,
+    k: int,
+    seed: int,
+    rnd: int,
+    max_path_len: int | None,
+) -> DataFrame:
+    """One frontier extension round (D4 + D5 + D10).
+
+    S-side (forward=True): walk ends at ``vertex``; follow outgoing residual
+    arcs, append. T-side: walk starts at ``vertex`` (flow direction toward
+    t); follow incoming residual arcs, prepend. Extensions to any
+    already-visited vertex of the same side are dropped (anti-join = the
+    ``idSet``/``fset`` membership rejection of D4, ff5/MapFF.java:83-101),
+    then per new vertex keep the K hash-random best (D10,
+    ff1/Vertex.java:118-131 — deterministic seed per ff1 discipline)."""
+    if max_path_len is not None:
+        frontier = frontier.where(F.size("verts") <= max_path_len)
+    if forward:
+        ext = frontier.join(arcs, frontier.vertex == arcs.src).select(
+            F.col("dst").alias("vertex"),
+            F.concat(F.col("verts"), F.array(F.col("dst"))).alias("verts"),
+            F.concat(F.col("ress"), F.array(F.col("res"))).alias("ress"),
+        )
+    else:
+        ext = frontier.join(arcs, frontier.vertex == arcs.dst).select(
+            F.col("src").alias("vertex"),
+            F.concat(F.array(F.col("src")), F.col("verts")).alias("verts"),
+            F.concat(F.array(F.col("res")), F.col("ress")).alias("ress"),
+        )
+    ext = ext.join(own_paths.select("vertex"), "vertex", "left_anti")
+    w = Window.partitionBy("vertex").orderBy(F.xxhash64("verts", F.lit(seed + rnd)))
+    return (
+        ext.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def max_flow(
+    graph: FlowGraph,
+    sources: Iterable[int],
+    sinks: Iterable[int],
+    config: MaxFlowConfig | None = None,
+) -> MaxFlowResult:
+    """Exact maximum flow from ``sources`` to ``sinks`` on an undirected
+    capacitated graph — the reference's headline query
+    (max-flow(graph, sources[], sinks[]), main.java:17-20)."""
+    cfg = config or MaxFlowConfig()
+    g, s_id, t_id = graph.with_super_nodes(sources, sinks)
+    spark = g.spark
+
+    edges = g.edges.persist()
+    edges.count()  # materialize once; the static graph is never shuffled again
+    flows = _empty_flows(spark)
+    metrics = RoundMetrics()
+    total = 0
+
+    while cfg.max_phases is None or metrics.phases < cfg.max_phases:
+        metrics.phases += 1
+        arcs = _residual_arcs(edges, flows)
+        arcs_fwd = arcs.repartition("src").persist()
+        arcs_bwd = arcs.repartition("dst").persist()
+
+        seed_row = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
+        paths_s = spark.createDataFrame([seed_row[0]], _FRONTIER_SCHEMA).localCheckpoint()
+        paths_t = spark.createDataFrame([seed_row[1]], _FRONTIER_SCHEMA).localCheckpoint()
+        frontier_s, frontier_t = paths_s, paths_t
+        n_s, n_t = 1, 1
+
+        candidates: list = []
+        rnd = 0
+        while True:
+            rnd += 1
+            metrics.rounds += 1
+            # extend the smaller live frontier (classic bidirectional BFS)
+            extend_s = n_t == 0 or (n_s > 0 and n_s <= n_t)
+            if extend_s:
+                new_f = _extend(
+                    frontier_s, arcs_fwd, paths_s, True,
+                    cfg.excess_list_max, cfg.seed, rnd, cfg.max_path_len,
+                ).localCheckpoint()
+                n_s = new_f.count()
+                frontier_s = new_f
+                paths_s = paths_s.unionAll(new_f).localCheckpoint()
+                other = paths_t
+            else:
+                new_f = _extend(
+                    frontier_t, arcs_bwd, paths_t, False,
+                    cfg.excess_list_max, cfg.seed, rnd, cfg.max_path_len,
+                ).localCheckpoint()
+                n_t = new_f.count()
+                frontier_t = new_f
+                paths_t = paths_t.unionAll(new_f).localCheckpoint()
+                other = paths_s
+            n_new = n_s if extend_s else n_t
+            metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
+            if n_new > 0:
+                o = other.select(
+                    F.col("vertex"),
+                    F.col("verts").alias("o_verts"),
+                    F.col("ress").alias("o_ress"),
+                )
+                meets = (
+                    new_f.join(o, "vertex")
+                    .orderBy("vertex", F.xxhash64("verts"))
+                    .limit(cfg.max_candidates)
+                    .collect()
+                )
+                if meets:
+                    candidates = [(r, extend_s) for r in meets]
+                    break
+            if n_s == 0 and n_t == 0:
+                break  # both frontiers exhausted: no residual s-t path
+
+        if not candidates:
+            arcs_fwd.unpersist()
+            arcs_bwd.unpersist()
+            break  # optimal
+
+        acceptor = GreedyAcceptor()
+        for row, from_s_side in candidates:
+            if from_s_side:
+                walk = list(row["verts"]) + list(row["o_verts"])[1:]
+                ress = list(row["ress"]) + list(row["o_ress"])
+            else:
+                walk = list(row["o_verts"]) + list(row["verts"])[1:]
+                ress = list(row["o_ress"]) + list(row["ress"])
+            acceptor.observe_arcs(
+                [(walk[i], walk[i + 1], ress[i]) for i in range(len(walk) - 1)]
+            )
+        accepted_this_phase = 0
+        for row, from_s_side in candidates:
+            metrics.candidates_seen += 1
+            if from_s_side:
+                walk = list(row["verts"]) + list(row["o_verts"])[1:]
+            else:
+                walk = list(row["o_verts"]) + list(row["verts"])[1:]
+            got = acceptor.try_accept(walk)
+            if got == 0:
+                metrics.candidates_rejected += 1
+            accepted_this_phase += got
+
+        if accepted_this_phase <= 0:
+            raise RuntimeError(
+                "invariant violation: meet candidates present but none accepted "
+                "(cf. conservation cross-check ff1/Vertex.java:161-162)"
+            )
+        total += accepted_this_phase
+        metrics.accepted_flow = total
+        metrics.accepted_paths += len(acceptor.accepted_paths)
+        metrics.per_phase.append(
+            {"phase": metrics.phases, "accepted": accepted_this_phase, "rounds": rnd}
+        )
+        if cfg.verbose:
+            print(
+                f"[max_flow] phase={metrics.phases} rounds={rnd} "
+                f"accepted={accepted_this_phase} total={total}",
+                file=sys.stderr,
+            )
+
+        deltas = acceptor.flow_deltas()
+        delta_df = spark.createDataFrame(deltas, schema="u long, v long, f long")
+        flows = (
+            flows.unionAll(delta_df)
+            .groupBy("u", "v")
+            .agg(F.sum("f").alias("f"))
+            .where(F.col("f") != 0)
+            .localCheckpoint()  # cut lineage each phase (iteration GC, §4)
+        )
+        arcs_fwd.unpersist()
+        arcs_bwd.unpersist()
+
+    if cfg.validate:
+        _validate(edges, flows, s_id, t_id, total)
+    edges.unpersist()
+    return MaxFlowResult(value=total, flows=flows, s_id=s_id, t_id=t_id, metrics=metrics)
+
+
+def _validate(edges: DataFrame, flows: DataFrame, s_id: int, t_id: int, total: int) -> None:
+    """The reference's fail-fast runtime invariants (SURVEY.md §5.2 /
+    FIXTURES.md §6): capacity bounds (ff1/Edge.java:66-71) and per-vertex
+    conservation with source/sink imbalance == reported value
+    (ff1/Vertex.java:161-162)."""
+    bad_cap = (
+        flows.join(edges, ["u", "v"])
+        .where(F.abs(F.col("f")) > F.col("cap"))
+        .count()
+    )
+    if bad_cap:
+        raise RuntimeError(f"capacity violated on {bad_cap} edges (ff1/Edge.java:66-71)")
+    net = (
+        flows.select(F.col("u").alias("id"), F.col("f").alias("out"))
+        .unionAll(flows.select(F.col("v").alias("id"), (-F.col("f")).alias("out")))
+        .groupBy("id")
+        .agg(F.sum("out").alias("net"))
+        .where(F.col("net") != 0)
+    )
+    rows = {int(r["id"]): int(r["net"]) for r in net.collect()}
+    expected = {} if total == 0 else {s_id: total, t_id: -total}
+    if rows != expected:
+        raise RuntimeError(
+            f"flow conservation violated: nonzero nets {rows} != {expected} "
+            "(ff1/Vertex.java:161-162)"
+        )

@@ -1,0 +1,32 @@
+"""Per-run metrics, replacing the reference's ~40 Hadoop counters
+(mf/MFCounter.java:3-49) with a plain driver-side record (D12). Where the
+reference pulled counters back from the JobTracker each round
+(ff1/FordFulkerson.java:209-235), we read them off the collected phase
+results — the driver loop already has the data in hand."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RoundMetrics:
+    phases: int = 0
+    rounds: int = 0
+    accepted_flow: int = 0
+    accepted_paths: int = 0
+    candidates_seen: int = 0
+    candidates_rejected: int = 0
+    frontier_rows_max: int = 0
+    per_phase: list[dict] = field(default_factory=list)
+
+    def as_dict(self) -> dict:
+        return {
+            "phases": self.phases,
+            "rounds": self.rounds,
+            "accepted_flow": self.accepted_flow,
+            "accepted_paths": self.accepted_paths,
+            "candidates_seen": self.candidates_seen,
+            "candidates_rejected": self.candidates_rejected,
+            "frontier_rows_max": self.frontier_rows_max,
+        }

@@ -1,0 +1,137 @@
+"""Golden-value max-flow tests, mirroring the reference's test strategy
+(SURVEY.md §5): known answers on fixed graphs (the run script's ``flow=(...)``
+arrays, run:49-51) with NetworkX as the independent oracle
+(FIXTURES.md §2: ``networkx.maximum_flow_value``)."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pytest
+
+from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
+from pysparkflow.graph.graph import FlowGraph
+
+
+def _build(spark, edges):
+    """edges: list of (u, v, cap) undirected."""
+    df = spark.createDataFrame(edges, "src long, dst long, capacity long")
+    return FlowGraph.from_edge_pairs(spark, df, cap_col="capacity")
+
+
+def _oracle(edges, sources, sinks):
+    g = nx.Graph()
+    for u, v, c in edges:
+        if g.has_edge(u, v):
+            g[u][v]["capacity"] += c
+        else:
+            g.add_edge(u, v, capacity=c)
+    s, t = "S*", "T*"
+    for x in sources:
+        g.add_edge(s, x, capacity=10_000_000)
+    for x in sinks:
+        g.add_edge(t, x, capacity=10_000_000)
+    return nx.maximum_flow_value(g, s, t)
+
+
+def _check(spark, edges, sources, sinks, **cfg_kwargs):
+    g = _build(spark, edges)
+    cfg = MaxFlowConfig(validate=True, **cfg_kwargs)
+    res = max_flow(g, sources, sinks, cfg)
+    expected = _oracle(edges, sources, sinks)
+    assert res.value == expected
+    return res
+
+
+def test_single_path(spark):
+    edges = [(10, 11, 3), (11, 12, 2), (12, 13, 5)]
+    _check(spark, edges, [10], [13])  # bottleneck 2
+
+
+def test_clrs_style_network(spark):
+    # CLRS 26.1 topology (undirected interpretation), vertices 10..15
+    edges = [
+        (10, 11, 16),
+        (10, 12, 13),
+        (11, 12, 10),
+        (11, 13, 12),
+        (12, 13, 9),
+        (12, 14, 14),
+        (13, 14, 7),
+        (13, 15, 20),
+        (14, 15, 4),
+    ]
+    _check(spark, edges, [10], [15])
+
+
+def test_parallel_edges_summed(spark):
+    # parallel edges and both orientations must merge (D1, ff1/Vertex.java:47-83)
+    edges = [(10, 11, 2), (11, 10, 3), (10, 11, 1)]
+    res = _check(spark, edges, [10], [11])
+    assert res.value == 6
+
+
+def test_disconnected_components_zero_flow(spark):
+    edges = [(10, 11, 5), (11, 12, 5), (20, 21, 5)]
+    res = _check(spark, edges, [10], [21])
+    assert res.value == 0
+
+
+def test_multi_source_multi_sink(spark):
+    edges = [
+        (10, 20, 3),
+        (11, 20, 4),
+        (20, 21, 5),
+        (21, 30, 2),
+        (21, 31, 6),
+        (10, 30, 1),
+    ]
+    _check(spark, edges, [10, 11], [30, 31])
+
+
+def test_unit_capacity_grid(spark):
+    # 4x4 grid, unit capacities: max-flow corner-to-corner == 2
+    def vid(r, c):
+        return 10 + r * 4 + c
+
+    edges = []
+    for r in range(4):
+        for c in range(4):
+            if c + 1 < 4:
+                edges.append((vid(r, c), vid(r, c + 1), 1))
+            if r + 1 < 4:
+                edges.append((vid(r, c), vid(r + 1, c), 1))
+    _check(spark, edges, [vid(0, 0)], [vid(3, 3)])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_vs_networkx(spark, seed):
+    rng = nx.gnm_random_graph(14, 30, seed=seed)
+    import random
+
+    r = random.Random(seed)
+    edges = [(u + 10, v + 10, r.randint(1, 5)) for u, v in rng.edges()]
+    nodes = sorted({x for e in edges for x in e[:2]})
+    sources = nodes[:2]
+    sinks = nodes[-2:]
+    _check(spark, edges, sources, sinks)
+
+
+def test_excess_list_k_greater_one(spark):
+    edges = [
+        (10, 11, 16),
+        (10, 12, 13),
+        (11, 12, 10),
+        (11, 13, 12),
+        (12, 13, 9),
+        (12, 14, 14),
+        (13, 14, 7),
+        (13, 15, 20),
+        (14, 15, 4),
+    ]
+    _check(spark, edges, [10], [15], excess_list_max=4)
+
+
+def test_sources_sinks_must_be_disjoint(spark):
+    g = _build(spark, [(10, 11, 1)])
+    with pytest.raises(ValueError):
+        max_flow(g, [10], [10])
