@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full compute, no
+collect/write overhead)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pysparkflow.relational.registry import QUERIES
+from pysparkflow.session import get_spark
+
+BENCH_QUERIES = [
+    "groupagg_pricing",
+    "edge_symmetrize",
+    "broadcast_join",
+    "topk_per_group",
+    "running_total",
+    "hash_sample",
+    "rollup",
+    "global_counters",
+    "events_hourly",
+    "events_json_props",
+    "sessionize",
+    "bfs_distances",
+    "max_flow",
+    "connected_components",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "simhash",
+    "knn_bruteforce",
+    "knn_lsh",
+    "text_quality",
+    "lang_id",
+    "token_totals",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    spark = get_spark(
+        app_name="pysparkflow-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

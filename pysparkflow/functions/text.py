@@ -1,0 +1,48 @@
+"""Text column expressions — all JVM-side built-ins (whole-stage codegen),
+no Python UDFs in the hot path.
+
+The reference's only scalar functions are split/parse-long/bit-packing
+(SURVEY.md §2.7); ``edge_id`` reproduces its packed undirected edge key
+(ff1/Edge.java:31-33). The rest extend the surface toward the
+training-data-pipeline operators (token counting, shingling for dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization: split(trim(text), '\\s+').
+
+    Chosen because it is reproducible in ANSI SQL oracles
+    (regexp_split_to_array in DuckDB) — keep the two in lock-step."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; empty array when the
+    document has fewer than n tokens."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def edge_id(a: Column | str, b: Column | str) -> Column:
+    """Canonical undirected edge key: two int32-range ids packed into one
+    int64, smaller id in the high word (ff1/Edge.java:31-33,
+    ff2/Edge.java:12-13)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return (F.least(ca, cb) * F.lit(4294967296) + F.greatest(ca, cb)).cast("long")

@@ -1,0 +1,29 @@
+"""Dense-vector column expressions over ``array<float|double>`` columns.
+
+Built on zip_with/aggregate (JVM-side, codegen) — no UDF, no Python round
+trip. At 100 TB these run inside whole-stage codegen next to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns, accumulated as double."""
+    prod = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,19 @@
+from pysparkflow.llmops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from pysparkflow.llmops.similarity import knn_bruteforce, knn_lsh
+from pysparkflow.llmops.textstats import language_scores, quality_features
+
+__all__ = [
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "knn_bruteforce",
+    "knn_lsh",
+    "quality_features",
+    "language_scores",
+]

@@ -1,0 +1,237 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four strategies, from cheapest to most tolerant:
+
+* exact:     hash-groupBy on content — one shuffle of (hash, id) pairs;
+* n-gram Jaccard: shingle-explode + shingle equi-join + group count — the
+             candidate join only materializes pairs that share a shingle;
+* MinHash+LSH: per-doc signature (k seeded xxhash64 minima over shingles),
+             banded into buckets; only bucket-colliding pairs are verified
+             with exact Jaccard — the 100 TB scale path (pair generation is
+             linear in bucket occupancy, never all-pairs);
+* SimHash:   64-bit fingerprint; near-dups collide on rotated prefix bands.
+
+All hashing is deterministically seeded (the ff1 discipline,
+ff1/Vertex.java:60) so task retries are safe and runs reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.functions.text import shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-content duplicate groups: (text_hash, n_docs, keep_id) for
+    groups with more than one document; keep_id is the minimum id (the
+    canonical survivor)."""
+    return (
+        df.select(
+            F.md5(F.col(text_col).cast("binary")).alias("text_hash"),
+            F.col(id_col).alias("id"),
+        )
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded shingle inverted index."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard similarity.
+
+    Candidate pairs come from the shingle inverted index self-join (only
+    docs sharing >= 1 shingle meet), then J = |A∩B| / (|A|+|B|-|A∩B|).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
+    sh = _shingle_sets(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# 2^31 - 1, prime — modulus for the affine MinHash permutation family
+_MH_PRIME = (1 << 31) - 1
+
+
+def _affine_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MH_PRIME, num_hashes).tolist()
+    b = rng.integers(0, _MH_PRIME, num_hashes).tolist()
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures as one column per hash (id, m0..m{k-1}).
+
+    One-hash + k affine permutations: each shingle hashes once
+    (xxhash64 -> [0, p)), then hash i is min over shingles of
+    (a_i*h + b_i) mod p. One explode + one hash-aggregate with k cheap
+    integer min()s — a single shuffle of (id, shingle-hash) pairs, no
+    per-seed string hashing. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
+    a, b = _affine_params(num_hashes, seed)
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+        .distinct()
+        .select("id", h.alias("h"))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
+            f"m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, then exact-Jaccard verify.
+
+    shingle → minhash → band → bucket-join: docs whose signature agrees on
+    all rows of any band land in the same bucket and become candidates;
+    candidates are verified with the true shingle Jaccard. With b bands of
+    r = num_hashes/b rows, the match curve is P(candidate) = 1-(1-J^r)^b.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Scale: signatures are one narrow row per doc; bucket ids are
+    (band, xxhash64-of-band-columns) — the only join key that ever
+    shuffles. Verification touches only bucket-colliding pairs."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"m{band * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard (join pruned to candidates)
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprints, fully JVM-side.
+
+    Each token hashes to int64 (xxhash64); bit b of the fingerprint is 1
+    iff the majority of token-hashes have bit b set. Near-duplicate docs
+    differ in few bits (compare with ``bit_count(simhash_a ^ simhash_b)``).
+    Implemented as a per-bit vote with aggregate() over the token-hash
+    array — no Python UDF."""
+    th = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
+    )
+    ntok = F.size(th)
+
+    def _bit_vote(b: int):
+        # closure factory (a default-arg lambda would gain a second
+        # parameter and change aggregate()'s lambda arity)
+        return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(
+            F.lit(1)
+        ).cast("int")
+
+    bit_cols = []
+    for b in range(bits):
+        ones = F.aggregate(th, F.lit(0), _bit_vote(b))
+        bit_cols.append(
+            F.when(ones * 2 >= ntok, F.lit(1).cast("long")).otherwise(F.lit(0))
+            * F.lit(2 ** b if b < 63 else -(2 ** 63)).cast("long")
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))

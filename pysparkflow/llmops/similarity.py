@@ -1,0 +1,147 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>), for training-data curation (near-dup mining, hard-negative
+mining, cluster sampling).
+
+Two paths:
+
+* ``knn_bruteforce`` — exact cosine top-k: broadcast the (small) query set
+  against the full corpus; one pass, no shuffle of the corpus. The
+  correctness baseline, and the right plan whenever |queries| is small —
+  even at 100 TB the corpus streams through codegen'd zip_with/aggregate
+  arithmetic once.
+* ``knn_lsh`` — random-hyperplane LSH: sign-bit signatures bucketed into
+  bands; only bucket-colliding (query, item) pairs are reranked with exact
+  cosine. The scale path when |queries| is large: candidate generation is
+  an equi-join on (band, bucket), never a cross join.
+
+Hyperplanes are generated deterministically from a seed (numpy
+Generator(seed)) and shipped as literal arrays — no Python in the scoring
+path; cosine runs JVM-side (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.functions.vector import cosine_similarity
+
+
+def knn_bruteforce(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, item_id, cosine, rank), rank 1..k, excluding the
+    query row itself; ties broken by item id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    it = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+    scored = (
+        it.crossJoin(F.broadcast(q))
+        .where(F.col("item_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "item_id",
+            cosine_similarity("q_vec", "i_vec").alias("cosine"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", F.col("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]):
+    """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    bits = []
+    for plane in planes:
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def knn_lsh(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via random-hyperplane LSH.
+
+    Signature split into ``bands`` prefix bands; a (query, item) pair is a
+    candidate if any band matches; candidates reranked by exact cosine.
+    Recall < 1 by construction — measure against knn_bruteforce."""
+    assert n_bits % bands == 0
+    if dim is None:
+        dim = len(items.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, seed)
+    r = n_bits // bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = lsh_signature(vec_col, planes)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(
+                            F.lit(f"{b}:"), F.substring(sig, b * r + 1, r)
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+
+    qb = banded(queries, "query")
+    ib = banded(items, "item")
+    cands = (
+        ib.join(qb, "bucket")
+        .where(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "query_vec", "item_id", "item_vec")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "item_id",
+        cosine_similarity("query_vec", "item_vec").alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

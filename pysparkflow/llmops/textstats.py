@@ -1,0 +1,109 @@
+"""Text analysis operators: quality scoring, language-ID heuristic, token
+counting, fingerprinting — the per-document feature pass of a training-data
+pipeline. Everything is built-in column arithmetic (codegen'd, scan-fused);
+the expressions are deliberately reproducible in ANSI SQL so the DuckDB
+oracle can check them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.functions.text import token_count
+
+# marker stopwords per language for the n-gram/stopword-hit heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " das "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    """Count of non-overlapping occurrences via the length-difference trick
+    ((len - len(replace)) / len(marker)) — identical semantics in Spark and
+    ANSI SQL, so oracle-checkable without exposing engine hash functions."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality features: (id, n_chars, n_tokens, avg_token_len,
+    punct_ratio, digit_ratio, stopword_ratio) — the length/punct/stopword
+    heuristics used to filter low-quality web text."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(text_col)
+    stop_hits = None
+    for m in LANG_MARKERS["en"]:
+        h = _occurrences(t, m)
+        stop_hits = h if stop_hits is None else stop_hits + h
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def language_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-ID heuristic: per-language marker-stopword hit counts and the
+    argmax language (ties broken by language code order for determinism).
+    Returns (id, score_en, score_de, score_fr, score_es, lang_pred)."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            h = _occurrences(t, m)
+            s = h if s is None else s + h
+        scores[lang] = s
+    best = None
+    for lang in sorted(LANG_MARKERS):
+        cand = F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        best = cand if best is None else F.when(
+            scores[lang] > best["score"], cand
+        ).otherwise(best)
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        best["lang"].alias("lang_pred"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every token, then keep
+    the minimum hash of each sliding window of ``window`` token-hashes.
+    Output: (id, fingerprints array<long>) — a compact sketch for
+    plagiarism/near-dup detection. JVM-side only (transform + slice +
+    array_min over the token-hash array)."""
+    th = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.xxhash64(x))
+    n = F.size(th)
+    fps = F.when(
+        n >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(window - 1)),
+                lambda i: F.array_min(F.slice(th, i, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(th)))
+    return df.select(F.col(id_col).alias("id"), fps.alias("fingerprints"))

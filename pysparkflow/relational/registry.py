@@ -1,0 +1,765 @@
+"""Driver-contract query registry: named queries over the testdata tables,
+each with an ANSI-SQL oracle DuckDB can run on the same parquet.
+
+Coverage maps to SURVEY.md §2's operator families — every relational
+pattern the reference exercises (group-merge aggregation D1/D5, broadcast
+join S6/D9, semi/anti membership D4, top-K truncation D10, sampling D15,
+sorts §2.6, scalar/bit-pack functions §2.7, counters D12, BFS B1-B4,
+max-flow D1-D17) plus the training-data-pipeline extensions (dedup,
+similarity search, text analysis, streaming-equivalent windowing).
+
+Contract rules honored here:
+* column names identical between Spark result and oracle SQL;
+* float aggregates rounded in BOTH (value-hash safety);
+* integer aggregate types pinned (DuckDB sum(int) is HUGEINT — cast);
+* entries with no SQL-expressible oracle (iterative algorithms,
+  engine-hash-dependent sketches) are registered without oracle SQL and
+  get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pysparkflow.algo.bfs import bfs_distances
+from pysparkflow.algo.components import connected_components
+from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
+from pysparkflow.functions.text import edge_id
+from pysparkflow.graph.graph import FlowGraph, symmetrize
+from pysparkflow.llmops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from pysparkflow.llmops.similarity import knn_bruteforce, knn_lsh
+from pysparkflow.llmops.textstats import (
+    language_scores,
+    quality_features,
+    rolling_fingerprints,
+)
+from pysparkflow.streaming.events import run_windowed_counts_batchlike
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written as parquet TIMESTAMP(NANOS), which Spark
+    refuses to read natively; read nanos as long and truncate to
+    microseconds (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _lineitem_graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite part↔supplier co-occurrence graph from lineitem; supplier
+    ids offset by 1e6 into a disjoint id space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1_000_000)).alias("dst"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational core (reference operator families)
+# ---------------------------------------------------------------------------
+
+
+def q_groupagg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregation (sum/min/max/count, §2.4)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+_Q_GROUPAGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_edge_symmetrize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 graph build D1: canonicalize + merge parallel edges
+    (cap = co-occurrence count)."""
+    return symmetrize(_lineitem_graph_pairs(spark, sf_dir))
+
+
+_Q_EDGE_SYMMETRIZE_SQL = """
+SELECT least(l_partkey, l_suppkey + 1000000) AS u,
+       greatest(l_partkey, l_suppkey + 1000000) AS v,
+       count(*) AS cap
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast (map-side) join S6: small dims replicated to every task."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_Q_BROADCAST_JOIN_SQL = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership (the idSet/fset acceptance side of D4)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+_Q_SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti membership (the visited/fset rejection side of D4,
+    ff5/MapFF.java:83-101)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+_Q_ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-K (D10's bounded best-K kept per vertex,
+    ff1/Vertex.java:118-131) — window row_number <= K."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_Q_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: running sum per customer over order date."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+_Q_RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic sort + limit (§2.6)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_Q_SORT_LIMIT_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (D15's seeded selection discipline) —
+    arithmetic hash so any ANSI engine reproduces the same sample."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.pmod(F.col("o_orderkey") * F.lit(2654435761), F.lit(100)) < 5
+    ).select("o_orderkey", "o_totalprice")
+
+
+_Q_HASH_SAMPLE_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE (o_orderkey * 2654435761) % 100 < 5
+"""
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: nations that have both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+_Q_SET_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: nations with customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT (distinct) semantics
+
+
+_Q_SET_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (grouping-sets family)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+_Q_ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_bitpack_edge_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar bit-packing (§2.7): the reference's packed int64 undirected
+    edge key (ff1/Edge.java:31-33)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        edge_id(F.col("l_partkey"), F.col("l_suppkey") + F.lit(1_000_000)).alias(
+            "edge_id"
+        )
+    ).distinct()
+
+
+_Q_BITPACK_SQL = """
+SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) * 4294967296
+              + greatest(l_partkey, l_suppkey + 1000000) AS edge_id
+FROM lineitem
+"""
+
+
+def q_global_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counters D12: global N/E/min/max/sum in one observe-style agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_Q_COUNTERS_SQL = """
+SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: windowing, JSON, sessionization
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming operator)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_Q_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column + grouped aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_Q_EVENTS_JSON_SQL = """
+SELECT event_type, round(avg(CAST(props->>'k' AS BIGINT)), 4) AS avg_k,
+       max(CAST(props->>'k' AS BIGINT)) AS max_k, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumulative session ids per user,
+    then session counts — the lag/cumsum composite window pattern."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epochs: whole-second truncation would disagree with the
+    # oracle's fractional epoch arithmetic on sub-second timestamps
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        e.withColumn("new_session", newsess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_Q_SESSIONIZE_SQL = """
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events))
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph algorithms (iterative; BFS oracle via recursive CTE)
+# ---------------------------------------------------------------------------
+
+_BFS_SOURCES = [1, 2, 3]
+_BFS_MAX_DEPTH = 8
+
+
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (B1-B4) on the part↔supplier graph."""
+    g = FlowGraph.from_edge_pairs(spark, _lineitem_graph_pairs(spark, sf_dir))
+    return bfs_distances(g, _BFS_SOURCES, max_depth=_BFS_MAX_DEPTH)
+
+
+_Q_BFS_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_partkey AS u, l_suppkey + 1000000 AS v FROM lineitem
+  UNION
+  SELECT DISTINCT l_suppkey + 1000000 AS u, l_partkey AS v FROM lineitem
+), walk(vertex, d) AS (
+  SELECT CAST(s AS BIGINT), 1 FROM (VALUES (1), (2), (3)) t(s)
+  UNION
+  SELECT e.v, w.d + 1 FROM walk w JOIN e ON e.u = w.vertex
+  WHERE w.d < {_BFS_MAX_DEPTH}
+)
+SELECT vertex, CAST(min(d) AS INTEGER) AS distance FROM walk GROUP BY vertex
+"""
+
+
+def q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline query: multi-source/multi-sink max-flow
+    (main.java:17-20). Iterative — not SQL-expressible; correctness is
+    enforced by the NetworkX-oracle test suite instead (tests/test_maxflow)."""
+    g = FlowGraph.from_edge_pairs(spark, _lineitem_graph_pairs(spark, sf_dir))
+    res = max_flow(
+        g, sources=[1, 2, 3], sinks=[1_000_001, 1_000_002], config=MaxFlowConfig()
+    )
+    return spark.createDataFrame(
+        [(res.value, res.metrics.phases, res.metrics.accepted_paths)],
+        schema="max_flow long, phases int, n_paths int",
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (min-label propagation; iterative)."""
+    g = FlowGraph.from_edge_pairs(spark, _lineitem_graph_pairs(spark, sf_dir))
+    return connected_components(g)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+_Q_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY text HAVING count(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=4, threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_Q_DEDUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
+         i -> array_to_string(t[i:i+3], ' '))) AS sh
+  FROM toks WHERE len(t) >= 4
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (engine-internal xxhash64 — no SQL
+    oracle; accuracy vs exact Jaccard is pytest-checked)."""
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (engine-internal xxhash64 — rows-only check)."""
+    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (rows-only check)."""
+    return rolling_fingerprints(load_table(spark, sf_dir, "documents")).select(
+        "id", F.size("fingerprints").alias("n_fingerprints")
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = knn_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "item_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+_Q_KNN_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT qid AS query_id, vec_id AS item_id,
+         list_cosine_similarity(qv,
+           list_transform(embedding, x -> CAST(x AS DOUBLE))) AS cos
+  FROM embeddings, q WHERE vec_id <> qid
+), ranked AS (
+  SELECT query_id, item_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, item_id) AS rk
+  FROM scored
+)
+SELECT query_id, item_id, round(cos, 4) AS cosine, CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= 5
+"""
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate by construction — rows-only check;
+    recall vs brute force is pytest-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = knn_lsh(emb, queries, k=5, dim=64)
+    return out.select(
+        "query_id", "item_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_Q_TEXT_QUALITY_SQL = r"""
+SELECT doc_id AS id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+       round(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 4)
+         AS avg_token_len,
+       round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / length(text), 4) AS punct_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / length(text), 4) AS digit_ratio,
+       round((
+           (length(text) - length(replace(text, ' the ', ''))) / 5
+         + (length(text) - length(replace(text, ' and ', ''))) / 5
+         + (length(text) - length(replace(text, ' of ', ''))) / 4
+       ) / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    terms = []
+    for m in markers:
+        terms.append(
+            f"CAST((length(t) - length(replace(t, '{m}', ''))) / {len(m)} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+_Q_LANG_ID_SQL = f"""
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+), scored AS (
+  SELECT doc_id AS id,
+         {_lang_score_sql([' the ', ' and ', ' of '])} AS score_en,
+         {_lang_score_sql([' der ', ' und ', ' das '])} AS score_de,
+         {_lang_score_sql([' le ', ' et ', ' les '])} AS score_fr,
+         {_lang_score_sql([' el ', ' y ', ' los '])} AS score_es
+  FROM padded
+)
+SELECT id, score_en, score_de, score_fr, score_es,
+       CASE
+         WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr
+           THEN 'de'
+         WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+         WHEN score_es >= score_fr THEN 'es'
+         ELSE 'fr'
+       END AS lang_pred
+FROM scored
+"""
+
+
+def q_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per source."""
+    d = load_table(spark, sf_dir, "documents")
+    from pysparkflow.functions.text import token_count
+
+    return (
+        d.select("source", token_count("text").alias("n_tok"), F.length("text").alias("n_ch"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_ch").alias("total_chars"),
+        )
+    )
+
+
+_Q_TOKEN_TOTALS_SQL = r"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens,
+       round(avg(len(regexp_split_to_array(trim(text), '\s+'))), 4) AS avg_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming windowed aggregation driven to completion over
+    the static events parquet — same answer as the batch hourly rollup."""
+    return run_windowed_counts_batchlike(spark, f"{sf_dir}/events.parquet")
+
+
+_Q_EVENTS_STREAM_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (sketch family; engine-specific sketch —
+    rows-only check, exactness bound pytest-checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "groupagg_pricing": q_groupagg_pricing,
+    "edge_symmetrize": q_edge_symmetrize,
+    "broadcast_join": q_broadcast_join,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "topk_per_group": q_topk_per_group,
+    "running_total": q_running_total,
+    "sort_limit": q_sort_limit,
+    "hash_sample": q_hash_sample,
+    "set_intersect": q_set_intersect,
+    "set_except": q_set_except,
+    "rollup": q_rollup,
+    "bitpack_edge_ids": q_bitpack_edge_ids,
+    "global_counters": q_global_counters,
+    "events_hourly": q_events_hourly,
+    "events_json_props": q_events_json_props,
+    "sessionize": q_sessionize,
+    "bfs_distances": q_bfs_distances,
+    "max_flow": q_max_flow,
+    "connected_components": q_connected_components,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "simhash": q_simhash,
+    "doc_fingerprints": q_doc_fingerprints,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_totals": q_token_totals,
+    "events_stream_windowed": q_events_stream_windowed,
+    "approx_distinct": q_approx_distinct,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "groupagg_pricing": _Q_GROUPAGG_SQL,
+    "edge_symmetrize": _Q_EDGE_SYMMETRIZE_SQL,
+    "broadcast_join": _Q_BROADCAST_JOIN_SQL,
+    "semi_join": _Q_SEMI_JOIN_SQL,
+    "anti_join": _Q_ANTI_JOIN_SQL,
+    "topk_per_group": _Q_TOPK_SQL,
+    "running_total": _Q_RUNNING_TOTAL_SQL,
+    "sort_limit": _Q_SORT_LIMIT_SQL,
+    "hash_sample": _Q_HASH_SAMPLE_SQL,
+    "set_intersect": _Q_SET_INTERSECT_SQL,
+    "set_except": _Q_SET_EXCEPT_SQL,
+    "rollup": _Q_ROLLUP_SQL,
+    "bitpack_edge_ids": _Q_BITPACK_SQL,
+    "global_counters": _Q_COUNTERS_SQL,
+    "events_hourly": _Q_EVENTS_HOURLY_SQL,
+    "events_json_props": _Q_EVENTS_JSON_SQL,
+    "sessionize": _Q_SESSIONIZE_SQL,
+    "bfs_distances": _Q_BFS_SQL,
+    "dedup_exact": _Q_DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": _Q_DEDUP_NGRAM_SQL,
+    "knn_bruteforce": _Q_KNN_SQL,
+    "text_quality": _Q_TEXT_QUALITY_SQL,
+    "lang_id": _Q_LANG_ID_SQL,
+    "token_totals": _Q_TOKEN_TOTALS_SQL,
+    "events_stream_windowed": _Q_EVENTS_STREAM_SQL,
+    # no oracle (iterative / engine-hash / approximate): max_flow,
+    # connected_components, dedup_minhash_lsh, simhash, doc_fingerprints,
+    # knn_lsh, approx_distinct
+}

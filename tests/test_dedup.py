@@ -1,0 +1,90 @@
+"""Dedup operator tests: exact groups, n-gram Jaccard, MinHash-LSH accuracy
+vs exact Jaccard, SimHash locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (4, "completely different words about spark dataframes and shuffles here"),
+    (5, "another unrelated document mentioning parquet files and predicate pushdown"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = exact_duplicates(_docs(spark)).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 2
+    assert got[0]["keep_id"] == 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark):
+    """LSH candidates that survive verification must carry the exact
+    Jaccard value; high-similarity pairs must be found."""
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.0).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in lsh and lsh[(1, 2)] == 1.0
+    assert (1, 3) in lsh  # J≈0.85 — must survive 8-band LSH
+    for pair, j in lsh.items():
+        assert exact[pair] == j  # verified value is the true Jaccard
+
+
+def test_simhash_locality(spark):
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(_docs(spark)).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert sigs[1] == sigs[2]  # identical docs, identical fingerprint
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])  # locality
+
+
+def test_minhash_on_real_documents(spark, sf_dir):
+    """On the real documents table, every LSH-found pair above threshold
+    must also be present in the exhaustive n-gram pair set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.7).collect()
+    }
+    assert lsh <= exact
+    # 8 bands × 4 rows at J>=0.9 → P(miss) < 1e-6; demand full recall there
+    strong = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert strong <= lsh

@@ -1,0 +1,52 @@
+"""Reader tolerance tests (FIXTURES.md §5 semantics)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pysparkflow.io.adjacency import read_adjacency
+from pysparkflow.io.dimacs import read_dimacs
+
+
+def test_dimacs_parallel_arcs_and_nodes(spark, tmp_path):
+    p = tmp_path / "g.max"
+    p.write_text(
+        "c comment\n"
+        "p max 4 5\n"
+        "n 11 s\n"
+        "n 14 t\n"
+        "a 11 12 3\n"
+        "a 12 11 2\n"  # opposite arc: shared capacity sums (cab+cba)
+        "a 12 14 2\n"
+        "a 11 13 1\n"
+        "a 13 14 4\n"
+    )
+    dg = read_dimacs(spark, str(p))
+    assert (dg.n, dg.m) == (4, 5)
+    assert dg.sources == [11] and dg.sinks == [14]
+    edges = {(r["u"], r["v"]): r["cap"] for r in dg.graph.edges.collect()}
+    assert edges[(11, 12)] == 5  # 3 + 2 merged
+
+def test_adjacency_tolerance(spark, tmp_path):
+    raw = (
+        "11\tmeta\t12\t13\n"
+        "12\tmeta\t11\tBAD\t14\n"  # malformed token skipped
+        "13\tmeta\t13\t11\n"  # self-loop dropped
+        "14\tmeta\t12\n"
+        + "99\tmeta" + "\t1" * 6000 + "\n"  # >5100 fields → line rejected
+    )
+    p = tmp_path / "adj.tsv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(raw)
+    g = read_adjacency(spark, str(p))
+    edges = sorted((r["u"], r["v"]) for r in g.edges.collect())
+    assert edges == [(11, 12), (11, 13), (12, 14)]
+
+
+def test_adjacency_id_folding(spark, tmp_path):
+    p = tmp_path / "fold.tsv"
+    big = 10**14 + 5  # folds to -5
+    p.write_text(f"11\tmeta\t{big}\n")
+    g = read_adjacency(spark, str(p), fold_large_ids=True)
+    edges = [(r["u"], r["v"]) for r in g.edges.collect()]
+    assert edges == [(-5, 11)]

@@ -1,0 +1,48 @@
+"""Similarity-search tests: brute-force exactness vs numpy, LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pysparkflow.llmops.similarity import knn_bruteforce, knn_lsh
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.where("vec_id < 2")
+    got = knn_bruteforce(emb, queries, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["item_id"], r["cosine"]))
+    for qid, items in by_q.items():
+        q = vecs[qid]
+        sims = {
+            vid: float(np.dot(q, v) / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expected = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [i for i, _ in items] == [i for i, _ in expected]
+        for (_, got_c), (_, exp_c) in zip(items, expected):
+            assert abs(got_c - exp_c) < 1e-9
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in knn_lsh(emb, queries, k=5, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"

@@ -1,0 +1,79 @@
+"""Text-analysis operator tests on hand-computable documents."""
+
+from __future__ import annotations
+
+from pysparkflow.functions.text import edge_id, shingles, token_count
+from pysparkflow.llmops.textstats import (
+    language_scores,
+    quality_features,
+    rolling_fingerprints,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame([(1, "  a b  c d ")], "id long, text string")
+    row = df.select(
+        token_count("text").alias("n"), shingles("text", 2).alias("sh")
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["sh"] == ["a b", "b c", "c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    assert df.select(shingles("text", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_edge_id_packing(spark):
+    df = spark.createDataFrame([(7, 3)], "a long, b long")
+    got = df.select(edge_id("a", "b").alias("e")).collect()[0]["e"]
+    assert got == 3 * 4294967296 + 7  # least in the high word
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog, of 12 mice!")], "doc_id long, text string"
+    )
+    row = quality_features(df).collect()[0]
+    assert row["n_chars"] == 32
+    assert row["n_tokens"] == 8
+    # markers: ' the ' x1 (leading 'the' unpadded doesn't count), ' and ' x1, ' of ' x1
+    assert row["stopword_ratio"] == round(3 / 8, 4)
+    assert row["punct_ratio"] == round(2 / 32, 4)
+    assert row["digit_ratio"] == round(2 / 32, 4)
+
+
+def test_language_scores(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x the y and z of w"),
+            (2, "x der y und z das w"),
+            (3, "x le y et z les w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["lang_pred"] for r in language_scores(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["id"]: r["fingerprints"] for r in rolling_fingerprints(df, window=8).collect()}
+    assert 1 <= len(got[1]) <= 3  # 10 tokens, window 8 → 3 windows, minima dedup'd
+    assert len(got[2]) == 1  # short doc → single global min
+
+
+def test_fingerprints_shift_invariant_overlap(spark):
+    """Winnowing property: a doc and the same doc with one word prepended
+    share most fingerprints."""
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    df = spark.createDataFrame(
+        [(1, base), (2, "zzz " + base)], "doc_id long, text string"
+    )
+    got = {r["id"]: set(r["fingerprints"]) for r in rolling_fingerprints(df).collect()}
+    overlap = len(got[1] & got[2]) / len(got[1] | got[2])
+    assert overlap >= 0.5

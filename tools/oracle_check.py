@@ -1,0 +1,96 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every QUERIES entry and, where ORACLE_SQL exists, the oracle on the
+same parquet via DuckDB; compares row count + column names + order-
+insensitive values (columns sorted by name, rows sorted by all columns).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from pysparkflow.relational.registry import ORACLE_SQL, QUERIES, TABLES
+from pysparkflow.session import get_spark
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                df[c] = df[c].astype("int64")
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        el = time.time() - t0
+        if name not in ORACLE_SQL:
+            print(f"ok*   {name}: rows={len(sdf)} ({el:.1f}s) [rows-only, no oracle]")
+            continue
+        try:
+            odf = con.sql(ORACLE_SQL[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append(name)
+            print(
+                f"FAIL  {name}: columns differ spark={sorted(sdf.columns)} "
+                f"oracle={sorted(odf.columns)}"
+            )
+            continue
+        if len(sdf) != len(odf):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if a.equals(b):
+            print(f"PASS  {name}: rows={len(sdf)} ({el:.1f}s)")
+        else:
+            failures.append(name)
+            neq = (a != b).any(axis=1)
+            print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
+            print(pd.concat([a[neq].head(3), b[neq].head(3)]).to_string())
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
