@@ -30,33 +30,46 @@ def bfs_distances(
     """Hop distances from the source set. Returns (vertex BIGINT,
     distance INT) for every reached vertex; distance(source)=1."""
     spark = graph.spark
-    # undirected adjacency arcs, cached once per call (degenerate caps ignored)
+    # the doubled arc view is cached once (one materialization); every
+    # round's frontier join streams the in-memory columnar cache — the
+    # graph is never shuffled again (ff3 schimmy lesson)
     arcs = (
         graph.edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(graph.edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
         .persist()
     )
     src_rows = [(int(x),) for x in dict.fromkeys(int(x) for x in sources)]
+    # localCheckpoint per round: materializes AND truncates lineage so
+    # planning cost stays flat across rounds (SURVEY.md §7.3)
     frontier = spark.createDataFrame(src_rows, "vertex long").localCheckpoint()
-    visited = frontier.withColumn("distance", F.lit(1).cast("int")).localCheckpoint()
+    levels: list[DataFrame] = [
+        frontier.withColumn("distance", F.lit(1).cast("int"))
+    ]
+    pieces: list[DataFrame] = [frontier]
     dist = 1
     while True:
         if max_depth is not None and dist >= max_depth:
             break
+        visited = pieces[0]
+        for p in pieces[1:]:
+            visited = visited.unionAll(p)
         nxt = (
             frontier.join(arcs, frontier.vertex == arcs.src)
             .select(F.col("dst").alias("vertex"))
             .distinct()
-            .join(visited.select("vertex"), "vertex", "left_anti")
+            .join(visited, "vertex", "left_anti")
             .localCheckpoint()
         )
         n = nxt.count()
         if n == 0:
             break
         dist += 1
-        visited = visited.unionAll(
-            nxt.withColumn("distance", F.lit(dist).cast("int"))
-        ).localCheckpoint()
+        levels.append(nxt.withColumn("distance", F.lit(dist).cast("int")))
+        pieces.append(nxt)
         frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    out = out.localCheckpoint()
     arcs.unpersist()
-    return visited
+    return out

@@ -4,32 +4,35 @@ Re-expresses the reference's Ford-Fulkerson-with-parallel-incremental-
 bidirectional-path-growing (ff1..ff5, SURVEY.md §2.2) on DataFrames:
 
 * the per-round MapReduce job (map = extend excesses D4, reduce = merge D5)
-  becomes a **frontier join against a cached residual-arc table** — only the
-  frontier shuffles, the graph does not (the ff3 "schimmy" lesson,
-  ff3/ReduceFF.java:82-163, applied structurally);
+  becomes a **frontier join against residual arcs derived lazily from the
+  cached edge table** — the graph is materialized (and shuffled) exactly
+  once; per-round joins scan the in-memory columnar cache (the ff3
+  "schimmy" lesson taken further: not even the frontier re-shuffles the
+  graph, ff3/ReduceFF.java:82-163);
+* flow state is a small sparse table broadcast onto the edge cache each
+  phase (the accepted-flows side file every task preloads, S6/D9,
+  ff1/FordFulkerson.java:44-63) with a size-gated fallback to a shuffle
+  join when flows outgrow broadcast range;
 * the bidirectional S/T excess growth (ff2/Vertex.java:70-92) becomes two
-  BFS frontiers with per-vertex best-path retention (the K-truncation of
-  D10, ff1/Vertex.java:118-131, with K=1 default);
+  BFS frontiers with per-vertex best-path retention (K-truncation D10,
+  ff1/Vertex.java:118-131; K=1 uses a hash-aggregate min_by — partial
+  map-side combine — instead of a window sort);
 * meet-in-the-middle (D6/D7, ff1/Vertex.java:298-318) becomes an equi-join
   of the newly extended frontier against the opposite side's path map;
 * the RMI ApServer's serial greedy acceptance (D8/D17,
   ff2/ApServer.java:26-48) becomes a driver-side Python loop over the
   collected candidates (engine/acceptor.py);
-* accepted flows return to the cluster as a small delta table merged into
-  the sparse flows state (the broadcast side-file of S6/D9,
-  ff1/FordFulkerson.java:44-63);
 * Hadoop counters (D12) become driver-side metrics; the convergence rule
-  (D11, ff1/FordFulkerson.java:240-244 "stop when no accepted flow and a
-  frontier cannot move") becomes: stop when a phase's bidirectional BFS
-  exhausts both frontiers without a meet — an *exact* termination proof
-  (no residual s-t path => max flow), strictly stronger than the
-  reference's heuristic rule.
+  (D11, ff1/FordFulkerson.java:240-244) becomes: stop when a phase's
+  bidirectional BFS exhausts both frontiers without a meet — an *exact*
+  termination proof (no residual s-t path => max flow), strictly stronger
+  than the reference's heuristic rule.
 
 Phase structure (one "phase" = one bidirectional BFS + batch acceptance;
 one "round" = one frontier extension):
 
     while True:
-        arcs  = residual arcs from edges ⋈ flows        (cached, co-partitioned)
+        arcs  = residual arcs (cached edges ⋈ broadcast flows, lazy)
         grow S-frontier from s / T-frontier from t alternately (BFS, visited-pruned)
         if frontiers exhaust with no meet: break         # proven optimal
         candidates = meet rows (S-walk ++ T-walk + residual snapshots)
@@ -39,13 +42,13 @@ Each phase accepts a *batch* of augmenting paths (all compatible meets), so
 the phase count scales with maxflow / batch-size, not maxflow — the same
 effect the reference gets from spraying many excesses per round.
 
-Scale notes (100 TB): the edge table is built once (one shuffle), then the
-two residual-arc projections are cached hash-partitioned on their join key;
-per-round shuffles move only the frontier (≤ |V| thin rows, array columns of
-walk prefixes). Driver traffic per phase is only the meet candidates
-(bounded by ``max_candidates``) and the accepted-flow deltas — both tiny.
-All randomness is hash-seeded (ff1/Vertex.java:60 discipline), so task
-retries and speculative execution are safe.
+Scale notes (100 TB): the edge table shuffles once at build; per-round
+shuffles move only the frontier (thin rows: vertex + walk-prefix arrays).
+Frontiers are persisted per round so the planner has real size stats and
+auto-broadcasts the small side of every join. Driver traffic per phase is
+the meet candidates (bounded by ``max_candidates``) and the accepted-flow
+deltas — both tiny. All randomness is hash-seeded (ff1/Vertex.java:60
+discipline), so task retries and speculative execution are safe.
 """
 
 from __future__ import annotations
@@ -70,6 +73,10 @@ _FRONTIER_SCHEMA = T.StructType(
         T.StructField("ress", T.ArrayType(T.LongType()), False),
     ]
 )
+
+# above this many flow-carrying edges, stop broadcasting the flows table
+# and fall back to a shuffle join (driver knows the exact count for free)
+_FLOW_BROADCAST_LIMIT = 2_000_000
 
 
 @dataclass
@@ -99,13 +106,20 @@ def _empty_flows(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], schema="u long, v long, f long")
 
 
-def _residual_arcs(edges: DataFrame, flows: DataFrame) -> DataFrame:
+def _residual_arcs(
+    edges: DataFrame, flows: DataFrame | None, broadcast_flows: bool
+) -> DataFrame:
     """Directed residual arcs from the canonical undirected edges + signed
     flows: residue(u->v) = cap - f, residue(v->u) = cap + f
-    (ff2/Edge.java:29-33)."""
-    j = edges.join(flows, ["u", "v"], "left").withColumn(
-        "f", F.coalesce(F.col("f"), F.lit(0))
-    )
+    (ff2/Edge.java:29-33). ``flows=None`` (zero flow) skips the join —
+    rebuilding even an empty broadcast costs ~300ms per action."""
+    if flows is None:
+        j = edges.withColumn("f", F.lit(0).cast("long"))
+    else:
+        fl = F.broadcast(flows) if broadcast_flows else flows
+        j = edges.join(fl, ["u", "v"], "left").withColumn(
+            "f", F.coalesce(F.col("f"), F.lit(0))
+        )
     fwd = j.select(
         F.col("u").alias("src"), F.col("v").alias("dst"), (F.col("cap") - F.col("f")).alias("res")
     )
@@ -149,7 +163,15 @@ def _extend(
             F.concat(F.array(F.col("res")), F.col("ress")).alias("ress"),
         )
     ext = ext.join(own_paths.select("vertex"), "vertex", "left_anti")
-    w = Window.partitionBy("vertex").orderBy(F.xxhash64("verts", F.lit(seed + rnd)))
+    pick = F.xxhash64("verts", F.lit(seed + rnd))
+    if k == 1:
+        # hash-aggregate with map-side partial combine — no window sort
+        return (
+            ext.groupBy("vertex")
+            .agg(F.min_by(F.struct("verts", "ress"), pick).alias("p"))
+            .select("vertex", F.col("p.verts").alias("verts"), F.col("p.ress").alias("ress"))
+        )
+    w = Window.partitionBy("vertex").orderBy(pick)
     return (
         ext.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
@@ -173,20 +195,41 @@ def max_flow(
     edges = g.edges.persist()
     edges.count()  # materialize once; the static graph is never shuffled again
     flows = _empty_flows(spark)
+    flow_edge_count = 0
     metrics = RoundMetrics()
     total = 0
+    phase_cache: list[DataFrame] = []
 
     while cfg.max_phases is None or metrics.phases < cfg.max_phases:
         metrics.phases += 1
-        arcs = _residual_arcs(edges, flows)
-        arcs_fwd = arcs.repartition("src").persist()
-        arcs_bwd = arcs.repartition("dst").persist()
+        # cached per phase: the flows join + residual filter run once; every
+        # round's joins scan the in-memory arc cache
+        arcs = _residual_arcs(
+            edges,
+            flows if flow_edge_count > 0 else None,
+            broadcast_flows=flow_edge_count <= _FLOW_BROADCAST_LIMIT,
+        ).persist()
+        phase_cache.append(arcs)
 
-        seed_row = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
-        paths_s = spark.createDataFrame([seed_row[0]], _FRONTIER_SCHEMA).localCheckpoint()
-        paths_t = spark.createDataFrame([seed_row[1]], _FRONTIER_SCHEMA).localCheckpoint()
-        frontier_s, frontier_t = paths_s, paths_t
+        # frontiers are localCheckpointed every round: this both materializes
+        # the data AND truncates the logical plan — with persist() alone the
+        # plan tree deepens every round and Catalyst/AQE planning time comes
+        # to dominate (the iterative-lineage trap, SURVEY.md §7.3)
+        seed_rows = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
+        frontier_s = spark.createDataFrame([seed_rows[0]], _FRONTIER_SCHEMA).localCheckpoint()
+        frontier_t = spark.createDataFrame([seed_rows[1]], _FRONTIER_SCHEMA).localCheckpoint()
+        side_frontiers: dict[bool, list[DataFrame]] = {
+            True: [frontier_s],
+            False: [frontier_t],
+        }
         n_s, n_t = 1, 1
+
+        def paths(side_is_s: bool) -> DataFrame:
+            pieces = side_frontiers[side_is_s]
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionAll(p)
+            return out
 
         candidates: list = []
         rnd = 0
@@ -195,27 +238,25 @@ def max_flow(
             metrics.rounds += 1
             # extend the smaller live frontier (classic bidirectional BFS)
             extend_s = n_t == 0 or (n_s > 0 and n_s <= n_t)
+            frontier = frontier_s if extend_s else frontier_t
+            new_f = _extend(
+                frontier,
+                arcs,
+                paths(extend_s),
+                extend_s,
+                cfg.excess_list_max,
+                cfg.seed,
+                rnd,
+                cfg.max_path_len,
+            ).localCheckpoint()  # materialize + truncate lineage (one job)
+            n_new = new_f.count()  # trivial on the checkpointed relation
             if extend_s:
-                new_f = _extend(
-                    frontier_s, arcs_fwd, paths_s, True,
-                    cfg.excess_list_max, cfg.seed, rnd, cfg.max_path_len,
-                ).localCheckpoint()
-                n_s = new_f.count()
-                frontier_s = new_f
-                paths_s = paths_s.unionAll(new_f).localCheckpoint()
-                other = paths_t
+                frontier_s, n_s = new_f, n_new
             else:
-                new_f = _extend(
-                    frontier_t, arcs_bwd, paths_t, False,
-                    cfg.excess_list_max, cfg.seed, rnd, cfg.max_path_len,
-                ).localCheckpoint()
-                n_t = new_f.count()
-                frontier_t = new_f
-                paths_t = paths_t.unionAll(new_f).localCheckpoint()
-                other = paths_s
-            n_new = n_s if extend_s else n_t
-            metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
+                frontier_t, n_t = new_f, n_new
             if n_new > 0:
+                side_frontiers[extend_s].append(new_f)
+                other = paths(not extend_s)
                 o = other.select(
                     F.col("vertex"),
                     F.col("verts").alias("o_verts"),
@@ -230,15 +271,20 @@ def max_flow(
                 if meets:
                     candidates = [(r, extend_s) for r in meets]
                     break
-            if n_s == 0 and n_t == 0:
-                break  # both frontiers exhausted: no residual s-t path
+            metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
+            if n_new == 0:
+                # ONE exhausted side proves optimality: if a residual s-t
+                # path existed, every vertex on it is reachable by this
+                # side, so the opposite seed vertex would have been reached
+                # and the meet join would have fired. (Stronger than the
+                # reference's two-sided rule, ff1/FordFulkerson.java:240-244.)
+                break
 
         if not candidates:
-            arcs_fwd.unpersist()
-            arcs_bwd.unpersist()
             break  # optimal
 
         acceptor = GreedyAcceptor()
+        walks = []
         for row, from_s_side in candidates:
             if from_s_side:
                 walk = list(row["verts"]) + list(row["o_verts"])[1:]
@@ -249,13 +295,10 @@ def max_flow(
             acceptor.observe_arcs(
                 [(walk[i], walk[i + 1], ress[i]) for i in range(len(walk) - 1)]
             )
+            walks.append(walk)
         accepted_this_phase = 0
-        for row, from_s_side in candidates:
+        for walk in walks:
             metrics.candidates_seen += 1
-            if from_s_side:
-                walk = list(row["verts"]) + list(row["o_verts"])[1:]
-            else:
-                walk = list(row["o_verts"]) + list(row["verts"])[1:]
             got = acceptor.try_accept(walk)
             if got == 0:
                 metrics.candidates_rejected += 1
@@ -288,9 +331,14 @@ def max_flow(
             .where(F.col("f") != 0)
             .localCheckpoint()  # cut lineage each phase (iteration GC, §4)
         )
-        arcs_fwd.unpersist()
-        arcs_bwd.unpersist()
+        flow_edge_count = flows.count()
+        for df in phase_cache:
+            df.unpersist()
+        phase_cache.clear()
 
+    for df in phase_cache:
+        df.unpersist()
+    phase_cache.clear()
     if cfg.validate:
         _validate(edges, flows, s_id, t_id, total)
     edges.unpersist()
