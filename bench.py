@@ -15,6 +15,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from pysparkflow.relational.registry import QUERIES
 from pysparkflow.session import get_spark
 
@@ -58,6 +60,9 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
+    # warm the session (JIT, codegen, scheduler) so the first timed query
+    # isn't charged for JVM startup
+    spark.range(5_000_000).groupBy((F.col("id") % 16).alias("k")).count().collect()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]

@@ -88,6 +88,11 @@ class MaxFlowConfig:
     max_path_len: int | None = None  # mf.max.epath.length; binding cap => approx result
     max_candidates: int = 20_000  # driver-side collect bound per phase
     max_phases: int | None = None  # safety valve; None = run to optimality
+    # approximate early stop (the family's mf.approx=0.95 knob, run:138,
+    # main.java:47-50 — the ff7/ff8 approx variants are absent from the
+    # snapshot): stop once a phase's gain falls below (1-approx) x total,
+    # i.e. diminishing returns. None = exact.
+    approx: float | None = None
     seed: int = 42
     validate: bool = False  # run flow-conservation/capacity invariant checks at end
     verbose: bool = False
@@ -335,6 +340,12 @@ def max_flow(
         for df in phase_cache:
             df.unpersist()
         phase_cache.clear()
+        if (
+            cfg.approx is not None
+            and total > 0
+            and accepted_this_phase < (1 - cfg.approx) * total
+        ):
+            break  # diminishing returns: approx-mode early stop
 
     for df in phase_cache:
         df.unpersist()

@@ -1,0 +1,51 @@
+"""Result writers — the modern form of the reference's side-file outputs.
+
+The reference writes per-round accepted-flow side files (``flows-…`` binary
+triples, ff2/ApServer.java:58-81) plus a ``flowpaths`` audit file of
+accepted path strings ``v0:v1:…=flow`` (ff1/Vertex.java:147-188, S5) and a
+running total log (S8). Here: one parquet of final per-edge flows (columnar,
+splittable, predicate-pushdown for the S7-style point lookups) plus a small
+JSON summary with the metrics the reference kept in Hadoop counters."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pysparkflow.algo.maxflow import MaxFlowResult
+
+
+def write_flow_result(result: MaxFlowResult, out_dir: str) -> None:
+    """Write flows parquet + summary JSON under ``out_dir``."""
+    result.flows.write.mode("overwrite").parquet(f"{out_dir}/flows.parquet")
+    summary = {
+        "max_flow": result.value,
+        "s_id": result.s_id,
+        "t_id": result.t_id,
+        **result.metrics.as_dict(),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(f"{out_dir}/summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+def read_flow_result(spark: SparkSession, out_dir: str) -> tuple[DataFrame, dict]:
+    flows = spark.read.parquet(f"{out_dir}/flows.parquet")
+    with open(f"{out_dir}/summary.json") as f:
+        summary = json.load(f)
+    return flows, summary
+
+
+def dump_records(
+    spark: SparkSession, path: str, key_col: str | None = None, key: int | None = None
+) -> DataFrame:
+    """Debug dump reader (S7, ff1/Vertex.java:362-377, ff3/reader.java:14-25):
+    iterate a stored table, optionally point-look-up one key — the filter
+    pushes down to the parquet scan."""
+    df = spark.read.parquet(path)
+    if key_col is not None and key is not None:
+        df = df.where(F.col(key_col) == key)
+    return df

@@ -1,0 +1,59 @@
+"""Writer round-trip, approx early-stop, random source/sink selection."""
+
+from __future__ import annotations
+
+from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
+from pysparkflow.graph.graph import FlowGraph
+from pysparkflow.io.writers import dump_records, read_flow_result, write_flow_result
+
+
+def _grid_graph(spark, n=4):
+    def vid(r, c):
+        return 10 + r * n + c
+
+    edges = []
+    for r in range(n):
+        for c in range(n):
+            if c + 1 < n:
+                edges.append((vid(r, c), vid(r, c + 1), 2))
+            if r + 1 < n:
+                edges.append((vid(r, c), vid(r + 1, c), 2))
+    df = spark.createDataFrame(edges, "src long, dst long, capacity long")
+    return FlowGraph.from_edge_pairs(spark, df, cap_col="capacity"), vid
+
+
+def test_flow_result_roundtrip(spark, tmp_path):
+    g, vid = _grid_graph(spark)
+    res = max_flow(g, [vid(0, 0)], [vid(3, 3)])
+    out = str(tmp_path / "flowout")
+    write_flow_result(res, out)
+    flows, summary = read_flow_result(spark, out)
+    assert summary["max_flow"] == res.value
+    assert flows.count() == res.flows.count()
+    # S7-style point lookup with pushdown — look up a key that actually
+    # exists (the super-source is the max id, so it lands in v, not u)
+    first_u = flows.orderBy("u").first()["u"]
+    one = dump_records(spark, f"{out}/flows.parquet", "u", first_u).collect()
+    assert len(one) > 0 and all(r["u"] == first_u for r in one)
+
+
+def test_approx_early_stop_bounded(spark):
+    g, vid = _grid_graph(spark)
+    exact = max_flow(g, [vid(0, 0)], [vid(3, 3)])
+    approx = max_flow(
+        g, [vid(0, 0)], [vid(3, 3)], MaxFlowConfig(approx=0.5, validate=True)
+    )
+    assert 0 < approx.value <= exact.value
+    assert approx.metrics.phases <= exact.metrics.phases
+
+
+def test_select_random_sources_sinks(spark):
+    # star around two hubs: only hubs exceed min_degree
+    edges = [(100, i, 1) for i in range(10, 30)] + [(200, i, 1) for i in range(30, 50)]
+    df = spark.createDataFrame(edges, "src long, dst long, capacity long")
+    g = FlowGraph.from_edge_pairs(spark, df, cap_col="capacity")
+    srcs, sinks = g.select_random_sources_sinks(1, min_degree=10, seed=7)
+    assert set(srcs) | set(sinks) == {100, 200}
+    assert not set(srcs) & set(sinks)
+    again = g.select_random_sources_sinks(1, min_degree=10, seed=7)
+    assert (srcs, sinks) == again  # deterministic under a fixed seed
