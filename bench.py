@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id",
     "token_totals",
+    "asof_join",
+    "range_join",
+    "pivot_events",
+    "window_suite",
+    "percentiles",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,4 @@
+from pysparkflow.operators.asof import asof_join
+from pysparkflow.operators.rangejoin import range_join
+
+__all__ = ["asof_join", "range_join"]

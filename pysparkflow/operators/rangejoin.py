@@ -1,0 +1,49 @@
+"""Range join (interval/banded time join) — composed from built-ins.
+
+Naive formulation ``l JOIN r ON l.key = r.key AND r.ts BETWEEN l.ts - w
+AND l.ts`` forces Spark into a per-key nested loop. Bucketing fixes the
+join shape: both sides bucket their timestamps by the window width; a row
+can only match rows in its own or the adjacent bucket, so the equi-join on
+(key, bucket) generates a candidate set linear in true match count, then
+the exact range predicate filters. This is the standard bucketed-range
+strategy the pyspark guide recommends for Spark's missing range join.
+
+Scale: one shuffle on (key, bucket); candidate blow-up is bounded by
+2 x (rows per bucket), never O(n·m) per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Inner-join rows of ``right`` whose timestamp falls in
+    ``[left_ts - window_seconds, left_ts)`` for the same key. Returns all
+    left columns + all right columns. ``left_ts`` and ``right_ts`` must be
+    distinct column names (rename before joining a table to itself)."""
+    w_us = window_seconds * 1_000_000
+
+    def bucket(ts: str) -> Column:
+        return (F.unix_micros(F.col(ts)) / F.lit(w_us)).cast("long")
+
+    l = left.withColumn("_b", bucket(left_ts))
+    r = right.withColumn("_rb", bucket(right_ts))
+    # a right row at bucket b can serve left rows in buckets b and b+1
+    r_exp = r.withColumn("_b", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1))).drop(
+        "_rb"
+    )
+    cond = (
+        (F.unix_micros(F.col(right_ts)) >= F.unix_micros(F.col(left_ts)) - F.lit(w_us))
+        & (F.unix_micros(F.col(right_ts)) < F.unix_micros(F.col(left_ts)))
+    )
+    joined = l.join(r_exp, on=[on, "_b"]).where(cond)
+    return joined.drop("_b")
