@@ -93,6 +93,10 @@ class MaxFlowConfig:
     # snapshot): stop once a phase's gain falls below (1-approx) x total,
     # i.e. diminishing returns. None = exact.
     approx: float | None = None
+    # keep growing this many rounds past the first meet, accumulating
+    # candidates — meets from several depths conflict less on unit-capacity
+    # edges, so phases accept bigger batches (fewer phases overall)
+    meet_extra_rounds: int = 2
     seed: int = 42
     validate: bool = False  # run flow-conservation/capacity invariant checks at end
     verbose: bool = False
@@ -238,6 +242,7 @@ def max_flow(
 
         candidates: list = []
         rnd = 0
+        rounds_after_meet = 0
         while True:
             rnd += 1
             metrics.rounds += 1
@@ -270,11 +275,17 @@ def max_flow(
                 meets = (
                     new_f.join(o, "vertex")
                     .orderBy("vertex", F.xxhash64("verts"))
-                    .limit(cfg.max_candidates)
+                    .limit(cfg.max_candidates - len(candidates))
                     .collect()
                 )
                 if meets:
-                    candidates = [(r, extend_s) for r in meets]
+                    candidates.extend((r, extend_s) for r in meets)
+            if candidates:
+                rounds_after_meet += 1
+                if (
+                    rounds_after_meet > cfg.meet_extra_rounds
+                    or len(candidates) >= cfg.max_candidates
+                ):
                     break
             metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
             if n_new == 0:

@@ -485,8 +485,14 @@ def q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     (main.java:17-20). Iterative — not SQL-expressible; correctness is
     enforced by the NetworkX-oracle test suite instead (tests/test_maxflow)."""
     g = _lineitem_graph(spark, sf_dir)
+    # dense bipartite shape: the first meet round already yields the whole
+    # batch, so meet-round extension only adds rounds here (it pays off on
+    # unit-capacity small-world graphs — see MaxFlowConfig.meet_extra_rounds)
     res = max_flow(
-        g, sources=[1, 2, 3], sinks=[1_000_001, 1_000_002], config=MaxFlowConfig()
+        g,
+        sources=[1, 2, 3],
+        sinks=[1_000_001, 1_000_002],
+        config=MaxFlowConfig(meet_extra_rounds=0),
     )
     return spark.createDataFrame(
         [(res.value, res.metrics.phases, res.metrics.accepted_paths)],
@@ -839,6 +845,83 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation (all grouping-set combinations)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+
+
+_Q_CUBE_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end surface: the same Catalyst plan via spark.sql —
+    customer revenue rollup across a 3-table join (TPC-H Q3 family)."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+_Q_SQL_REVENUE_SQL = """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_mktsegment
+"""
+
+# BPE-ish pretokenizer (GPT-2-family pre-tokenization shape): contractions,
+# letter runs, digit runs, punctuation runs, whitespace collapse — the
+# regex is Java/RE2-compatible so the oracle runs it verbatim.
+_BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (vs plain whitespace): per-source
+    totals of pretokens."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    return (
+        d.select("source", n.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_bpe_tokens"),
+        )
+    )
+
+
+_BPE_SQL_LIT = _BPE_PATTERN.replace("'", "''")  # SQL string-literal escaping
+
+_Q_BPE_TOKEN_SQL = f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_SQL_LIT}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       round(avg(len(regexp_extract_all(text, '{_BPE_SQL_LIT}'))), 4)
+         AS avg_bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing at the query surface: documents as opaque binary
     payloads -> mapInPandas feature extraction (deterministic fake decoder;
@@ -907,6 +990,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_suite": q_window_suite,
     "percentiles": q_percentiles,
     "multimodal_features": q_multimodal_features,
+    "cube": q_cube,
+    "sql_revenue": q_sql_revenue,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -940,6 +1026,9 @@ ORACLE_SQL: dict[str, str] = {
     "pivot_events": _Q_PIVOT_SQL,
     "window_suite": _Q_WINDOW_SUITE_SQL,
     "percentiles": _Q_PERCENTILES_SQL,
+    "cube": _Q_CUBE_SQL,
+    "sql_revenue": _Q_SQL_REVENUE_SQL,
+    "bpe_token_count": _Q_BPE_TOKEN_SQL,
     # no oracle (iterative / engine-hash / approximate): max_flow,
     # connected_components, dedup_minhash_lsh, simhash, doc_fingerprints,
     # knn_lsh, approx_distinct, multimodal_features
