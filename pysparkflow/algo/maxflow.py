@@ -97,6 +97,11 @@ class MaxFlowConfig:
     # candidates — meets from several depths conflict less on unit-capacity
     # edges, so phases accept bigger batches (fewer phases overall)
     meet_extra_rounds: int = 2
+    # incremental excess maintenance (the reference's D9 flow-update +
+    # saturation filter, ff1/Vertex.java:213-250): after accepting a batch,
+    # repair stored paths against the new flows and keep searching from
+    # them instead of restarting the BFS. False = restart every phase.
+    incremental: bool = True
     seed: int = 42
     validate: bool = False  # run flow-conservation/capacity invariant checks at end
     verbose: bool = False
@@ -113,6 +118,43 @@ class MaxFlowResult:
 
 def _empty_flows(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], schema="u long, v long, f long")
+
+
+def _repair_paths(df: DataFrame, delta_items: list) -> DataFrame:
+    """Flow update + saturation filter (D9, ff1/Vertex.java:213-250
+    ``updateE`` / ff1/Excess.java:70-81): subtract the accepted per-arc
+    deltas from every stored path's residual snapshots, then drop paths
+    whose bottleneck is no longer positive. Dropped vertices fall out of
+    the visited set automatically (visited is derived from surviving
+    paths), so they can be re-discovered — the LOSE_EXCESS/re-broadcast
+    mechanism of ff2/FordFulkerson.java:96-122 without the counter."""
+    if not delta_items:
+        return df
+    kv: list = []
+    for (x, y), d in delta_items:
+        kv.append(F.lit(f"{x}:{y}"))
+        kv.append(F.lit(int(d)))
+    delta_map = F.create_map(*kv)
+    idx = F.sequence(F.lit(0), F.size("ress") - 1)
+    new_ress = F.transform(
+        idx,
+        lambda i: F.element_at(F.col("ress"), i + 1)
+        - F.coalesce(
+            F.element_at(
+                delta_map,
+                F.concat_ws(
+                    ":",
+                    F.element_at(F.col("verts"), i + 1),
+                    F.element_at(F.col("verts"), i + 2),
+                ),
+            ),
+            F.lit(0),
+        ),
+    )
+    out = df.withColumn(
+        "ress", F.when(F.size("ress") == 0, F.col("ress")).otherwise(new_ress)
+    )
+    return out.where((F.size("ress") == 0) | (F.array_min("ress") > 0))
 
 
 def _residual_arcs(
@@ -209,6 +251,10 @@ def max_flow(
     total = 0
     phase_cache: list[DataFrame] = []
 
+    # stored-path state carried across acceptance epochs (incremental mode):
+    # consolidated, repaired, localCheckpointed path tables per side
+    stored: tuple[DataFrame, DataFrame] | None = None
+
     while cfg.max_phases is None or metrics.phases < cfg.max_phases:
         metrics.phases += 1
         # cached per phase: the flows join + residual filter run once; every
@@ -224,35 +270,57 @@ def max_flow(
         # the data AND truncates the logical plan — with persist() alone the
         # plan tree deepens every round and Catalyst/AQE planning time comes
         # to dominate (the iterative-lineage trap, SURVEY.md §7.3)
-        seed_rows = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
-        frontier_s = spark.createDataFrame([seed_rows[0]], _FRONTIER_SCHEMA).localCheckpoint()
-        frontier_t = spark.createDataFrame([seed_rows[1]], _FRONTIER_SCHEMA).localCheckpoint()
-        side_frontiers: dict[bool, list[DataFrame]] = {
-            True: [frontier_s],
-            False: [frontier_t],
-        }
-        n_s, n_t = 1, 1
-
-        def paths(side_is_s: bool) -> DataFrame:
-            pieces = side_frontiers[side_is_s]
-            out = pieces[0]
-            for p in pieces[1:]:
-                out = out.unionAll(p)
-            return out
-
         candidates: list = []
         rnd = 0
-        rounds_after_meet = 0
-        while True:
+        if stored is None:
+            seed_rows = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
+            frontier_s = spark.createDataFrame(
+                [seed_rows[0]], _FRONTIER_SCHEMA
+            ).localCheckpoint()
+            frontier_t = spark.createDataFrame(
+                [seed_rows[1]], _FRONTIER_SCHEMA
+            ).localCheckpoint()
+            paths_s, paths_t = frontier_s, frontier_t
+            n_s, n_t = 1, 1
+        else:
+            # incremental restart: stored paths survive (repaired against
+            # the new flows); re-extend them all — one wide round instead
+            # of re-growing the whole BFS tree (the ff5 master
+            # re-extension, ff5/ReduceFF.java:72-115)
+            paths_s, paths_t = stored
+            frontier_s, frontier_t = paths_s, paths_t
+            n_s, n_t = paths_s.count(), paths_t.count()
+            # stored pairs meeting at a vertex were not all accepted last
+            # epoch — re-collect them before spending any rounds
+            o = paths_t.select(
+                F.col("vertex"),
+                F.col("verts").alias("o_verts"),
+                F.col("ress").alias("o_ress"),
+            )
+            meets = (
+                paths_s.join(o, "vertex")
+                .orderBy("vertex", F.xxhash64("verts"))
+                .limit(cfg.max_candidates)
+                .collect()
+            )
+            candidates = [(r, True) for r in meets]
+
+        # candidates pre-filled from the stored-pair meet: accept them now,
+        # spend no extension rounds this epoch
+        rounds_after_meet = cfg.meet_extra_rounds + 1 if candidates else 0
+        while not candidates or rounds_after_meet <= cfg.meet_extra_rounds:
+            if candidates and len(candidates) >= cfg.max_candidates:
+                break
             rnd += 1
             metrics.rounds += 1
             # extend the smaller live frontier (classic bidirectional BFS)
             extend_s = n_t == 0 or (n_s > 0 and n_s <= n_t)
             frontier = frontier_s if extend_s else frontier_t
+            own = paths_s if extend_s else paths_t
             new_f = _extend(
                 frontier,
                 arcs,
-                paths(extend_s),
+                own,
                 extend_s,
                 cfg.excess_list_max,
                 cfg.seed,
@@ -265,8 +333,12 @@ def max_flow(
             else:
                 frontier_t, n_t = new_f, n_new
             if n_new > 0:
-                side_frontiers[extend_s].append(new_f)
-                other = paths(not extend_s)
+                if extend_s:
+                    paths_s = paths_s.unionAll(new_f)
+                    other = paths_t
+                else:
+                    paths_t = paths_t.unionAll(new_f)
+                    other = paths_s
                 o = other.select(
                     F.col("vertex"),
                     F.col("verts").alias("o_verts"),
@@ -282,18 +354,16 @@ def max_flow(
                     candidates.extend((r, extend_s) for r in meets)
             if candidates:
                 rounds_after_meet += 1
-                if (
-                    rounds_after_meet > cfg.meet_extra_rounds
-                    or len(candidates) >= cfg.max_candidates
-                ):
-                    break
             metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
             if n_new == 0:
                 # ONE exhausted side proves optimality: if a residual s-t
                 # path existed, every vertex on it is reachable by this
                 # side, so the opposite seed vertex would have been reached
-                # and the meet join would have fired. (Stronger than the
-                # reference's two-sided rule, ff1/FordFulkerson.java:240-244.)
+                # and the meet join would have fired. (Every visited vertex
+                # holds a positive-residual stored path — repair drops the
+                # rest — so the argument survives incremental restarts.
+                # Stronger than the reference's two-sided rule,
+                # ff1/FordFulkerson.java:240-244.)
                 break
 
         if not candidates:
@@ -348,6 +418,22 @@ def max_flow(
             .localCheckpoint()  # cut lineage each phase (iteration GC, §4)
         )
         flow_edge_count = flows.count()
+
+        if cfg.incremental:
+            # D9: repair surviving paths against this epoch's deltas and
+            # carry them into the next epoch (consolidated + checkpointed
+            # BEFORE the arc cache they were built from is dropped)
+            delta_items = [(k, int(v)) for k, v in acceptor.delta.items() if v != 0]
+            if len(delta_items) <= 20_000:  # map-literal size guard
+                stored = (
+                    _repair_paths(paths_s, delta_items).localCheckpoint(),
+                    _repair_paths(paths_t, delta_items).localCheckpoint(),
+                )
+            else:
+                stored = None  # fall back to a fresh BFS next epoch
+        else:
+            stored = None
+
         for df in phase_cache:
             df.unpersist()
         phase_cache.clear()

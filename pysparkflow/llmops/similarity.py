@@ -64,6 +64,41 @@ def knn_bruteforce(
     )
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: (id_a, id_b, cosine)
+    with id_a < id_b and cosine >= threshold.
+
+    Vectors are L2-normalized once up front so each pair costs one dot
+    product. The all-pairs form is the *correctness baseline* (and the
+    oracle-checkable one); at corpus scale, run the LSH band join
+    (``knn_lsh``'s bucket machinery) as a prefilter and this exact dot
+    only on bucket-colliding pairs."""
+    from pysparkflow.functions.vector import l2_norm
+
+    n = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+        ).alias("nv"),
+    )
+    a = n.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
+    b = n.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()

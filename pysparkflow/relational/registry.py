@@ -845,6 +845,28 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH prefilter is the at-scale path, see llmops/similarity.py)."""
+    from pysparkflow.llmops.similarity import embedding_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_cosine_pairs(emb, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+_Q_EMB_NEAR_DUPS_SQL = """
+WITH n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube aggregation (all grouping-set combinations)."""
     o = load_table(spark, sf_dir, "orders")
@@ -993,6 +1015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube": q_cube,
     "sql_revenue": q_sql_revenue,
     "bpe_token_count": q_bpe_token_count,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1029,6 +1052,7 @@ ORACLE_SQL: dict[str, str] = {
     "cube": _Q_CUBE_SQL,
     "sql_revenue": _Q_SQL_REVENUE_SQL,
     "bpe_token_count": _Q_BPE_TOKEN_SQL,
+    "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
     # no oracle (iterative / engine-hash / approximate): max_flow,
     # connected_components, dedup_minhash_lsh, simhash, doc_fingerprints,
     # knn_lsh, approx_distinct, multimodal_features

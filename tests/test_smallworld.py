@@ -34,6 +34,6 @@ def test_smallworld_multiset_maxflow(spark):
         g,
         sources,
         sinks,
-        MaxFlowConfig(excess_list_max=4, meet_extra_rounds=4, validate=True),
+        MaxFlowConfig(excess_list_max=4, meet_extra_rounds=2, validate=True),
     )
     assert res.value == expected
