@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "window_suite",
     "percentiles",
     "multimodal_features",
+    "embedding_near_dups",
 ]
 
 

@@ -54,6 +54,7 @@ discipline), so task retries and speculative execution are safe.
 from __future__ import annotations
 
 import sys
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterable
 
@@ -327,7 +328,24 @@ def max_flow(
                 rnd,
                 cfg.max_path_len,
             ).localCheckpoint()  # materialize + truncate lineage (one job)
-            n_new = new_f.count()  # trivial on the checkpointed relation
+            other = paths_t if extend_s else paths_s
+            o = other.select(
+                F.col("vertex"),
+                F.col("verts").alias("o_verts"),
+                F.col("ress").alias("o_ress"),
+            )
+            meets_df = (
+                new_f.join(o, "vertex")
+                .orderBy("vertex", F.xxhash64("verts"))
+                .limit(cfg.max_candidates - len(candidates))
+            )
+            # frontier count + meet collect are independent jobs over the
+            # same checkpointed relation — submit them concurrently
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_count = pool.submit(new_f.count)
+                f_meets = pool.submit(meets_df.collect)
+                n_new = f_count.result()
+                meets = f_meets.result()
             if extend_s:
                 frontier_s, n_s = new_f, n_new
             else:
@@ -335,21 +353,8 @@ def max_flow(
             if n_new > 0:
                 if extend_s:
                     paths_s = paths_s.unionAll(new_f)
-                    other = paths_t
                 else:
                     paths_t = paths_t.unionAll(new_f)
-                    other = paths_s
-                o = other.select(
-                    F.col("vertex"),
-                    F.col("verts").alias("o_verts"),
-                    F.col("ress").alias("o_ress"),
-                )
-                meets = (
-                    new_f.join(o, "vertex")
-                    .orderBy("vertex", F.xxhash64("verts"))
-                    .limit(cfg.max_candidates - len(candidates))
-                    .collect()
-                )
                 if meets:
                     candidates.extend((r, extend_s) for r in meets)
             if candidates:

@@ -17,7 +17,7 @@ ff1/Vertex.java:60) so task retries are safe and runs reproduce.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pysparkflow.functions.text import shingles

@@ -3,7 +3,6 @@ vs exact Jaccard, SimHash locality."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from pysparkflow.llmops.dedup import (
     exact_duplicates,

@@ -9,7 +9,6 @@ from pysparkflow.llmops.textstats import (
     rolling_fingerprints,
 )
 
-from pyspark.sql import functions as F
 
 
 def test_token_count_and_shingles(spark):
