@@ -4,7 +4,12 @@ from pysparkflow.llmops.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from pysparkflow.llmops.similarity import knn_bruteforce, knn_lsh
+from pysparkflow.llmops.similarity import (
+    embedding_cosine_pairs,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
 from pysparkflow.llmops.textstats import language_scores, quality_features
 
 __all__ = [
@@ -14,6 +19,8 @@ __all__ = [
     "simhash_signatures",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "embedding_cosine_pairs",
     "quality_features",
     "language_scores",
 ]

@@ -118,6 +118,118 @@ def lsh_signature(vec_col: str, planes: list[list[float]]):
     return F.concat(*bits)
 
 
+def _fit_centroids_sample(
+    items: DataFrame, n_cells: int, vec_col: str, seed: int, sample_rows: int = 4096
+) -> list[list[float]]:
+    """Deterministic k-means-lite centroid fit on a driver-side sample
+    (a few Lloyd iterations in numpy). The sample is hash-ordered
+    (reproducible); at 100 TB the sample is still a few thousand rows —
+    fitting stays O(sample), never O(corpus)."""
+    rows = (
+        items.select(vec_col)
+        .orderBy(F.xxhash64(vec_col, F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(8):
+        sims = X @ C.T
+        assign = sims.argmax(axis=1)
+        for k in range(len(C)):
+            members = X[assign == k]
+            if len(members):
+                c = members.mean(axis=0)
+                C[k] = c / (np.linalg.norm(c) or 1.0)
+    return C.tolist()
+
+
+def _cell_scores(vec_col: str, centroids: list[list[float]]):
+    """Array of dot(vec, centroid_k) for every cell, JVM-side."""
+    scores = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        scores.append(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), lit_c, lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*scores)
+
+
+def knn_ivf(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: corpus vectors are assigned to
+    their nearest centroid cell; each query probes its ``n_probe`` nearest
+    cells and reranks candidates with exact cosine.
+
+    Scale shape: centroids fit on a driver sample and ship as literals;
+    cell assignment is a map-only pass; the candidate join is an equi-join
+    on the cell id — per-query work is |corpus|·(n_probe/n_cells) instead
+    of |corpus|. Recall < 1 by construction; measure vs knn_bruteforce."""
+    centroids = _fit_centroids_sample(items, n_cells, vec_col, seed)
+
+    it = (
+        items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
+        .withColumn("cells", _cell_scores("i_vec", centroids))
+        .withColumn(
+            "cell", F.array_position("cells", F.array_max("cells")) - 1
+        )
+        .drop("cells")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cells", _cell_scores("q_vec", centroids))
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                                lambda i: F.struct(
+                                    F.element_at("cells", i + 1).alias("s"),
+                                    i.alias("cell"),
+                                ),
+                            )
+                        )
+                    ),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
+    )
+    cands = it.join(q, "cell").where(F.col("item_id") != F.col("query_id"))
+    scored = cands.select(
+        "query_id", "item_id", cosine_similarity("q_vec", "i_vec").alias("cosine")
+    ).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("item_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
 def knn_lsh(
     items: DataFrame,
     queries: DataFrame,

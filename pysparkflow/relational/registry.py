@@ -609,6 +609,19 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN (sampled k-means centroids; approximate by
+    construction — rows-only check; recall vs brute force pytest-checked)."""
+    from pysparkflow.llmops.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = knn_ivf(emb, queries, k=5)
+    return out.select(
+        "query_id", "item_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features(load_table(spark, sf_dir, "documents"))
 
@@ -1001,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "token_totals": q_token_totals,

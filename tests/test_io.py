@@ -50,3 +50,20 @@ def test_adjacency_id_folding(spark, tmp_path):
     g = read_adjacency(spark, str(p), fold_large_ids=True)
     edges = [(r["u"], r["v"]) for r in g.edges.collect()]
     assert edges == [(-5, 11)]
+
+
+def test_edgelist_csv_and_parquet(spark, tmp_path):
+    from pysparkflow.io.edgelist import read_edgelist
+
+    p = tmp_path / "edges.csv"
+    p.write_text("src,dst,capacity\n10,11,3\n11,10,2\n11,12,4\n")
+    g = read_edgelist(spark, str(p), fmt="csv", cap_col="capacity")
+    edges = {(r["u"], r["v"]): r["cap"] for r in g.edges.collect()}
+    assert edges == {(10, 11): 5, (11, 12): 4}
+
+    pq = tmp_path / "edges.parquet"
+    spark.createDataFrame(
+        [(10, 11, 3), (11, 12, 4)], "src long, dst long, capacity long"
+    ).write.parquet(str(pq))
+    g2 = read_edgelist(spark, str(pq), cap_col="capacity")
+    assert {(r["u"], r["v"]) for r in g2.edges.collect()} == {(10, 11), (11, 12)}

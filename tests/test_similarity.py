@@ -34,6 +34,24 @@ def test_bruteforce_matches_numpy(spark, emb):
             assert abs(got_c - exp_c) < 1e-9
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from pysparkflow.llmops.similarity import knn_ivf
+
+    queries = emb.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["item_id"])
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["item_id"])
+        for r in knn_ivf(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # random embeddings are IVF's worst case; uniform probing would give
+    # n_probe/n_cells = 0.25 — demand clearly better
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_lsh_recall_vs_bruteforce(spark, emb):
     queries = emb.where("vec_id < 10")
     exact = {
