@@ -135,3 +135,11 @@ def test_sources_sinks_must_be_disjoint(spark):
     g = _build(spark, [(10, 11, 1)])
     with pytest.raises(ValueError):
         max_flow(g, [10], [10])
+
+
+def test_negative_vertex_ids(spark):
+    # the negids fixture intent (FIXTURES.md §4): folded ids are negative
+    # (run:77,106) and must flow through unchanged
+    edges = [(-5, -4, 3), (-4, 12, 2), (12, -9, 5), (-5, -9, 1)]
+    res = _check(spark, edges, [-5], [-9])
+    assert res.value == 3
