@@ -58,7 +58,26 @@ TABLES = [
 ]
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Defensive tuning for externally created sessions (the driver harness
+    builds its own SparkSession): Spark's default 200 shuffle partitions
+    over-parallelizes local iterative loops. Only overrides the untouched
+    default; a deliberately configured session is left alone."""
+    import os
+
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(os.cpu_count() or 8, 64)),
+            )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # read-only conf in some deployments — keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_session(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
