@@ -58,8 +58,28 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--validate", action="store_true")
         c.add_argument("--master", default=None)
 
+    q = sub.add_parser("query", help="run a named registry query")
+    q.add_argument("name", help="query name from the registry (or 'list')")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
     from pysparkflow.session import get_spark
+
+    if args.cmd == "query":
+        from pysparkflow.relational.registry import QUERIES
+
+        if args.name == "list":
+            print("\n".join(sorted(QUERIES)))
+            return 0
+        if args.name not in QUERIES:
+            raise SystemExit(
+                f"unknown query {args.name!r}; try: python -m pysparkflow.cli query list"
+            )
+        spark = get_spark(app_name=f"pysparkflow-q-{args.name}", master=args.master)
+        QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
 
     spark = get_spark(app_name=f"pysparkflow-{args.cmd}", master=args.master)
     graph, file_sources, file_sinks = _build_graph(spark, args)

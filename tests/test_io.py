@@ -67,3 +67,24 @@ def test_edgelist_csv_and_parquet(spark, tmp_path):
     ).write.parquet(str(pq))
     g2 = read_edgelist(spark, str(pq), cap_col="capacity")
     assert {(r["u"], r["v"]) for r in g2.edges.collect()} == {(10, 11), (11, 12)}
+
+
+def test_committed_raw_fixtures(spark):
+    """The raw-format fixture files described by FIXTURES.md §5."""
+    import networkx as nx
+
+    dg = read_dimacs(spark, "/root/repo/fixtures/raw/dimacs_small.max")
+    assert dg.sources == [11] and dg.sinks == [16]
+    from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
+
+    res = max_flow(dg.graph, dg.sources, dg.sinks, MaxFlowConfig(validate=True))
+    G = nx.Graph()
+    for r in dg.graph.edges.collect():
+        G.add_edge(r["u"], r["v"], capacity=r["cap"])
+    assert res.value == nx.maximum_flow_value(G, 11, 16)
+
+    g = read_adjacency(spark, "/root/repo/fixtures/raw/adjacency_small.tsv.gz")
+    edges = sorted((r["u"], r["v"]) for r in g.edges.collect())
+    assert (13, 13) not in edges          # self-loop dropped
+    assert all(u != 99 and v != 99 for u, v in edges)  # long line rejected
+    assert (11, 12) in edges and (14, 15) in edges
