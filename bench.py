@@ -20,38 +20,9 @@ from pyspark.sql import functions as F
 from pysparkflow.relational.registry import QUERIES
 from pysparkflow.session import get_spark
 
-BENCH_QUERIES = [
-    "groupagg_pricing",
-    "edge_symmetrize",
-    "broadcast_join",
-    "topk_per_group",
-    "running_total",
-    "hash_sample",
-    "rollup",
-    "global_counters",
-    "events_hourly",
-    "events_json_props",
-    "sessionize",
-    "bfs_distances",
-    "max_flow",
-    "connected_components",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "simhash",
-    "knn_bruteforce",
-    "knn_lsh",
-    "text_quality",
-    "lang_id",
-    "token_totals",
-    "asof_join",
-    "range_join",
-    "pivot_events",
-    "window_suite",
-    "percentiles",
-    "multimodal_features",
-    "embedding_near_dups",
-]
+# every registry query is benchmarked — a perf regression in any graded
+# entry shows up as a BENCH_r{N} delta, not silently
+BENCH_QUERIES = list(QUERIES)
 
 
 def main() -> None:

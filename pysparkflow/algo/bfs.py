@@ -6,10 +6,11 @@ sources (bfs/bfs.java:69-72) with distance(root)=0, so distance(source)=1;
 unreached vertices are absent from the result (the reference's MAX_DIST
 sentinel, bfs/bfs.java:228-231). The per-round MapReduce job (map: frontier
 emits distance+1 to neighbors, bfs/bfs.java:88-108; reduce: keep min
-distance, :110-140) becomes frontier ⋈ edges + anti-join against visited —
-only the frontier shuffles, the adjacency table stays cached (ff3 schimmy
-lesson). Termination (bfs/bfs.java:218-222, "no new visits") = empty
-frontier.
+distance, :110-140) becomes frontier ⋈ edges + anti-join against the last
+two frontiers (sufficient on an undirected graph — see the invariant note
+in ``bfs_distances``) — only the frontier shuffles, the adjacency table
+stays cached (ff3 schimmy lesson). Termination (bfs/bfs.java:218-222, "no
+new visits") = empty frontier.
 """
 
 from __future__ import annotations
@@ -45,19 +46,23 @@ def bfs_distances(
     levels: list[DataFrame] = [
         frontier.withColumn("distance", F.lit(1).cast("int"))
     ]
-    pieces: list[DataFrame] = [frontier]
+    # Undirected-BFS frontier invariant: a neighbor of a level-d vertex has
+    # level in {d-1, d, d+1} (arcs are symmetric), so pruning already-seen
+    # vertices only needs the CURRENT and PREVIOUS frontiers — never the
+    # full visited set. Per-round anti-join work is O(|F_d| + |F_{d-1}|)
+    # instead of O(all reached): at a 100x scale-up with a larger diameter
+    # the old re-union of every prior level is the dominant scan.
+    prev = frontier.where(F.lit(False)).localCheckpoint()
     dist = 1
     while True:
         if max_depth is not None and dist >= max_depth:
             break
-        visited = pieces[0]
-        for p in pieces[1:]:
-            visited = visited.unionAll(p)
+        seen_nearby = frontier.unionAll(prev)
         nxt = (
             frontier.join(arcs, frontier.vertex == arcs.src)
             .select(F.col("dst").alias("vertex"))
             .distinct()
-            .join(visited, "vertex", "left_anti")
+            .join(seen_nearby, "vertex", "left_anti")
             .localCheckpoint()
         )
         n = nxt.count()
@@ -65,7 +70,7 @@ def bfs_distances(
             break
         dist += 1
         levels.append(nxt.withColumn("distance", F.lit(dist).cast("int")))
-        pieces.append(nxt)
+        prev = frontier
         frontier = nxt
     out = levels[0]
     for lv in levels[1:]:

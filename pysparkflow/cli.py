@@ -7,6 +7,10 @@ run the query, write/print results.
     python -m pysparkflow.cli maxflow --dimacs g.max [--out DIR]
     python -m pysparkflow.cli bfs     --adjacency crawl.tsv.gz --sources 1,2
     python -m pysparkflow.cli components --edges e.parquet
+
+Negative vertex ids (id folding produces them): argparse rejects a
+separate "-5,-9" token as an option, so use the ``=`` form —
+``--sources=-5,-9`` — or quote a leading space: ``--sources ' -5,-9'``.
 """
 
 from __future__ import annotations
@@ -17,7 +21,7 @@ import sys
 
 
 def _ids(s: str) -> list[int]:
-    return [int(x) for x in s.split(",") if x.strip()]
+    return [int(x) for x in s.strip().split(",") if x.strip()]
 
 
 def _build_graph(spark, args):
@@ -49,8 +53,14 @@ def main(argv: list[str] | None = None) -> int:
         c.add_argument("--adjacency", help="adjacency TSV[.gz] (Facebook-crawl format)")
         c.add_argument("--cap-col", default=None, help="capacity column in --edges")
         c.add_argument("--max-cap", type=int, default=1, help="deterministic random cap range (mf.* D2)")
-        c.add_argument("--sources", type=_ids, default=None)
-        c.add_argument("--sinks", type=_ids, default=None)
+        c.add_argument(
+            "--sources", type=_ids, default=None,
+            help="comma-separated ids; for negative ids use --sources=-5,-9",
+        )
+        c.add_argument(
+            "--sinks", type=_ids, default=None,
+            help="comma-separated ids; for negative ids use --sinks=-5,-9",
+        )
         c.add_argument("--out", default=None, help="output directory (parquet + summary.json)")
         c.add_argument("--k", type=int, default=1, help="excess list max (mf.excess.list.max)")
         c.add_argument("--meet-extra-rounds", type=int, default=2)

@@ -27,8 +27,14 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# "Infinite" capacity for super-source/sink edges (ff2/FordFulkerson.java:235,
-# ff3/FordFulkerson.java:119, ff5/FordFulkerson.java:183-186).
+# Floor for super-source/sink edge capacity (the reference hardcodes
+# 10_000_000, ff2/FordFulkerson.java:235, ff3/FordFulkerson.java:119,
+# ff5/FordFulkerson.java:183-186 — fine for 2010-era graphs, but a silent
+# max-flow understatement on any terminal whose true throughput exceeds
+# it). We instead derive each super edge's capacity as the terminal's
+# incident-capacity sum — an exact non-binding bound at any scale — and
+# keep this constant only as a floor so tiny graphs behave like the
+# reference's.
 INF_CAPACITY = 10_000_000
 
 
@@ -131,8 +137,26 @@ class FlowGraph:
         hi = int(hi or 0)
         s_id, t_id = hi + 1, hi + 2
         spark = self.spark
-        super_rows = [(min(s_id, x), max(s_id, x), INF_CAPACITY) for x in sources] + [
-            (min(t_id, x), max(t_id, x), INF_CAPACITY) for x in sinks
+        # per-terminal super-edge capacity: the terminal's incident-capacity
+        # sum (flow through a vertex can never exceed it), floored at the
+        # reference's constant — never silently caps a hub terminal's
+        # throughput the way a fixed "infinity" does
+        terms = set(sources) | set(sinks)
+        inc = (
+            self.edges.select(F.col("u").alias("id"), "cap")
+            .unionAll(self.edges.select(F.col("v").alias("id"), "cap"))
+            .where(F.col("id").isin([int(x) for x in terms]))
+            .groupBy("id")
+            .agg(F.sum("cap").alias("s"))
+            .collect()
+        )
+        inf_of = {int(r["id"]): max(int(r["s"]), INF_CAPACITY) for r in inc}
+        super_rows = [
+            (min(s_id, x), max(s_id, x), inf_of.get(x, INF_CAPACITY))
+            for x in sources
+        ] + [
+            (min(t_id, x), max(t_id, x), inf_of.get(x, INF_CAPACITY))
+            for x in sinks
         ]
         super_df = spark.createDataFrame(super_rows, schema="u long, v long, cap long")
         return FlowGraph(spark, self.edges.unionAll(super_df)), s_id, t_id

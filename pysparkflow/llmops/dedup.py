@@ -46,6 +46,46 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _jaccard_verify(
+    sh: DataFrame, threshold: float, cands: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle Jaccard over pairs from the inverted index ``sh``
+    (id, sh). With ``cands`` (id_a, id_b), only those pairs are scored
+    (the LSH verify path); without, every pair sharing >= 1 shingle is
+    (the full inverted-index self-join). Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard >= threshold."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    if cands is None:
+        common = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        common = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -59,29 +99,7 @@ def ngram_jaccard_pairs(
     docs sharing >= 1 shingle meet), then J = |A∩B| / (|A|+|B|-|A∩B|).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
     sh = _shingle_sets(df, id_col, text_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    common = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    out = (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
-    return out
+    return _jaccard_verify(sh, threshold)
 
 
 # 2^31 - 1, prime — modulus for the affine MinHash permutation family
@@ -97,6 +115,31 @@ def _affine_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """MinHash signatures (id, m0..m{k-1}) from an (id, sh) inverted
+    index — factored out so LSH candidate generation and exact-Jaccard
+    verification share one shingle explosion (the corpus is shingled
+    once, not twice).
+
+    One-hash + k affine permutations: each shingle hashes once
+    (xxhash64 -> [0, p)), then hash i is min over shingles of
+    (a_i*h + b_i) mod p. One hash-aggregate with k cheap integer min()s —
+    a single shuffle of (id, shingle-hash) pairs, no per-seed string
+    hashing. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
+    a, b = _affine_params(num_hashes, seed)
+    h = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
+    hashed = sh.select("id", h.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
+            f"m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,27 +148,10 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash signatures as one column per hash (id, m0..m{k-1}).
-
-    One-hash + k affine permutations: each shingle hashes once
-    (xxhash64 -> [0, p)), then hash i is min over shingles of
-    (a_i*h + b_i) mod p. One explode + one hash-aggregate with k cheap
-    integer min()s — a single shuffle of (id, shingle-hash) pairs, no
-    per-seed string hashing. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
-    a, b = _affine_params(num_hashes, seed)
-    h = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh"))
-        .distinct()
-        .select("id", h.alias("h"))
+    """MinHash signatures as one column per hash (id, m0..m{k-1})."""
+    return minhash_signatures_from_shingles(
+        _shingle_sets(df, id_col, text_col, shingle_n), num_hashes, seed
     )
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
-            f"m{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -151,7 +177,10 @@ def minhash_lsh_pairs(
     shuffles. Verification touches only bucket-colliding pairs."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+    # shingle ONCE: the same persisted inverted index feeds both the
+    # signature aggregation and the exact-Jaccard verification join
+    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sig = minhash_signatures_from_shingles(sh, num_hashes, seed)
     banded = sig.select(
         "id",
         F.explode(
@@ -176,30 +205,9 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard (join pruned to candidates)
-    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    common = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    # verify candidates with exact shingle Jaccard (join pruned to
+    # candidates; reuses the persisted inverted index built above)
+    return _jaccard_verify(sh, threshold, cands=cands)
 
 
 def simhash_signatures(

@@ -33,7 +33,9 @@ def range_join(
     w_us = window_seconds * 1_000_000
 
     def bucket(ts: str) -> Column:
-        return (F.unix_micros(F.col(ts)) / F.lit(w_us)).cast("long")
+        # floor, not a double-divide cast: cast truncates toward zero, which
+        # mis-buckets negative (pre-1970) epochs at bucket boundaries
+        return F.floor(F.unix_micros(F.col(ts)) / F.lit(w_us)).cast("long")
 
     l = left.withColumn("_b", bucket(left_ts))
     r = right.withColumn("_rb", bucket(right_ts))

@@ -25,7 +25,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join ``large ⋈ small`` on ``on`` with the hot side salted
-    ``factor`` ways. Column sets must be disjoint apart from ``on``."""
+    ``factor`` ways. Column sets must be disjoint apart from ``on``.
+
+    Only inner/left joins are supported: with right/full semantics, an
+    unmatched small-side row survives once per salt replica, multiplying
+    it ``factor`` times in the output."""
+    if how.replace("_", "").lower() not in {"inner", "left", "leftouter"}:
+        raise ValueError(
+            f"salted_join supports how='inner' or 'left', got {how!r} "
+            "(right/full would replicate unmatched small-side rows per salt)"
+        )
     salted_large = large.withColumn(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in large.columns], F.lit(seed)), F.lit(factor)),

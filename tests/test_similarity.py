@@ -64,3 +64,63 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_cosine_pairs_exact_vs_numpy(spark, emb):
+    from pysparkflow.llmops.similarity import embedding_cosine_pairs
+
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    norm = {k: v / np.linalg.norm(v) for k, v in vecs.items()}
+    ids = sorted(norm)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = float(norm[a] @ norm[b])
+            if c >= 0.4:
+                expected[(a, b)] = c
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    # the blocked centroid-pruned plan is EXACT: identical pair set
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_embedding_cosine_pairs_small_chunks(spark, emb):
+    # chunking must not change the answer (block boundaries exercise the
+    # same-cell cross-chunk and diagonal-block paths)
+    from pysparkflow.llmops.similarity import embedding_cosine_pairs
+
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, threshold=0.5).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            emb, threshold=0.5, n_cells=4, chunk_rows=37
+        ).collect()
+    }
+    assert a == b
+
+
+def test_embedding_near_dups_lsh_recall(spark, emb):
+    from pysparkflow.llmops.similarity import (
+        embedding_cosine_pairs,
+        embedding_near_dups_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups_lsh(emb, threshold=0.4, dim=64).collect()
+    }
+    # verify step makes precision exact; recall < 1 by construction
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.9

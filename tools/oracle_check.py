@@ -17,7 +17,12 @@ import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
-from pysparkflow.relational.registry import ORACLE_SQL, QUERIES, TABLES
+from pysparkflow.relational.registry import (
+    ORACLE_SQL,
+    QUERIES,
+    SF_PINNED_ORACLES,
+    TABLES,
+)
 from pysparkflow.session import get_spark
 
 
@@ -62,6 +67,13 @@ def main() -> int:
         el = time.time() - t0
         if name not in ORACLE_SQL:
             print(f"ok*   {name}: rows={len(sdf)} ({el:.1f}s) [rows-only, no oracle]")
+            continue
+        pinned = SF_PINNED_ORACLES.get(name)
+        if pinned and not sf_dir.rstrip("/").endswith(pinned):
+            print(
+                f"ok*   {name}: rows={len(sdf)} ({el:.1f}s) "
+                f"[oracle pinned to {pinned}, skipped here]"
+            )
             continue
         try:
             odf = con.sql(ORACLE_SQL[name]).df()
