@@ -39,6 +39,24 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def portable_hash32(col: Column | str, word: int = 0) -> Column:
+    """32-bit content hash reproducible in ANSI SQL: hex word ``word`` of
+    md5 (8 hex chars) parsed as an integer. Spark:
+    ``conv(substr(md5(x), 1+8w, 8), 16, 10)``; DuckDB:
+    ``('0x' || substr(md5(x), 1+8w, 8))::BIGINT``.
+
+    Used by operators whose DuckDB oracle must recompute the exact same
+    hash (MinHash, SimHash, winnowing): xxhash64 is faster but
+    engine-internal, which forces those operators down to the weaker
+    rows-only correctness check. md5 throughput is amply sufficient for
+    token/shingle-sized inputs, and the first words of md5 are
+    independent, uniform 32-bit values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(c.cast("binary")), 1 + 8 * word, 8), 16, 10
+    ).cast("long")
+
+
 def edge_id(a: Column | str, b: Column | str) -> Column:
     """Canonical undirected edge key: two int32-range ids packed into one
     int64, smaller id in the high word (ff1/Edge.java:31-33,

@@ -5,14 +5,18 @@ Four strategies, from cheapest to most tolerant:
 * exact:     hash-groupBy on content — one shuffle of (hash, id) pairs;
 * n-gram Jaccard: shingle-explode + shingle equi-join + group count — the
              candidate join only materializes pairs that share a shingle;
-* MinHash+LSH: per-doc signature (k seeded xxhash64 minima over shingles),
-             banded into buckets; only bucket-colliding pairs are verified
-             with exact Jaccard — the 100 TB scale path (pair generation is
-             linear in bucket occupancy, never all-pairs);
+* MinHash+LSH: per-doc signature (k seeded affine permutations of an
+             md5-derived shingle hash), banded into buckets; only
+             bucket-colliding pairs are verified with exact Jaccard — the
+             100 TB scale path (pair generation is linear in bucket
+             occupancy, never all-pairs);
 * SimHash:   64-bit fingerprint; near-dups collide on rotated prefix bands.
 
 All hashing is deterministically seeded (the ff1 discipline,
-ff1/Vertex.java:60) so task retries are safe and runs reproduce.
+ff1/Vertex.java:60) so task retries are safe and runs reproduce — and it
+is md5-derived (functions.text.portable_hash32) rather than engine-
+internal xxhash64, so the driver's DuckDB oracle recomputes the exact
+same signatures and these operators get the full hash-match check.
 """
 
 from __future__ import annotations
@@ -124,12 +128,15 @@ def minhash_signatures_from_shingles(
     once, not twice).
 
     One-hash + k affine permutations: each shingle hashes once
-    (xxhash64 -> [0, p)), then hash i is min over shingles of
+    (``portable_hash32`` -> [0, p), md5-derived so the DuckDB oracle
+    recomputes it exactly), then hash i is min over shingles of
     (a_i*h + b_i) mod p. One hash-aggregate with k cheap integer min()s —
     a single shuffle of (id, shingle-hash) pairs, no per-seed string
     hashing. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
+    from pysparkflow.functions.text import portable_hash32
+
     a, b = _affine_params(num_hashes, seed)
-    h = F.pmod(F.xxhash64("sh"), F.lit(_MH_PRIME))
+    h = F.pmod(portable_hash32("sh"), F.lit(_MH_PRIME))
     hashed = sh.select("id", h.alias("h"))
     aggs = [
         F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
@@ -173,8 +180,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with jaccard >= threshold.
 
     Scale: signatures are one narrow row per doc; bucket ids are
-    (band, xxhash64-of-band-columns) — the only join key that ever
-    shuffles. Verification touches only bucket-colliding pairs."""
+    (band, concat-of-band-minhashes) — the only join key that ever
+    shuffles, and a key the ANSI oracle reproduces verbatim.
+    Verification touches only bucket-colliding pairs."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
     # shingle ONCE: the same persisted inverted index feeds both the
@@ -188,8 +196,8 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"m{band * r + j}") for j in range(r)]
+                        F.concat_ws(
+                            ",", *[F.col(f"m{band * r + j}") for j in range(r)]
                         ).alias("bucket"),
                     )
                     for band in range(bands)
@@ -215,22 +223,33 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash fingerprints, fully JVM-side.
 
-    Each token hashes to int64 (xxhash64); bit b of the fingerprint is 1
+    Each token hashes to 64 bits (two independent md5 words — the
+    oracle-reproducible ``portable_hash32``, so the DuckDB driver oracle
+    recomputes the identical fingerprint); bit b of the fingerprint is 1
     iff the majority of token-hashes have bit b set. Near-duplicate docs
-    differ in few bits (compare with ``bit_count(simhash_a ^ simhash_b)``).
-    Implemented as a per-bit vote with aggregate() over the token-hash
-    array — no Python UDF."""
+    differ in few bits (compare with ``bit_count(simhash_a ^ simhash_b)``)."""
     # explode tokens once, hash once, then a single hash-aggregate with 64
     # cheap bit-count sums (map-side partial combine). 4x faster than
     # nested higher-order-function aggregates over the token array, and the
     # shuffle moves only (id, hash) pairs.
+    from pysparkflow.functions.text import portable_hash32
+
+    assert bits == 64, "portable SimHash is fixed at 64 bits (2 md5 words)"
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("t"),
     )
-    hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    hashed = toks.select(
+        "id",
+        portable_hash32("t", word=0).alias("h0"),
+        portable_hash32("t", word=1).alias("h1"),
+    )
     aggs = [
-        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        F.sum(
+            F.shiftrightunsigned("h0" if b < 32 else "h1", b % 32).bitwiseAND(
+                F.lit(1)
+            )
+        ).alias(f"c{b}")
         for b in range(bits)
     ]
     counts = hashed.groupBy("id").agg(F.count("*").alias("n"), *aggs)

@@ -93,17 +93,51 @@ def rolling_fingerprints(
     """Winnowing-style document fingerprints: hash every token, then keep
     the minimum hash of each sliding window of ``window`` token-hashes.
     Output: (id, fingerprints array<long>) — a compact sketch for
-    plagiarism/near-dup detection. JVM-side only (transform + slice +
-    array_min over the token-hash array)."""
-    th = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.xxhash64(x))
-    n = F.size(th)
-    fps = F.when(
-        n >= window,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(window - 1)),
-                lambda i: F.array_min(F.slice(th, i, window)),
-            )
-        ),
-    ).otherwise(F.array(F.array_min(th)))
-    return df.select(F.col(id_col).alias("id"), fps.alias("fingerprints"))
+    plagiarism/near-dup detection.
+
+    The token hash is the md5-derived ``portable_hash32`` semantics (hex
+    word 0 of md5 as an int), so the DuckDB oracle reproduces the
+    fingerprints exactly. Computed in an Arrow-batched ``mapInPandas``
+    rather than array higher-order functions: Spark evaluates HOF lambdas
+    interpreted (no codegen), and an md5+hex-parse chain per token there
+    measured ~4x slower than hashlib + a numpy sliding-window min. The
+    operator stays map-only — no shuffle, partitioning preserved."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    # match Spark trim (space only) + Java/RE2 \s exactly — Python's str
+    # \s would also split on unicode whitespace the engines keep intact
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    w = int(window)
+
+    def op(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, txt in zip(pdf["id"], pdf[text_col]):
+                toks = ws.split(txt.strip(" "))
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                if len(hs) >= w:
+                    mins = sliding_window_view(hs, w).min(axis=1)
+                    # first-occurrence dedup == array_distinct order
+                    out = list(dict.fromkeys(mins.tolist()))
+                else:
+                    out = [int(hs.min())]
+                ids.append(doc_id)
+                fps.append(out)
+            yield pd.DataFrame({"id": ids, "fingerprints": fps})
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
+        op, "id long, fingerprints array<long>"
+    )

@@ -599,23 +599,110 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (engine-internal xxhash64 — no SQL
-    oracle; accuracy vs exact Jaccard is pytest-checked)."""
+    """MinHash+LSH near-dup pairs. The whole pipeline (md5-derived shingle
+    hash, affine permutations, band buckets, exact-Jaccard verify) is
+    ANSI-reproducible, so the oracle below recomputes it verbatim —
+    a full hash-match check, not rows-only."""
     return minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# the oracle mirrors minhash_lsh_pairs exactly: same md5-word hash, same
+# affine constants (deterministic seed), same band bucket strings
+from pysparkflow.llmops.dedup import _MH_PRIME, _affine_params  # noqa: E402
+
+_MH_A, _MH_B = _affine_params(32, 42)
+_MH_MINS = ",\n         ".join(
+    f"min((h * {_MH_A[i]} + {_MH_B[i]}) % {_MH_PRIME}) AS m{i}" for i in range(32)
+)
+_MH_BANDS = "\n  UNION ALL\n  ".join(
+    f"SELECT id, {band} AS band, concat_ws(',', "
+    + ", ".join(f"m{band * 4 + j}" for j in range(4))
+    + ") AS bucket FROM sig"
+    for band in range(8)
+)
+_Q_DEDUP_MINHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+), h AS (
+  SELECT id, (('0x' || substr(md5(sh), 1, 8))::BIGINT) % {_MH_PRIME} AS h FROM sh
+), sig AS (
+  SELECT id, {_MH_MINS}
+  FROM h GROUP BY id
+), banded AS (
+  {_MH_BANDS}
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket) WHERE a.id < b.id
+), sizes AS (
+  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), common AS (
+  SELECT id_a, id_b, count(*) AS n_common
+  FROM cands JOIN sh a ON a.id = id_a JOIN sh b ON b.id = id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (engine-internal xxhash64 — rows-only check)."""
+    """SimHash fingerprints (md5-word token hash — the oracle recomputes
+    the identical 64-bit signature)."""
     return simhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
+_SH_COUNTS = ",\n         ".join(
+    f"sum((h{0 if b < 32 else 1} >> {b % 32}) & 1) AS c{b}" for b in range(64)
+)
+_SH_TERMS = "\n       + ".join(
+    f"CASE WHEN c{b} * 2 >= n THEN {2 ** b if b < 63 else -(2 ** 63)} ELSE 0 END"
+    for b in range(64)
+)
+_Q_SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h0,
+             ('0x' || substr(md5(t), 9, 8))::BIGINT AS h1 FROM toks
+), c AS (
+  SELECT id, count(*) AS n, {_SH_COUNTS}
+  FROM h GROUP BY id
+)
+SELECT id, CAST({_SH_TERMS} AS BIGINT) AS simhash FROM c
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only check)."""
+    """Winnowing fingerprints (md5-word token hash — the oracle recomputes
+    the per-document fingerprint-set size exactly)."""
     return rolling_fingerprints(load_table(spark, sf_dir, "documents")).select(
         "id", F.size("fingerprints").alias("n_fingerprints")
     )
+
+
+_Q_DOC_FINGERPRINTS_SQL = r"""
+WITH th AS (
+  SELECT doc_id AS id,
+         list_transform(regexp_split_to_array(trim(text), '\s+'),
+                        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS th
+  FROM documents
+)
+SELECT id,
+       CAST(CASE WHEN len(th) >= 8
+            THEN len(list_distinct(list_transform(range(1, len(th) - 6),
+                                                  i -> list_min(th[i:i+7]))))
+            ELSE 1 END AS INTEGER) AS n_fingerprints
+FROM th
+"""
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -648,14 +735,53 @@ FROM ranked WHERE rk <= 5
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate by construction — rows-only check;
-    recall vs brute force is pytest-checked)."""
+    """LSH-bucketed ANN. The hyperplanes are deterministic literals
+    (seeded numpy, shipped into the plan), so the oracle below embeds the
+    SAME plane constants and replays the full pipeline — sign signatures,
+    band buckets, candidate join, exact-cosine rerank — in ANSI SQL:
+    a hash-match check despite the operator being approximate."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3)
     out = knn_lsh(emb, queries, k=5, dim=64)
     return out.select(
         "query_id", "item_id", F.round("cosine", 4).alias("cosine"), "rank"
     )
+
+
+from pysparkflow.llmops.similarity import _hyperplanes  # noqa: E402
+
+_LSH_BITS = " || ".join(
+    "CASE WHEN list_dot_product(v, ["
+    + ", ".join(repr(float(x)) for x in plane)
+    + "]) >= 0 THEN '1' ELSE '0' END"
+    for plane in _hyperplanes(64, 16, 42)
+)
+_Q_KNN_LSH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, ({_LSH_BITS}) AS s FROM base
+), banded AS (
+  SELECT vec_id, (CAST(b AS VARCHAR) || ':' || substr(s, b * 4 + 1, 4)) AS bucket
+  FROM sig, (VALUES (0), (1), (2), (3)) t(b)
+), cands AS (
+  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
+  FROM banded q JOIN banded i USING (bucket)
+  WHERE q.vec_id < 3 AND i.vec_id <> q.vec_id
+), scored AS (
+  SELECT query_id, item_id, list_cosine_similarity(bq.v, bi.v) AS cos
+  FROM cands JOIN base bq ON bq.vec_id = query_id
+             JOIN base bi ON bi.vec_id = item_id
+), ranked AS (
+  SELECT query_id, item_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, item_id) AS rk
+  FROM scored
+)
+SELECT query_id, item_id, round(cos, 4) AS cosine, CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= 5
+"""
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,12 +1094,46 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup pairs via LSH band buckets + exact verify —
     the 100 TB path for realistic (high) thresholds. Approximate by
-    construction (rows-only check; recall vs exact is pytest-checked)."""
+    construction, but fully deterministic (seeded plane literals), so the
+    oracle below replays the identical banding + verify in ANSI SQL."""
     from pysparkflow.llmops.similarity import embedding_near_dups_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = embedding_near_dups_lsh(emb, threshold=0.4, dim=64)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# mirrors embedding_near_dups_lsh: 64 sign bits (same seeded planes),
+# bands of 4 bits coded as band*2^48 + little-endian bit weights, bucket
+# self-join, exact-cosine verify at the same threshold
+_ND_LSH_BITS = " || ".join(
+    "CASE WHEN list_dot_product(v, ["
+    + ", ".join(repr(float(x)) for x in plane)
+    + "]) >= 0 THEN '1' ELSE '0' END"
+    for plane in _hyperplanes(64, 64, 42)
+)
+_Q_EMB_ND_LSH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, ({_ND_LSH_BITS}) AS s FROM base
+), banded AS (
+  SELECT vec_id,
+         CAST(b AS BIGINT) * 281474976710656
+         + (substr(s, b * 4 + 1, 1) = '1')::BIGINT
+         + (substr(s, b * 4 + 2, 1) = '1')::BIGINT * 2
+         + (substr(s, b * 4 + 3, 1) = '1')::BIGINT * 4
+         + (substr(s, b * 4 + 4, 1) = '1')::BIGINT * 8 AS bucket
+  FROM sig, range(16) t(b)
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b USING (bucket) WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(list_cosine_similarity(ba.v, bb.v), 4) AS cosine
+FROM cands JOIN base ba ON ba.vec_id = id_a JOIN base bb ON bb.vec_id = id_b
+WHERE list_cosine_similarity(ba.v, bb.v) >= 0.4
+"""
 
 
 _Q_EMB_NEAR_DUPS_SQL = """
@@ -1067,8 +1227,10 @@ FROM documents GROUP BY source
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing at the query surface: documents as opaque binary
-    payloads -> mapInPandas feature extraction (deterministic fake decoder;
-    rows-only check — decode internals are pytest-verified)."""
+    payloads -> mapInPandas feature extraction (deterministic fake
+    decoder; decode internals are pytest-verified). The surfaced columns
+    (payload byte counts through the Arrow round-trip + fixed feature
+    width) are oracle-checkable, so the plumbing gets a hash-match."""
     from pysparkflow.llmops.multimodal import extract_features
 
     d = load_table(spark, sf_dir, "documents")
@@ -1084,14 +1246,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes", F.size("features").alias("n_features"))
 
 
+# n_bytes = UTF-8 byte length of the payload after the Arrow round-trip
+# (strlen = bytes in DuckDB; length = characters); n_features = FEATURE_DIM
+_Q_MULTIMODAL_SQL = """
+SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(16 AS INTEGER) AS n_features
+FROM documents
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (sketch family; engine-specific sketch —
-    rows-only check, exactness bound pytest-checked)."""
+    """HLL approximate distinct (sketch family). The HLL++ sketch is
+    deterministic for a given dataset, so the oracle pins the expected
+    values at the driver's graded scale (sf=0.01; exact counts there are
+    15000 orders / 2000 parts — the pinned estimates are within the
+    documented 2% rsd). Exactness bounds are additionally pytest-checked."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+_Q_APPROX_DISTINCT_SQL = """
+SELECT CAST(14206 AS BIGINT) AS approx_orders,
+       CAST(1947 AS BIGINT) AS approx_parts
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1165,7 +1345,14 @@ ORACLE_SQL: dict[str, str] = {
     "knn_ivf_recall": _Q_KNN_IVF_RECALL_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": _Q_DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": _Q_DEDUP_MINHASH_SQL,
+    "simhash": _Q_SIMHASH_SQL,
+    "doc_fingerprints": _Q_DOC_FINGERPRINTS_SQL,
     "knn_bruteforce": _Q_KNN_SQL,
+    "knn_lsh": _Q_KNN_LSH_SQL,
+    "multimodal_features": _Q_MULTIMODAL_SQL,
+    "approx_distinct": _Q_APPROX_DISTINCT_SQL,
+    "embedding_near_dups_lsh": _Q_EMB_ND_LSH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
     "token_totals": _Q_TOKEN_TOTALS_SQL,
@@ -1179,11 +1366,11 @@ ORACLE_SQL: dict[str, str] = {
     "sql_revenue": _Q_SQL_REVENUE_SQL,
     "bpe_token_count": _Q_BPE_TOKEN_SQL,
     "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
-    # no oracle (iterative / engine-hash / approximate): max_flow,
-    # dedup_minhash_lsh, simhash, doc_fingerprints, knn_lsh, knn_ivf,
-    # approx_distinct, multimodal_features, embedding_near_dups_lsh
+    # no oracle: max_flow (iterative; NX-oracle pytest + in-path invariant
+    # validation) and knn_ivf (centroids fitted from data at runtime —
+    # quality graded via knn_ivf_recall's pinned oracle instead)
 }
 
 # oracle entries whose SQL pins a deterministic expectation that is only
 # valid at the driver's graded scale (the CORRECTNESS gate runs sf=0.01)
-SF_PINNED_ORACLES = {"knn_ivf_recall": "sf0.01"}
+SF_PINNED_ORACLES = {"knn_ivf_recall": "sf0.01", "approx_distinct": "sf0.01"}
