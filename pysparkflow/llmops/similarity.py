@@ -104,20 +104,42 @@ def embedding_cosine_pairs(
 
     spark = emb.sparkSession
     centroids = _fit_centroids_sample(emb, n_cells, vec_col, seed)
-    from pysparkflow.functions.vector import l2_norm
+    C = np.asarray(centroids, dtype=np.float64)
 
-    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    assigned = (
-        base.withColumn("cells", _cell_scores("v", centroids))
-        .withColumn("cell", F.array_position("cells", F.array_max("cells")) - 1)
-        .withColumn("cos_c", F.array_max("cells") / l2_norm("v"))
-        .drop("cells")
-    )
-    from pyspark.sql.window import Window
+    # cell assignment as ONE numpy matmul per Arrow batch: per-cell dot
+    # scores as higher-order-function aggregates evaluate interpreted
+    # (no codegen) and measured several times slower
+    def assign(batches):
+        import pandas as pd
 
-    w = Window.partitionBy("cell").orderBy("id")
-    chunked = assigned.withColumn(
-        "chunk", F.floor((F.row_number().over(w) - 1) / F.lit(chunk_rows))
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            S = X @ C.T
+            cell = S.argmax(axis=1)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "v": list(pdf[vec_col]),
+                    "cell": cell.astype(np.int64),
+                    "cos_c": S[np.arange(len(X)), cell] / norms,
+                }
+            )
+
+    assigned = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        assign, "id long, v array<float>, cell long, cos_c double"
+    ).persist()
+    # hash-chunk cells to bound block rows at ``chunk_rows`` vectors: a
+    # tiny per-cell count + broadcast join back, NOT a row_number window —
+    # a window would sort-shuffle the whole corpus just to assign chunks
+    cnts = assigned.groupBy("cell").agg(F.count("*").alias("n_in_cell"))
+    chunked = assigned.join(F.broadcast(cnts), "cell").withColumn(
+        "chunk",
+        F.pmod(
+            F.xxhash64("id", F.lit(seed)),
+            F.ceil(F.col("n_in_cell") / F.lit(chunk_rows)).cast("long"),
+        ),
     )
     blocks = (
         chunked.groupBy("cell", "chunk")

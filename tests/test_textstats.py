@@ -76,3 +76,34 @@ def test_fingerprints_shift_invariant_overlap(spark):
     got = {r["id"]: set(r["fingerprints"]) for r in rolling_fingerprints(df).collect()}
     overlap = len(got[1] & got[2]) / len(got[1] | got[2])
     assert overlap >= 0.5
+
+
+def test_portable_hash32_matches_oracle_engines(spark):
+    """The md5-word hash must agree byte-for-byte with hashlib (which the
+    winnowing mapInPandas uses) and with DuckDB's hex-parse form."""
+    import hashlib
+
+    import duckdb
+
+    from pysparkflow.functions.text import portable_hash32
+
+    words = ["hello", "", "a b", "ünïcode", "42"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {
+        r["t"]: (r["h0"], r["h1"])
+        for r in df.select(
+            "t",
+            portable_hash32("t", word=0).alias("h0"),
+            portable_hash32("t", word=1).alias("h1"),
+        ).collect()
+    }
+    for w in words:
+        d = hashlib.md5(w.encode()).digest()
+        assert got[w][0] == int.from_bytes(d[:4], "big")
+        assert got[w][1] == int.from_bytes(d[4:8], "big")
+        duck = duckdb.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT,"
+            "       ('0x' || substr(md5(?), 9, 8))::BIGINT",
+            params=[w, w],
+        ).fetchone()
+        assert got[w] == duck
