@@ -1,5 +1,6 @@
 from pysparkflow.functions.text import (
     edge_id,
+    portable_hash32,
     shingles,
     token_count,
     tokens,
@@ -11,6 +12,7 @@ __all__ = [
     "token_count",
     "shingles",
     "edge_id",
+    "portable_hash32",
     "cosine_similarity",
     "dot",
     "l2_norm",

@@ -6,6 +6,7 @@ from pysparkflow.llmops.dedup import (
 )
 from pysparkflow.llmops.similarity import (
     embedding_cosine_pairs,
+    embedding_near_dups_lsh,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
@@ -21,6 +22,7 @@ __all__ = [
     "knn_lsh",
     "knn_ivf",
     "embedding_cosine_pairs",
+    "embedding_near_dups_lsh",
     "quality_features",
     "language_scores",
 ]

@@ -1,3 +1,17 @@
-from pysparkflow.streaming.events import run_windowed_counts_batchlike, windowed_event_counts
+from pysparkflow.streaming.events import (
+    events_stream,
+    run_stream_dedup_batchlike,
+    run_stream_join_batchlike,
+    run_windowed_counts_batchlike,
+    stream_stream_purchase_join,
+    windowed_event_counts,
+)
 
-__all__ = ["windowed_event_counts", "run_windowed_counts_batchlike"]
+__all__ = [
+    "events_stream",
+    "windowed_event_counts",
+    "run_windowed_counts_batchlike",
+    "stream_stream_purchase_join",
+    "run_stream_join_batchlike",
+    "run_stream_dedup_batchlike",
+]

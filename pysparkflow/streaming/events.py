@@ -47,16 +47,9 @@ def windowed_event_counts(
     )
 
 
-def run_windowed_counts_batchlike(
-    spark: SparkSession,
-    events_path: str,
-    window: str = "1 hour",
-    watermark: str = "2 hours",
-    query_name: str = "windowed_events",
-) -> DataFrame:
-    """Drive the streaming plan over a static parquet directory to
-    completion (memory sink, processAllAvailable) and return the result as
-    a DataFrame — the local-smoke harness for the streaming path."""
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream source over the events parquet (kafka-swappable): the
+    nanos-as-long read + micros conversion applied right after the scan."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,16 +57,22 @@ def run_windowed_counts_batchlike(
     # glob filter for the single table file
     base = os.path.dirname(events_path.rstrip("/"))
     fname = os.path.basename(events_path.rstrip("/"))
-    stream = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", fname)
         .load(base)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    agg = windowed_event_counts(stream, window=window, watermark=watermark)
+
+
+def _run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming plan over the static source to completion
+    (memory sink, processAllAvailable) — the local-smoke harness; the
+    same plan runs continuously against kafka by swapping source+sink."""
+    spark = df.sparkSession
     q = (
-        agg.writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .start()
@@ -83,3 +82,64 @@ def run_windowed_counts_batchlike(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_windowed_counts_batchlike(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "windowed_events",
+) -> DataFrame:
+    agg = windowed_event_counts(
+        events_stream(spark, events_path), window=window, watermark=watermark
+    )
+    return _run_to_memory(agg, query_name, "complete")
+
+
+def stream_stream_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Watermarked stream-stream interval join: for each click, the same
+    user's purchases in the preceding 30 minutes (inclusive). Both sides
+    watermarked + a two-sided time bound, so join state is evicted as the
+    watermark advances — bounded state at any input volume."""
+    c = clicks.withWatermark("click_ts", "2 hours")
+    p = purchases.withWatermark("p_ts", "2 hours")
+    cond = (
+        (c["user_id"] == p["p_user"])
+        & (p["p_ts"] >= c["click_ts"] - F.expr("INTERVAL 30 MINUTES"))
+        & (p["p_ts"] <= c["click_ts"])
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_id", "click_ts", "p_ts", "p_value"
+    )
+
+
+def run_stream_join_batchlike(
+    spark: SparkSession, events_path: str, query_name: str = "stream_joined"
+) -> DataFrame:
+    s = events_stream(spark, events_path)
+    clicks = s.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("p_value"),
+    )
+    return _run_to_memory(
+        stream_stream_purchase_join(clicks, purchases), query_name, "append"
+    )
+
+
+def run_stream_dedup_batchlike(
+    spark: SparkSession, events_path: str, query_name: str = "stream_dedup"
+) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs.
+    The key columns are projected BEFORE dropDuplicates so the emitted
+    row set is deterministic (no payload column whose surviving value
+    depends on arrival order)."""
+    s = events_stream(spark, events_path)
+    dedup = s.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_to_memory(dedup, query_name, "append")
