@@ -1,0 +1,71 @@
+"""Physical-plan lint over the registry — the `.explain("formatted")`
+audit, mechanized: a query that silently degrades to a Cartesian product
+or an unpruned scan would pass value checks at test scale and explode at
+100 TB, so the *plan shape* is asserted here.
+
+Skipped entries: iterative algorithms and streaming harnesses execute on
+call (their scale behavior is covered by SCALING.md measurements and the
+hypercube tests), not a single inspectable plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pysparkflow.relational.registry import QUERIES
+
+# these run driver loops / streaming queries when called — no single plan
+_EXECUTING = {
+    "max_flow",
+    "max_flow_approx",
+    "bfs_distances",
+    "connected_components",
+    "events_stream_windowed",
+    "events_stream_join",
+    "events_stream_dedup",
+}
+
+# broadcast-side cross join is the intended plan: tiny query set
+# replicated against the corpus (documented in llmops/similarity.py);
+# knn_ivf_recall embeds knn_bruteforce as its ground truth
+_CROSS_JOIN_OK = {"knn_bruteforce", "knn_ivf_recall"}
+
+_DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize("name", _DECLARATIVE)
+def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    if name not in _CROSS_JOIN_OK:
+        assert "CartesianProduct" not in plan, f"{name} degraded to a cross join"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} degraded to a nested-loop join"
+        )
+
+
+def test_scan_column_pruning(spark, sf_dir):
+    # projections must reach the parquet scan: a 3-column query reading
+    # the full orders schema would move ~3x the bytes at scale
+    plan = _plan(spark, "sort_limit", sf_dir)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_orderkey" in read[0]
+    assert "o_comment" not in read[0], "sort_limit scans unused columns"
+
+
+def test_filter_pushdown(spark, sf_dir):
+    plan = _plan(spark, "hash_sample", sf_dir)
+    assert "PushedFilters" in plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, "broadcast_join", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
