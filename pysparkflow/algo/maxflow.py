@@ -103,6 +103,9 @@ class MaxFlowConfig:
     # repair stored paths against the new flows and keep searching from
     # them instead of restarting the BFS. False = restart every phase.
     incremental: bool = True
+    # delta-set size above which repair switches from a broadcast map
+    # literal (_repair_paths) to the distributed join (_repair_paths_join)
+    repair_join_threshold: int = 20_000
     seed: int = 42
     validate: bool = False  # run flow-conservation/capacity invariant checks at end
     verbose: bool = False
@@ -156,6 +159,46 @@ def _repair_paths(df: DataFrame, delta_items: list) -> DataFrame:
         "ress", F.when(F.size("ress") == 0, F.col("ress")).otherwise(new_ress)
     )
     return out.where((F.size("ress") == 0) | (F.array_min("ress") > 0))
+
+
+def _repair_paths_join(df: DataFrame, delta_df: DataFrame) -> DataFrame:
+    """Join-based D9 repair for delta sets too large to ship as a
+    broadcast map literal (a phase accepting ~max_candidates paths of
+    depth ~20 carries ~400k directed arc deltas at scale): explode each
+    stored path into (row, pos, arc), equi-join the delta table, rebuild
+    the residual arrays in order, drop saturated paths. One explode + one
+    join + one hash-aggregate over the path state only — the graph is
+    untouched. Same result set as ``_repair_paths``
+    (test_maxflow::test_repair_join_equals_map)."""
+    base = df.withColumn("_rid", F.monotonically_increasing_id())
+    seeds = base.where(F.size("ress") == 0).select("vertex", "verts", "ress")
+    ex = (
+        base.where(F.size("ress") > 0)
+        .select("_rid", "verts", F.posexplode("ress").alias("pos", "res"))
+        .select(
+            "_rid",
+            "pos",
+            "res",
+            F.element_at("verts", F.col("pos") + 1).alias("au"),
+            F.element_at("verts", F.col("pos") + 2).alias("av"),
+        )
+    )
+    joined = ex.join(delta_df, ["au", "av"], "left").withColumn(
+        "nres", F.col("res") - F.coalesce(F.col("d"), F.lit(0))
+    )
+    rebuilt = joined.groupBy("_rid").agg(
+        F.min("nres").alias("_mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nres"))),
+            lambda s: s["nres"],
+        ).alias("_ress"),
+    )
+    repaired = (
+        base.join(rebuilt, "_rid")
+        .where(F.col("_mn") > 0)
+        .select("vertex", "verts", F.col("_ress").alias("ress"))
+    )
+    return repaired.unionByName(seeds)
 
 
 def _residual_arcs(
@@ -429,13 +472,22 @@ def max_flow(
             # carry them into the next epoch (consolidated + checkpointed
             # BEFORE the arc cache they were built from is dropped)
             delta_items = [(k, int(v)) for k, v in acceptor.delta.items() if v != 0]
-            if len(delta_items) <= 20_000:  # map-literal size guard
+            if len(delta_items) <= cfg.repair_join_threshold:
                 stored = (
                     _repair_paths(paths_s, delta_items).localCheckpoint(),
                     _repair_paths(paths_t, delta_items).localCheckpoint(),
                 )
             else:
-                stored = None  # fall back to a fresh BFS next epoch
+                # too many deltas for a map literal — distributed join
+                # repair instead of abandoning the stored search state
+                repair_df = spark.createDataFrame(
+                    [(x, y, d) for (x, y), d in delta_items],
+                    schema="au long, av long, d long",
+                )
+                stored = (
+                    _repair_paths_join(paths_s, repair_df).localCheckpoint(),
+                    _repair_paths_join(paths_t, repair_df).localCheckpoint(),
+                )
         else:
             stored = None
 

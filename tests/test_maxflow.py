@@ -143,3 +143,53 @@ def test_negative_vertex_ids(spark):
     edges = [(-5, -4, 3), (-4, 12, 2), (12, -9, 5), (-5, -9, 1)]
     res = _check(spark, edges, [-5], [-9])
     assert res.value == 3
+
+
+def test_repair_join_equals_map(spark):
+    """_repair_paths_join must produce the same surviving-path set as the
+    broadcast-map-literal _repair_paths on the same deltas."""
+    from pyspark.sql import functions as F
+
+    from pysparkflow.algo.maxflow import (
+        _FRONTIER_SCHEMA,
+        _repair_paths,
+        _repair_paths_join,
+    )
+
+    rows = [
+        (4, [1, 2, 4], [3, 5]),       # mid arc drained to 2
+        (5, [1, 3, 5], [2, 1]),       # saturated by delta on (3, 5)
+        (6, [2, 6], [7]),             # untouched
+        (1, [1], []),                 # seed row: kept verbatim
+        (7, [1, 2, 7], [3, 4]),       # first arc drained to 0 -> dropped
+    ]
+    deltas = {(2, 4): 3, (3, 5): 1, (1, 2): 3}
+    df = spark.createDataFrame(rows, _FRONTIER_SCHEMA)
+    delta_items = list(deltas.items())
+    delta_df = spark.createDataFrame(
+        [(x, y, d) for (x, y), d in delta_items], schema="au long, av long, d long"
+    )
+    as_set = lambda out: {
+        (r["vertex"], tuple(r["verts"]), tuple(r["ress"])) for r in out.collect()
+    }
+    a = as_set(_repair_paths(df, delta_items))
+    b = as_set(_repair_paths_join(df, delta_df))
+    assert a == b
+    assert (1, (1,), ()) in b            # seed survived
+    assert not any(v == 7 for v, _, _ in b)  # drained path dropped
+    assert (5, (1, 3, 5), (2, 0)) not in b   # saturated path dropped
+
+
+def test_join_repair_end_to_end(spark):
+    # force every epoch through the distributed join repair and confirm
+    # the exact optimum is still reached (unit-cap grid, multi-phase)
+    edges = []
+    for r in range(5):
+        for c in range(5):
+            v = 100 + r * 5 + c
+            if c < 4:
+                edges.append((v, v + 1, 1))
+            if r < 4:
+                edges.append((v, v + 5, 1))
+    _check(spark, edges, [100], [124], repair_join_threshold=0,
+           excess_list_max=4)
