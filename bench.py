@@ -38,9 +38,16 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
     )
-    # warm the session (JIT, codegen, scheduler) so the first timed query
-    # isn't charged for JVM startup
+    # warm the session (JIT, codegen, scheduler, Python worker pool, file
+    # metadata) so the first timed query isn't charged for startup costs
     spark.range(5_000_000).groupBy((F.col("id") % 16).alias("k")).count().collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).collect()
+    from pysparkflow.relational.registry import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
