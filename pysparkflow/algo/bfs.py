@@ -72,6 +72,14 @@ def bfs_distances(
         levels.append(nxt.withColumn("distance", F.lit(dist).cast("int")))
         prev = frontier
         frontier = nxt
+        # high-diameter guard: fold accumulated levels so the final union
+        # plan stays shallow even over thousands of rounds (a grid/torus
+        # BFS would otherwise build an O(diameter)-deep union tree)
+        if len(levels) >= 64:
+            merged = levels[0]
+            for lv in levels[1:]:
+                merged = merged.unionAll(lv)
+            levels = [merged.localCheckpoint()]
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionAll(lv)

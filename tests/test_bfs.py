@@ -53,3 +53,20 @@ def test_connected_components(spark):
         for r in connected_components(_build(spark, pairs)).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+
+
+def test_bfs_high_diameter_path_graph(spark):
+    # 200-vertex path: 200 BFS rounds exercises the level-fold guard
+    # (plans would otherwise deepen with diameter); distances are exact
+    from pysparkflow.graph.graph import FlowGraph
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(n - 1)], "src long, dst long, cap long"
+    )
+    g = FlowGraph.from_edge_pairs(spark, edges)
+    got = {
+        r["vertex"]: r["distance"]
+        for r in bfs_distances(g, [0]).collect()
+    }
+    assert got == {v: v + 1 for v in range(n)}
