@@ -193,3 +193,23 @@ def test_join_repair_end_to_end(spark):
                 edges.append((v, v + 5, 1))
     _check(spark, edges, [100], [124], repair_join_threshold=0,
            excess_list_max=4)
+
+
+def test_graded_lineitem_value_vs_networkx(spark):
+    """Grounds the pinned graded-scale oracle (registry _Q_MAX_FLOW_SQL,
+    max_flow=75 at sf0.01) in an independent NetworkX computation on the
+    same part<->supplier graph, rather than a self-measured constant."""
+    from pysparkflow.relational.registry import _lineitem_graph
+
+    sf_dir = "/root/testdata/sf0.01"
+    g = _lineitem_graph(spark, sf_dir)
+    edges = [(r["u"], r["v"], r["cap"]) for r in g.edges.collect()]
+    expected = _oracle(edges, [1, 2, 3], [1_000_001, 1_000_002])
+    assert expected == 75  # the pinned oracle constant
+    res = max_flow(
+        g,
+        [1, 2, 3],
+        [1_000_001, 1_000_002],
+        MaxFlowConfig(meet_extra_rounds=0, validate=True),
+    )
+    assert res.value == expected
