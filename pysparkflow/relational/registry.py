@@ -1342,6 +1342,29 @@ FROM documents
 """
 
 
+def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) in the
+    graded path: per-user running counts. Over the single graded parquet
+    file there is exactly one micro-batch, so the emitted rows equal the
+    batch per-user counts — DD-checkable; state crossing multiple
+    micro-batches is pytest-covered (test_stateful_streaming)."""
+    from pysparkflow.streaming.stateful import run_running_counts_batchlike
+
+    return run_running_counts_batchlike(
+        spark,
+        sf_dir.rstrip("/"),
+        query_name="graded_stateful",
+        max_files_per_trigger=1,
+        path_glob="events.parquet",
+    )
+
+
+_Q_EVENTS_STREAM_STATEFUL_SQL = """
+SELECT user_id, count(*) AS batch_events, count(*) AS total_events
+FROM events GROUP BY user_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation, composed from the graded
     operators: exact-dedup survivors -> quality gate (length + stopword
@@ -1461,6 +1484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_windowed": q_events_stream_windowed,
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
+    "events_stream_stateful": q_events_stream_stateful,
     "curation_pipeline": q_curation_pipeline,
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
@@ -1516,6 +1540,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_windowed": _Q_EVENTS_STREAM_SQL,
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
+    "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
     "curation_pipeline": _Q_CURATION_SQL,
     "asof_join": _Q_ASOF_SQL,
     "range_join": _Q_RANGE_JOIN_SQL,

@@ -55,14 +55,20 @@ def run_running_counts_batchlike(
     events_dir: str,
     query_name: str = "running_counts",
     max_files_per_trigger: int = 1,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """Drive the stateful operator over a directory of parquet files, one
-    file per micro-batch (state crosses batches), to completion."""
+    file per micro-batch (state crosses batches), to completion.
+    ``path_glob`` restricts which files stream (e.g. a single table file
+    inside a multi-table directory)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", str(max_files_per_trigger)
+    )
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .format("parquet")
+        reader.format("parquet")
         .load(events_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )

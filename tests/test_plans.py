@@ -23,6 +23,7 @@ _EXECUTING = {
     "events_stream_windowed",
     "events_stream_join",
     "events_stream_dedup",
+    "events_stream_stateful",
 }
 
 # broadcast-side cross join is the intended plan: tiny query set
