@@ -987,6 +987,7 @@ FROM documents GROUP BY source
 def q_events_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming windowed aggregation driven to completion over
     the static events parquet — same answer as the batch hourly rollup."""
+    _tune_session(spark)  # streaming state ops pay per-partition overhead
     return run_windowed_counts_batchlike(spark, f"{sf_dir}/events.parquet")
 
 
@@ -1004,6 +1005,7 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs."""
     from pysparkflow.streaming.events import run_stream_join_batchlike
 
+    _tune_session(spark)
     return run_stream_join_batchlike(spark, f"{sf_dir}/events.parquet")
 
 
@@ -1022,6 +1024,7 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     because only the key columns are kept, so it equals batch DISTINCT."""
     from pysparkflow.streaming.events import run_stream_dedup_batchlike
 
+    _tune_session(spark)
     return run_stream_dedup_batchlike(spark, f"{sf_dir}/events.parquet")
 
 
@@ -1350,6 +1353,7 @@ def q_events_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches is pytest-covered (test_stateful_streaming)."""
     from pysparkflow.streaming.stateful import run_running_counts_batchlike
 
+    _tune_session(spark)
     return run_running_counts_batchlike(
         spark,
         sf_dir.rstrip("/"),
