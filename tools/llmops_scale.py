@@ -1,0 +1,125 @@
+"""Dedup-family scale evidence with planted ground truth (SCALING.md).
+
+The graded documents table is small (2k docs at sf0.1), so this generates
+a corpus IN SPARK (map-only, deterministic, no driver data) with planted
+duplicates and measures the dedup family at several hundred thousand
+documents:
+
+* doc i's tokens are hash-derived pseudo-words w<hash(base,k)> (60/doc);
+* i % 10 == 7  -> exact duplicate of doc i-1 (planted exact pairs);
+* i % 10 == 3  -> near-duplicate of doc i-1: last 3 of 60 tokens
+  replaced, so 3-gram-shingle Jaccard ≈ 52/64 ≈ 0.81 — above the 0.5
+  LSH threshold with the standard 8x4 banding (P(candidate) ≈ 0.985).
+
+Verification against the planted truth:
+* exact_duplicates must find EXACTLY the planted exact groups;
+* minhash_lsh_pairs must return only true-Jaccard >= 0.5 pairs
+  (precision 1 by construction of the verify step) and recover >= 95%
+  of planted near pairs (the banding miss rate is ~1.5%);
+* simhash / quality_features / token stats are timed end-to-end.
+
+Usage: python tools/llmops_scale.py [n_docs]   (default 500_000)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_signatures,
+)
+from pysparkflow.llmops.textstats import quality_features
+from pysparkflow.session import get_spark
+
+N_TOKENS = 60
+N_MUT = 3  # trailing tokens replaced in a near-duplicate
+
+
+def synth_documents(spark, n_docs: int):
+    ids = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    mod = F.pmod(F.col("doc_id"), F.lit(10))
+    base = F.when(
+        (mod == 7) | (mod == 3), F.col("doc_id") - 1
+    ).otherwise(F.col("doc_id"))
+    near = mod == 3
+
+    def word(doc_expr, k_expr, salt):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(doc_expr, k_expr + F.lit(salt)), F.lit(50_000)),
+        )
+
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(N_TOKENS - 1)),
+        lambda k: F.when(
+            near & (k >= N_TOKENS - N_MUT),
+            word(F.col("doc_id"), k, 1_000_000),
+        ).otherwise(word(base, k, 0)),
+    )
+    return ids.select("doc_id", F.array_join(toks, " ").alias("text"))
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    spark = get_spark(app_name="pysparkflow-llmops-scale")
+    docs = synth_documents(spark, n_docs).persist()
+    docs.count()
+    out: dict = {"n_docs": n_docs}
+
+    planted_exact = len([i for i in range(n_docs) if i % 10 == 7 and i >= 1])
+    planted_near = len([i for i in range(n_docs) if i % 10 == 3 and i >= 1])
+
+    t0 = time.time()
+    ex = exact_duplicates(docs).persist()
+    n_groups = ex.count()
+    bad = ex.where((F.col("n_docs") != 2) | (F.pmod(F.col("keep_id"), 10) != 6)).count()
+    out["exact_dedup"] = {
+        "sec": round(time.time() - t0, 1),
+        "groups": n_groups,
+        "expected": planted_exact,
+        "malformed": bad,
+    }
+    assert n_groups == planted_exact and bad == 0, out["exact_dedup"]
+    print("[llmops] exact OK", out["exact_dedup"], file=sys.stderr)
+
+    t0 = time.time()
+    mh = minhash_lsh_pairs(docs, threshold=0.5).persist()
+    n_pairs = mh.count()
+    # recall over planted near pairs (id_a = i-1, id_b = i, i%10==3)
+    hits = mh.where(
+        (F.pmod(F.col("id_b"), 10) == 3) & (F.col("id_a") == F.col("id_b") - 1)
+    ).count()
+    # exact planted dups (J=1) must ALL be found (every band collides)
+    exact_hits = mh.where(
+        (F.pmod(F.col("id_b"), 10) == 7) & (F.col("id_a") == F.col("id_b") - 1)
+    ).count()
+    out["minhash_lsh"] = {
+        "sec": round(time.time() - t0, 1),
+        "pairs": n_pairs,
+        "near_recall": round(hits / planted_near, 4),
+        "exact_recall": round(exact_hits / planted_exact, 4),
+    }
+    assert out["minhash_lsh"]["near_recall"] >= 0.95, out["minhash_lsh"]
+    assert out["minhash_lsh"]["exact_recall"] == 1.0, out["minhash_lsh"]
+    print("[llmops] minhash OK", out["minhash_lsh"], file=sys.stderr)
+
+    t0 = time.time()
+    simhash_signatures(docs).write.format("noop").mode("overwrite").save()
+    out["simhash"] = {"sec": round(time.time() - t0, 1)}
+    t0 = time.time()
+    quality_features(docs).write.format("noop").mode("overwrite").save()
+    out["quality"] = {"sec": round(time.time() - t0, 1)}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
