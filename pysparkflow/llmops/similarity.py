@@ -234,6 +234,45 @@ def embedding_cosine_pairs(
     return joined.mapInPandas(score_blocks, "id_a long, id_b long, cosine double")
 
 
+def _band_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    bands: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, bucket) rows, one per band: sign-bit signatures banded into
+    int64 codes (band << 48 | little-endian bit weights). Wide signatures
+    (64+ bits) as Catalyst expressions blow up codegen (one interpreted
+    aggregate per bit); the signature is really an n x n_bits sign
+    matmul — one Arrow-batched numpy pass, deterministic given the seed."""
+    assert n_bits % bands == 0
+    r = n_bits // bands
+    PT = np.asarray(_hyperplanes(dim, n_bits, seed), dtype=np.float64).T
+
+    def band_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            bits = (X @ PT) >= 0  # (n, n_bits) sign bits
+            weights = 1 << np.arange(r, dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            out_ids = np.repeat(ids, bands)
+            codes = np.empty((len(ids), bands), dtype=np.int64)
+            for b in range(bands):
+                codes[:, b] = bits[:, b * r : (b + 1) * r] @ weights + (
+                    np.int64(b) << np.int64(48)
+                )
+            yield pd.DataFrame({"id": out_ids, "bucket": codes.reshape(-1)})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        band_rows, "id long, bucket long"
+    )
+
+
 def embedding_near_dups_lsh(
     emb: DataFrame,
     threshold: float,
@@ -252,34 +291,7 @@ def embedding_near_dups_lsh(
     band match probability 1-(1-p^r)^b is ~1 for dups and ~0 for the
     background."""
     assert n_bits % bands == 0
-    planes = np.asarray(_hyperplanes(dim, n_bits, seed), dtype=np.float64)
-    r = n_bits // bands
-    # wide signatures (64+ bits) as Catalyst expressions blow up codegen
-    # (one aggregate per bit); the signature is really an n x n_bits sign
-    # matmul — one Arrow-batched numpy pass, deterministic given the seed
-    PT = planes.T
-
-    def band_rows(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            bits = (X @ PT) >= 0  # (n, n_bits) sign bits
-            weights = 1 << np.arange(r, dtype=np.int64)
-            ids = pdf[id_col].to_numpy()
-            out_ids = np.repeat(ids, bands)
-            codes = np.empty((len(ids), bands), dtype=np.int64)
-            for b in range(bands):
-                codes[:, b] = bits[:, b * r : (b + 1) * r] @ weights + (
-                    np.int64(b) << np.int64(48)
-                )
-            yield pd.DataFrame(
-                {"id": out_ids, "bucket": codes.reshape(-1)}
-            )
-
-    banded = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
-        band_rows, "id long, bucket long"
-    )
+    banded = _band_buckets(emb, id_col, vec_col, n_bits, bands, dim, seed)
     cands = (
         banded.select(F.col("id").alias("id_a"), "bucket")
         .join(banded.select(F.col("id").alias("id_b"), "bucket"), "bucket")
@@ -313,20 +325,6 @@ def embedding_near_dups_lsh(
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()
-
-
-def lsh_signature(vec_col: str, planes: list[list[float]]):
-    """Sign-bit signature: bit i = 1 iff dot(vec, plane_i) >= 0."""
-    bits = []
-    for plane in planes:
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
 
 
 def _fit_centroids_sample(
@@ -462,38 +460,25 @@ def knn_lsh(
     before the plan is built, so it must be known up front — a parameter,
     not a ``.first()`` driver action in the build path)."""
     assert n_bits % bands == 0
-    planes = _hyperplanes(dim, n_bits, seed)
-    r = n_bits // bands
-
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        sig = lsh_signature(vec_col, planes)
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(vec_col).alias(f"{role}_vec"),
-            F.explode(
-                F.array(
-                    *[
-                        F.concat(
-                            F.lit(f"{b}:"), F.substring(sig, b * r + 1, r)
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bucket"),
-        )
-
-    qb = banded(queries, "query")
-    ib = banded(items, "item")
+    qb = _band_buckets(queries, id_col, vec_col, n_bits, bands, dim, seed)
+    ib = _band_buckets(items, id_col, vec_col, n_bits, bands, dim, seed)
     cands = (
-        ib.join(qb, "bucket")
+        ib.select(F.col("id").alias("item_id"), "bucket")
+        .join(qb.select(F.col("id").alias("query_id"), "bucket"), "bucket")
         .where(F.col("item_id") != F.col("query_id"))
-        .select("query_id", "query_vec", "item_id", "item_vec")
+        .select("query_id", "item_id")
         .distinct()
     )
-    scored = cands.select(
-        "query_id",
-        "item_id",
-        cosine_similarity("query_vec", "item_vec").alias("cosine"),
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec"))
+    iv = items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("item_vec"))
+    scored = (
+        cands.join(qv, "query_id")
+        .join(iv, "item_id")
+        .select(
+            "query_id",
+            "item_id",
+            cosine_similarity("query_vec", "item_vec").alias("cosine"),
+        )
     )
     from pyspark.sql.window import Window
 

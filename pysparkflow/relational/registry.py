@@ -797,7 +797,12 @@ WITH base AS (
 ), sig AS (
   SELECT vec_id, ({_LSH_BITS}) AS s FROM base
 ), banded AS (
-  SELECT vec_id, (CAST(b AS VARCHAR) || ':' || substr(s, b * 4 + 1, 4)) AS bucket
+  SELECT vec_id,
+         CAST(b AS BIGINT) * 281474976710656
+         + (substr(s, b * 4 + 1, 1) = '1')::BIGINT
+         + (substr(s, b * 4 + 2, 1) = '1')::BIGINT * 2
+         + (substr(s, b * 4 + 3, 1) = '1')::BIGINT * 4
+         + (substr(s, b * 4 + 4, 1) = '1')::BIGINT * 8 AS bucket
   FROM sig, (VALUES (0), (1), (2), (3)) t(b)
 ), cands AS (
   SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
