@@ -15,8 +15,12 @@ Two paths:
   an equi-join on (band, bucket), never a cross join.
 
 Hyperplanes are generated deterministically from a seed (numpy
-Generator(seed)) and shipped as literal arrays — no Python in the scoring
-path; cosine runs JVM-side (functions/vector.py).
+Generator(seed)); signatures are computed as one Arrow-batched numpy sign
+matmul per batch (``_band_buckets`` — per-bit Catalyst aggregates
+evaluate interpreted and collapse at wide signatures), and the exact
+rerank cosine runs JVM-side (functions/vector.py). The same seeded plane
+constants are inlined into the DuckDB oracle SQL, so even the
+approximate operators are hash-match checked.
 """
 
 from __future__ import annotations
