@@ -24,30 +24,109 @@ OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
 STATE_SCHEMA = "total long"
 
 
-def _running_count(
-    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (total,) = state.get if state.exists else (0,)
-    n = 0
-    for pdf in pdfs:
-        n += len(pdf)
-    total += n
-    state.update((total,))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "batch_events": [n], "total_events": [total]}
-    )
+def _make_running_count(state_horizon_ms: int | None):
+    """Build the per-group state function. With ``state_horizon_ms`` set,
+    each update arms an event-time timeout at (max event ts seen in this
+    batch + horizon); when the watermark passes that point without the key
+    re-appearing, Spark invokes the function with ``hasTimedOut`` and we
+    drop the state — per-key state lives at most one horizon past the
+    key's last event, so total state is bounded by the number of keys
+    active inside one horizon."""
+
+    def _running_count(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state_horizon_ms is not None and state.hasTimedOut:
+            # flush-on-evict: emit the key's final total with the
+            # batch_events=-1 marker, then drop the state. Makes eviction
+            # observable downstream (and testable); a sink can treat the
+            # marker as "session closed".
+            (total,) = state.get if state.exists else (0,)
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "batch_events": [-1], "total_events": [total]}
+            )
+            return
+        (total,) = state.get if state.exists else (0,)
+        n = 0
+        max_ts_ms = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if state_horizon_ms is not None and len(pdf):
+                m = pdf["ts"].max()
+                ms = int(m.value // 1_000_000)  # pandas Timestamp ns -> ms
+                max_ts_ms = ms if max_ts_ms is None else max(max_ts_ms, ms)
+        total += n
+        state.update((total,))
+        if state_horizon_ms is not None and max_ts_ms is not None:
+            # must be beyond the current watermark or Spark rejects it
+            state.setTimeoutTimestamp(
+                max(max_ts_ms, state.getCurrentWatermarkMs() + 1) + state_horizon_ms
+            )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "batch_events": [n], "total_events": [total]}
+        )
+
+    return _running_count
 
 
-def running_event_counts(stream: DataFrame) -> DataFrame:
+def running_event_counts(
+    stream: DataFrame,
+    state_horizon: str | None = "30 days",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
     """Per-user running event counts: emits one row per (user, micro-batch)
-    with the batch size and the cumulative total carried in GroupState."""
-    return stream.groupBy("user_id").applyInPandasWithState(
-        _running_count,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    with the batch size and the cumulative total carried in GroupState.
+
+    With ``state_horizon`` set (the default), the stream is watermarked and
+    each key's state carries an event-time timeout one horizon past its
+    last event — idle keys are evicted, bounding the state store on an
+    unbounded key space (the 100 TB contract: state ∝ active keys per
+    horizon, not all keys ever seen). A key returning after eviction
+    restarts its running total — that is the documented horizon semantics.
+    ``state_horizon=None`` keeps state forever (``NoTimeout``) — only for a
+    known-bounded key space."""
+    horizon_ms = (
+        None if state_horizon is None else _duration_to_ms(state_horizon)
     )
+    fn = _make_running_count(horizon_ms)
+    if state_horizon is None:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    return (
+        stream.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_to_ms(spec: str) -> int:
+    """Parse a '<n> <unit>' duration (the CalendarInterval subset our API
+    accepts) to milliseconds."""
+    n_s, unit = spec.strip().split()
+    n = int(n_s)
+    unit = unit.rstrip("s").lower()
+    factor = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }
+    if unit not in factor:
+        raise ValueError(f"unsupported duration unit in {spec!r}")
+    return n * factor[unit]
 
 
 def run_running_counts_batchlike(
@@ -56,11 +135,15 @@ def run_running_counts_batchlike(
     query_name: str = "running_counts",
     max_files_per_trigger: int = 1,
     path_glob: str | None = None,
+    state_horizon: str | None = "30 days",
+    watermark_delay: str = "2 hours",
 ) -> DataFrame:
     """Drive the stateful operator over a directory of parquet files, one
     file per micro-batch (state crosses batches), to completion.
     ``path_glob`` restricts which files stream (e.g. a single table file
-    inside a multi-table directory)."""
+    inside a multi-table directory). ``state_horizon`` /
+    ``watermark_delay`` are passed to :func:`running_event_counts` —
+    horizon-bounded state by default."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(EVENTS_SCHEMA).option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
@@ -72,7 +155,9 @@ def run_running_counts_batchlike(
         .load(events_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    out = running_event_counts(stream)
+    out = running_event_counts(
+        stream, state_horizon=state_horizon, watermark_delay=watermark_delay
+    )
     q = (
         out.writeStream.outputMode("append")
         .format("memory")

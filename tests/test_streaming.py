@@ -10,16 +10,26 @@ from pysparkflow.streaming.events import run_windowed_counts_batchlike
 
 
 def test_stream_equals_batch(spark, sf_dir):
+    """Append mode emits exactly the finalized windows: window_end <=
+    max(ts floored to ms) - watermark delay (boundary inclusive)."""
+    import datetime as dt
+
     stream_out = run_windowed_counts_batchlike(
         spark, f"{sf_dir}/events.parquet", query_name="t_stream_eq_batch"
     )
+    e = load_events(spark, sf_dir)
+    wm = e.agg(F.date_trunc("millisecond", F.max("ts")).alias("m")).collect()[0].m
+    wm -= dt.timedelta(hours=2)
     batch = (
-        load_events(spark, sf_dir)
-        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        e.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
     )
     s = {tuple(r) for r in stream_out.collect()}
-    b = {tuple(r) for r in batch.collect()}
+    b = {
+        tuple(r)
+        for r in batch.collect()
+        if r.window_start + dt.timedelta(hours=1) <= wm
+    }
     assert s == b and len(s) > 0
 
 
@@ -56,3 +66,186 @@ def test_stream_dedup_equals_distinct(spark, sf_dir):
     batch = load_events(spark, sf_dir).select("user_id", "event_type").distinct()
     got = {tuple(r) for r in out.collect()}
     assert got == {tuple(r) for r in batch.collect()} and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Late / out-of-order data: the watermark must actually drop late rows and
+# evict state (VERDICT r2 items 1, 4, 5).
+# ---------------------------------------------------------------------------
+
+_NANOS = 1_000  # micros -> nanos (EVENTS_SCHEMA stores ts as nanos long)
+
+
+def _write_event_file(spark, path, rows, mtime):
+    """rows: list of (event_id, ts_iso, user_id, event_type, value)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    data = [
+        (eid, _iso_nanos(ts), uid, et, val, "{}")
+        for eid, ts, uid, et, val in rows
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
+        path + ".tmp"
+    )
+    import glob
+    import shutil
+
+    (part,) = glob.glob(path + ".tmp/part-*.parquet")
+    shutil.copy(part, path)
+    shutil.rmtree(path + ".tmp")
+    os.utime(path, (mtime, mtime))
+
+
+def _iso_nanos(ts_iso):
+    import datetime as dt
+
+    t = dt.datetime.fromisoformat(ts_iso).replace(tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1_000_000) * _NANOS
+
+
+def test_windowed_append_drops_late_row(spark, tmp_path):
+    """Out-of-order file arrival: a row older than the watermark is dropped
+    (never re-emits its already-finalized window), and windows finalize as
+    the watermark advances — stream output == batch oracle minus the
+    dropped row, restricted to finalized windows."""
+    from pysparkflow.streaming.events import EVENTS_SCHEMA, windowed_event_counts
+
+    d = str(tmp_path / "late_win")
+    import os
+
+    os.makedirs(d)
+    # batch 0: one event per hour 00..10 (watermark still 1970 -> no emission)
+    f0 = [(i, f"2024-01-01 {i:02d}:30:00", 1, "click", 1.0) for i in range(11)]
+    # batch 1: row at 23:00. Watermark DURING this batch = 10:30-2h = 08:30
+    # -> windows 00..07 finalized+emitted; after it, watermark = 21:00.
+    f1 = [(101, "2024-01-01 23:00:00", 1, "click", 1.0)]
+    # batch 2: late row at 05:45 — its window (end 06:00 <= wm 21:00) was
+    # already finalized and evicted, so Spark drops the row (measured:
+    # numRowsDroppedByWatermark=1): no duplicate emission, no count bump.
+    # Windows 08,09,10 finalize in this batch (end <= 21:00).
+    f2 = [(102, "2024-01-01 05:45:00", 1, "click", 1.0)]
+    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000)
+    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000)
+    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("select * from t_late_win").collect()
+    got = {(r.window_start.hour, r.event_type, r.n_events, r.sum_value) for r in out}
+    # finalized windows are 00..10 (end <= 21:00), each with exactly ONE
+    # event: the late 05:45 row was dropped after its window finalized, so
+    # window 05 has n=1 not n=2 and was not emitted a second time. This is
+    # exactly "batch oracle minus the dropped row" over finalized windows.
+    expected = {(h, "click", 1, 1.0) for h in range(11)}
+    assert got == expected
+    assert len(out) == 11  # no window emitted twice
+
+
+def test_stream_dedup_watermark_drops_late_and_evicts(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: (a) a row later than the watermark is
+    dropped even for an unseen key; (b) key state is evicted one horizon
+    past its first occurrence, so a re-appearing key re-emits — bounded
+    state with documented horizon semantics."""
+    from pysparkflow.streaming.events import EVENTS_SCHEMA
+
+    d = str(tmp_path / "late_dedup")
+    import os
+
+    os.makedirs(d)
+    # horizon 1h. Measured pyspark-4.1 semantics this test pins down:
+    # late-row filtering uses the PREVIOUS batch's watermark, eviction the
+    # current one, and the dedup probe sees state before eviction runs.
+    # batch 0 (wm 1970): (1,click)@00:00, (9,x)@10:00 -> wm after = 09:00
+    f0 = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:00:00", 9, "x", 1.0),
+    ]
+    # batch 1 (late-wm 1970, evict-wm 09:00): (2,click)@05:00 emitted (not
+    # late under the previous wm), then evicted at commit (expiry 06:00 <
+    # 09:00); (1,click)@09:30 suppressed (expired entry still in store
+    # during processing); (1,click)+(2,click) old entries evicted at commit.
+    f1 = [
+        (3, "2024-01-01 05:00:00", 2, "click", 1.0),
+        (4, "2024-01-01 09:30:00", 1, "click", 1.0),
+    ]
+    # batch 2 (wm 09:00): (1,click)@19:30 — state was evicted -> RE-EMITTED
+    # (the horizon contract: a key idle past the horizon starts over);
+    # (9,x)@20:00 suppressed (its entry, expiry 11:00 > evict-wm 09:00, is
+    # still live). wm after = 19:00.
+    f2 = [
+        (5, "2024-01-01 19:30:00", 1, "click", 1.0),
+        (6, "2024-01-01 20:00:00", 9, "x", 1.0),
+    ]
+    # batch 3 (late-wm 09:00): (5,y)@03:00 is beyond-watermark late ->
+    # DROPPED even though the key was never seen (measured:
+    # numRowsDroppedByWatermark=1); (9,x)@23:00 suppressed by the
+    # not-yet-evicted entry.
+    f3 = [
+        (7, "2024-01-01 03:00:00", 5, "y", 1.0),
+        (8, "2024-01-01 23:00:00", 9, "x", 1.0),
+    ]
+    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000)
+    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000)
+    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000)
+    _write_event_file(spark, f"{d}/f3.parquet", f3, 4_000_000)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dedup = (
+        stream.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = [(r.user_id, r.event_type) for r in spark.sql(
+        "select * from t_late_dedup"
+    ).collect()]
+    assert rows.count((5, "y")) == 0  # beyond-watermark late row dropped
+    assert rows.count((1, "click")) == 2  # evicted after horizon, re-emitted
+    assert rows.count((9, "x")) == 1  # duplicates within horizon suppressed
+    assert rows.count((2, "click")) == 1  # not late under the previous wm
