@@ -84,13 +84,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def events_ts_encoding(events_path: str, glob_filter: str | None = None) -> str:
+    """Inspect the parquet footer and classify how ``ts`` is physically
+    encoded. The testdata generator has shipped two encodings over time:
+
+    - ``"nanos"``: parquet TIMESTAMP(NANOS) (pyarrow ``timestamp[ns]``),
+      which Spark refuses to read natively — readable only as raw int64
+      via ``spark.sql.legacy.parquet.nanosAsLong``, then truncated to
+      microseconds.
+    - ``"timestamp"``: a natively readable parquet timestamp
+      (``timestamp[us]`` etc.), which Spark reads as TIMESTAMP_NTZ.
+
+    Branching on the footer (rather than hard-coding one encoding) is the
+    schema-drift tolerance lesson from the reference's malformed-input
+    handling (ff5/FordFulkerson.java:91-92) applied to the scan layer."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = events_path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, glob_filter or "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {events_path}")
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_timestamp(t) and t.unit == "ns":
+        return "nanos"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_integer(t):
+        # already-raw int64 epoch nanos (the nanosAsLong shape materialized)
+        return "nanos"
+    raise TypeError(f"events.ts has unsupported parquet type {t}")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written as parquet TIMESTAMP(NANOS), which Spark
-    refuses to read natively; read nanos as long and truncate to
-    microseconds (matching DuckDB's TIMESTAMP_NS -> TIMESTAMP cast)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Load the events table with a schema-adaptive ``ts`` read (see
+    events_ts_encoding): either encoding lands on a session-timezone
+    TIMESTAMP column truncated to microseconds, matching DuckDB's
+    TIMESTAMP semantics on the same file."""
+    path = f"{sf_dir}/events.parquet"
+    if events_ts_encoding(path) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = spark.read.parquet(path)
+        return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    e = spark.read.parquet(path)
+    # TIMESTAMP_NTZ -> TIMESTAMP keeps wall-clock fields (session tz);
+    # downstream window/interval code is written against TIMESTAMP
+    return e.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _lineitem_graph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,19 +13,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# physical schema: ts is parquet TIMESTAMP(NANOS), readable only as long
-# (spark.sql.legacy.parquet.nanosAsLong); converted to a microsecond
-# timestamp right after the scan.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(ts_type: T.DataType) -> T.StructType:
+    """Physical read schema for the events table; ``ts_type`` depends on how
+    the parquet file encodes timestamps (see
+    relational.registry.events_ts_encoding): LongType for legacy
+    TIMESTAMP(NANOS) read via nanosAsLong, TimestampNTZType for native
+    ``timestamp[us]`` files."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# kept for backward compatibility with existing imports: the legacy-nanos
+# shape. New code should call events_schema(...) / events_stream(...).
+EVENTS_SCHEMA = events_schema(T.LongType())
 
 
 def windowed_event_counts(
@@ -47,23 +55,50 @@ def windowed_event_counts(
     )
 
 
+def adaptive_events_scan(
+    spark: SparkSession, probe_path: str, glob_filter: str | None = None
+):
+    """Probe the parquet footer (see relational.registry.events_ts_encoding)
+    and return ``(read_schema, finish)`` for a schema-adaptive events scan:
+    ``read_schema`` is the physical schema to hand the stream reader, and
+    ``finish(df)`` converts the scanned ``ts`` to the microsecond
+    session-timezone TIMESTAMP the downstream watermark/window operators
+    are written against. Sets the nanosAsLong conf when the legacy
+    TIMESTAMP(NANOS) encoding is detected."""
+    from ..relational.registry import events_ts_encoding
+
+    if events_ts_encoding(probe_path, glob_filter) == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            events_schema(T.LongType()),
+            lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))),
+        )
+    return (
+        events_schema(T.TimestampNTZType()),
+        lambda df: df.withColumn("ts", F.col("ts").cast("timestamp")),
+    )
+
+
 def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-stream source over the events parquet (kafka-swappable): the
-    nanos-as-long read + micros conversion applied right after the scan."""
+    """File-stream source over the events parquet (kafka-swappable),
+    schema-adaptive on the footer's ts encoding (legacy nanos-as-long vs
+    native timestamp[us]); either way the scan is followed by a conversion
+    to a microsecond session-timezone TIMESTAMP, the type the watermark
+    and window operators downstream are written against."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, finish = adaptive_events_scan(spark, events_path)
     # file-stream sources want a directory; point at the parent dir with a
     # glob filter for the single table file
     base = os.path.dirname(events_path.rstrip("/"))
     fname = os.path.basename(events_path.rstrip("/"))
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    raw = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", fname)
         .load(base)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    return finish(raw)
 
 
 def _run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:

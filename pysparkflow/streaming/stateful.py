@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from pysparkflow.streaming.events import EVENTS_SCHEMA
+from pysparkflow.streaming.events import adaptive_events_scan
 
 OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
 STATE_SCHEMA = "total long"
@@ -144,17 +144,13 @@ def run_running_counts_batchlike(
     inside a multi-table directory). ``state_horizon`` /
     ``watermark_delay`` are passed to :func:`running_event_counts` —
     horizon-bounded state by default."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    schema, finish = adaptive_events_scan(spark, events_dir, glob_filter=path_glob)
+    reader = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
     )
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    stream = (
-        reader.format("parquet")
-        .load(events_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = finish(reader.format("parquet").load(events_dir))
     out = running_event_counts(
         stream, state_horizon=state_horizon, watermark_delay=watermark_delay
     )
