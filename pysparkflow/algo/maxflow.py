@@ -169,8 +169,20 @@ def _repair_paths_join(df: DataFrame, delta_df: DataFrame) -> DataFrame:
     the residual arrays in order, drop saturated paths. One explode + one
     join + one hash-aggregate over the path state only — the graph is
     untouched. Same result set as ``_repair_paths``
-    (test_maxflow::test_repair_join_equals_map)."""
-    base = df.withColumn("_rid", F.monotonically_increasing_id())
+    (test_maxflow::test_repair_join_equals_map).
+
+    ``_rid`` (monotonically_increasing_id) tags each stored path so the
+    exploded arcs can be re-assembled; mid is only stable if ``df``'s rows
+    re-materialize in the same partition/order every time the plan branch
+    is evaluated — the two uses of ``base`` below are separate branches of
+    one DAG. A lazy localCheckpoint pins the row layout inside this
+    function instead of relying on callers passing pre-checkpointed input
+    (they do today — maxflow epoch loop checkpoints each round's paths —
+    but the invariant belongs here). Path state is O(accepted paths x
+    depth), thousands of rows, so the pin costs milliseconds."""
+    base = df.localCheckpoint(eager=False).withColumn(
+        "_rid", F.monotonically_increasing_id()
+    )
     seeds = base.where(F.size("ress") == 0).select("vertex", "verts", "ress")
     ex = (
         base.where(F.size("ress") > 0)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pysparkflow.engine.cache import track
 from pysparkflow.functions.text import shingles
 
 
@@ -102,7 +103,7 @@ def ngram_jaccard_pairs(
     Candidate pairs come from the shingle inverted index self-join (only
     docs sharing >= 1 shingle meet), then J = |A∩B| / (|A|+|B|-|A∩B|).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
-    sh = _shingle_sets(df, id_col, text_col, n).persist()
+    sh = track(_shingle_sets(df, id_col, text_col, n))
     return _jaccard_verify(sh, threshold)
 
 
@@ -187,7 +188,7 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # shingle ONCE: the same persisted inverted index feeds both the
     # signature aggregation and the exact-Jaccard verification join
-    sh = _shingle_sets(df, id_col, text_col, shingle_n).persist()
+    sh = track(_shingle_sets(df, id_col, text_col, shingle_n))
     sig = minhash_signatures_from_shingles(sh, num_hashes, seed)
     banded = sig.select(
         "id",

@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pysparkflow.engine.cache import track
 from pysparkflow.functions.vector import cosine_similarity
 
 
@@ -133,7 +134,7 @@ def embedding_cosine_pairs(
 
     assigned = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         assign, "id long, v array<float>, cell long, cos_c double"
-    ).persist()
+    ).persist()  # unpersisted below, once blocks is materialized
     # hash-chunk cells to bound block rows at ``chunk_rows`` vectors: a
     # tiny per-cell count + broadcast join back, NOT a row_number window —
     # a window would sort-shuffle the whole corpus just to assign chunks
@@ -151,13 +152,16 @@ def embedding_cosine_pairs(
             F.collect_list(F.struct(F.col("id"), F.col("v"))).alias("blk"),
             F.min("cos_c").alias("min_cos"),
         )
-        .persist()
     )
+    blocks = track(blocks)
     # tiny driver collect: one row per (cell, chunk) with the cell radius
     stats: dict[int, float] = {}
     for row in blocks.select("cell", "min_cos").collect():
         c = int(row["cell"])
         stats[c] = min(stats.get(c, 1.0), float(row["min_cos"]))
+    # the collect above materialized the persisted blocks; the upstream
+    # assignment cache is no longer reachable from any pending plan
+    assigned.unpersist(blocking=False)
     C = np.asarray(centroids, dtype=np.float64)
     radii = {
         c: math.acos(max(-1.0, min(1.0, m))) for c, m in stats.items()
@@ -252,8 +256,13 @@ def _band_buckets(
     (64+ bits) as Catalyst expressions blow up codegen (one interpreted
     aggregate per bit); the signature is really an n x n_bits sign
     matmul — one Arrow-batched numpy pass, deterministic given the seed."""
-    assert n_bits % bands == 0
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
     r = n_bits // bands
+    if r > 48:
+        # band codes pack the band index into bits 48+ of an int64; wider
+        # rows-per-band would collide band id with bit weights
+        raise ValueError(f"rows-per-band {r} > 48 overflows the int64 band code")
     PT = np.asarray(_hyperplanes(dim, n_bits, seed), dtype=np.float64).T
 
     def band_rows(batches):
@@ -261,6 +270,12 @@ def _band_buckets(
 
         for pdf in batches:
             X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            if X.ndim != 2 or X.shape[1] != dim:
+                got = X.shape[1] if X.ndim == 2 else "ragged"
+                raise ValueError(
+                    f"{vec_col!r} vectors have dim {got}, expected {dim} "
+                    f"(pass dim= to match the embedding column)"
+                )
             bits = (X @ PT) >= 0  # (n, n_bits) sign bits
             weights = 1 << np.arange(r, dtype=np.int64)
             ids = pdf[id_col].to_numpy()
@@ -312,7 +327,8 @@ def embedding_near_dups_lsh(
         F.transform(
             F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
         ).alias("nv"),
-    ).persist()
+    )
+    nrm = track(nrm)
     va = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
     vb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
     dot = F.aggregate(

@@ -119,7 +119,13 @@ def rolling_fingerprints(
         for pdf in batches:
             ids, fps = [], []
             for doc_id, txt in zip(pdf["id"], pdf[text_col]):
-                toks = ws.split(txt.strip(" "))
+                # NULL / empty / whitespace-only text -> empty sketch
+                # (malformed-input tolerance, ff5/FordFulkerson.java:91-92)
+                if txt is None or not (stripped := txt.strip(" ")) :
+                    ids.append(doc_id)
+                    fps.append([])
+                    continue
+                toks = ws.split(stripped)
                 hs = np.fromiter(
                     (
                         int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")

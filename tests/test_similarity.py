@@ -124,3 +124,42 @@ def test_embedding_near_dups_lsh_recall(spark, emb):
     # verify step makes precision exact; recall < 1 by construction
     assert approx <= exact
     assert len(approx) / len(exact) >= 0.9
+
+
+def test_band_buckets_rejects_wrong_dim(spark):
+    """A clear error names the dim mismatch instead of an opaque numpy
+    shape error deep inside the Arrow batch."""
+    from pysparkflow.llmops.similarity import knn_lsh
+
+    small = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="dim 3, expected 64"):
+        knn_lsh(small, small, k=1).collect()
+
+
+def test_band_buckets_rejects_wide_band_packing():
+    from pysparkflow.llmops.similarity import _band_buckets
+
+    with pytest.raises(ValueError, match="> 48"):
+        _band_buckets(None, "id", "v", n_bits=64, bands=1, dim=64, seed=42)
+    with pytest.raises(ValueError, match="not divisible"):
+        _band_buckets(None, "id", "v", n_bits=64, bands=3, dim=64, seed=42)
+
+
+def test_tracked_caches_released(spark, emb):
+    """Operator-internal persists are registered and release_tracked()
+    drops them (round-3 ADVICE: persisted intermediates never unpersisted)."""
+    from pysparkflow.engine.cache import release_tracked, tracked_count
+    from pysparkflow.llmops.dedup import ngram_jaccard_pairs
+
+    release_tracked()  # clean slate
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w q u")],
+        "doc_id long, text string",
+    )
+    ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert tracked_count() >= 1
+    released = release_tracked()
+    assert released >= 1 and tracked_count() == 0

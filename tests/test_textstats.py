@@ -107,3 +107,15 @@ def test_portable_hash32_matches_oracle_engines(spark):
             params=[w, w],
         ).fetchone()
         assert got[w] == duck
+
+
+def test_rolling_fingerprints_null_and_empty_text(spark):
+    """NULL / empty / whitespace-only text yields an empty sketch instead
+    of crashing the Arrow batch (malformed-input tolerance)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["fingerprints"] for r in rolling_fingerprints(df).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert len(got[4]) >= 1
