@@ -108,7 +108,7 @@ def embedding_cosine_pairs(
     import math
 
     spark = emb.sparkSession
-    centroids = _fit_centroids_sample(emb, n_cells, vec_col, seed)
+    centroids = _fit_centroids_sample(emb, n_cells, vec_col, seed, id_col=id_col)
     C = np.asarray(centroids, dtype=np.float64)
 
     # cell assignment as ONE numpy matmul per Arrow batch: per-cell dot
@@ -348,18 +348,35 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
 
 
 def _fit_centroids_sample(
-    items: DataFrame, n_cells: int, vec_col: str, seed: int, sample_rows: int = 4096
+    items: DataFrame,
+    n_cells: int,
+    vec_col: str,
+    seed: int,
+    sample_rows: int = 4096,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Deterministic k-means-lite centroid fit on a driver-side sample
     (a few Lloyd iterations in numpy). The sample is hash-ordered
     (reproducible); at 100 TB the sample is still a few thousand rows —
-    fitting stays O(sample), never O(corpus)."""
-    rows = (
-        items.select(vec_col)
-        .orderBy(F.xxhash64(vec_col, F.lit(seed)))
-        .limit(sample_rows)
-        .collect()
-    )
+    fitting stays O(sample), never O(corpus).
+
+    With ``id_col``, the sample order is the PORTABLE md5 hash of
+    ``"{id}:{seed}"`` (functions.text.portable_hash32 semantics, ties by
+    id) — reproducible in plain hashlib, so tools/ivf_oracle.py can
+    recompute the entire IVF pipeline outside Spark and the knn_ivf pins
+    are externally derived rather than transcribed engine output. Without
+    an id column it falls back to xxhash64 of the vector (engine-internal
+    but still deterministic)."""
+    from pysparkflow.functions.text import portable_hash32
+
+    if id_col is not None:
+        key = portable_hash32(
+            F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+        )
+        ordered = items.select(vec_col, id_col).orderBy(key.asc(), F.col(id_col).asc())
+    else:
+        ordered = items.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
+    rows = ordered.select(vec_col).limit(sample_rows).collect()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     X = X / np.linalg.norm(X, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
@@ -408,7 +425,7 @@ def knn_ivf(
     cell assignment is a map-only pass; the candidate join is an equi-join
     on the cell id — per-query work is |corpus|·(n_probe/n_cells) instead
     of |corpus|. Recall < 1 by construction; measure vs knn_bruteforce."""
-    centroids = _fit_centroids_sample(items, n_cells, vec_col, seed)
+    centroids = _fit_centroids_sample(items, n_cells, vec_col, seed, id_col=id_col)
 
     it = (
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))

@@ -883,13 +883,18 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DERIVED pins: regenerate with `python tools/ivf_oracle.py` (an
+# independent hashlib+numpy recomputation of the whole IVF pipeline —
+# portable-hash sample order, seeded Lloyd fit, probe, rerank);
+# tests/test_similarity.py::test_registry_ivf_pins_match_numpy_oracle
+# asserts these literals equal the oracle's output.
 _KNN_IVF_PINNED_ROWS = [
-    (0, 365, 0.37, 1), (0, 387, 0.3311, 2), (0, 388, 0.2763, 3),
-    (0, 483, 0.2567, 4), (0, 344, 0.2525, 5),
-    (1, 386, 0.3715, 1), (1, 195, 0.3227, 2), (1, 203, 0.2682, 3),
-    (1, 363, 0.2633, 4), (1, 312, 0.2591, 5),
-    (2, 117, 0.3181, 1), (2, 450, 0.2663, 2), (2, 188, 0.2633, 3),
-    (2, 320, 0.255, 4), (2, 471, 0.2472, 5),
+    (0, 365, 0.37, 1), (0, 387, 0.3311, 2), (0, 423, 0.2969, 3),
+    (0, 320, 0.2879, 4), (0, 190, 0.2818, 5),
+    (1, 64, 0.3164, 1), (1, 124, 0.3028, 2), (1, 402, 0.2923, 3),
+    (1, 203, 0.2682, 4), (1, 363, 0.2633, 5),
+    (2, 450, 0.2663, 1), (2, 145, 0.2635, 2), (2, 188, 0.2633, 3),
+    (2, 172, 0.2398, 4), (2, 197, 0.2331, 5),
 ]
 _Q_KNN_IVF_SQL = (
     "SELECT CAST(c1 AS BIGINT) AS query_id, CAST(c2 AS BIGINT) AS item_id,\n"
@@ -909,8 +914,8 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf=0.01) is a constant — the oracle pins it, turning ANN recall into
     a hash-gated signal instead of a pytest-only number. The embeddings
     are a near-uniform continuum (no cluster structure), so recall < 1 by
-    construction at any n_probe < n_cells; 11/15 at 8/16 cells is the
-    measured deterministic value."""
+    construction at any n_probe < n_cells; 10/15 at 8/16 cells is the
+    value tools/ivf_oracle.py derives independently."""
     from pysparkflow.llmops.similarity import knn_ivf
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -939,11 +944,11 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # pinned deterministic expectation at the driver's graded scale (sf=0.01);
-# see q_knn_ivf_recall docstring. tools/oracle_check.py compares this only
-# at sf0.01.
+# see q_knn_ivf_recall docstring. DERIVED by tools/ivf_oracle.py (hashlib
+# + numpy, no Spark); tools/oracle_check.py compares this only at sf0.01.
 _Q_KNN_IVF_RECALL_SQL = """
-SELECT CAST(15 AS BIGINT) AS n_true, CAST(11 AS BIGINT) AS n_hit,
-       0.7333 AS recall
+SELECT CAST(15 AS BIGINT) AS n_true, CAST(10 AS BIGINT) AS n_hit,
+       0.6667 AS recall
 """
 
 

