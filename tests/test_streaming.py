@@ -73,38 +73,52 @@ def test_stream_dedup_equals_distinct(spark, sf_dir):
 # evict state (VERDICT r2 items 1, 4, 5).
 # ---------------------------------------------------------------------------
 
-_NANOS = 1_000  # micros -> nanos (EVENTS_SCHEMA stores ts as nanos long)
+_NANOS = 1_000  # micros -> nanos (the legacy encoding stores ts as nanos long)
 
 
-def _write_event_file(spark, path, rows, mtime):
-    """rows: list of (event_id, ts_iso, user_id, event_type, value)."""
+def _write_event_file(spark, path, rows, mtime, encoding="nanos"):
+    """rows: list of (event_id, ts_iso, user_id, event_type, value).
+
+    ``encoding`` mirrors the two shapes the testdata generator has
+    shipped (registry.events_ts_encoding): "nanos" = legacy
+    TIMESTAMP(NANOS) as int64, "micros" = native timestamp[us] — the
+    dtype of the CURRENT /root/testdata parquet."""
+    import datetime as dt
     import os
 
-    from pyspark.sql import types as T
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    data = [
-        (eid, _iso_nanos(ts), uid, et, val, "{}")
-        for eid, ts, uid, et, val in rows
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    if encoding == "nanos":
+        ts_arr = pa.array([_iso_nanos(ts) for _, ts, *_ in rows], pa.int64())
+        ts_field = pa.field("ts", pa.int64())
+    else:
+        ts_arr = pa.array(
+            [dt.datetime.fromisoformat(ts) for _, ts, *_ in rows],
+            pa.timestamp("us"),
+        )
+        ts_field = pa.field("ts", pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        },
+        schema=pa.schema(
+            [
+                pa.field("event_id", pa.int64()),
+                ts_field,
+                pa.field("user_id", pa.int64()),
+                pa.field("event_type", pa.string()),
+                pa.field("value", pa.float64()),
+                pa.field("props", pa.string()),
+            ]
+        ),
     )
-    spark.createDataFrame(data, schema).coalesce(1).write.mode("overwrite").parquet(
-        path + ".tmp"
-    )
-    import glob
-    import shutil
-
-    (part,) = glob.glob(path + ".tmp/part-*.parquet")
-    shutil.copy(part, path)
-    shutil.rmtree(path + ".tmp")
+    pq.write_table(table, path)
     os.utime(path, (mtime, mtime))
 
 
@@ -115,12 +129,30 @@ def _iso_nanos(ts_iso):
     return int(t.timestamp() * 1_000_000) * _NANOS
 
 
-def test_windowed_append_drops_late_row(spark, tmp_path):
+def _events_file_stream(spark, d):
+    """The PRODUCTION schema-adaptive scan (streaming.events
+    .adaptive_events_scan) over a fixture directory, one file per batch."""
+    from pysparkflow.streaming.events import adaptive_events_scan
+
+    schema, finish = adaptive_events_scan(spark, d)
+    return finish(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .format("parquet")
+        .load(d)
+    )
+
+
+import pytest
+
+
+@pytest.mark.parametrize("encoding", ["nanos", "micros"])
+def test_windowed_append_drops_late_row(spark, tmp_path, encoding):
     """Out-of-order file arrival: a row older than the watermark is dropped
     (never re-emits its already-finalized window), and windows finalize as
     the watermark advances — stream output == batch oracle minus the
     dropped row, restricted to finalized windows."""
-    from pysparkflow.streaming.events import EVENTS_SCHEMA, windowed_event_counts
+    from pysparkflow.streaming.events import windowed_event_counts
 
     d = str(tmp_path / "late_win")
     import os
@@ -136,19 +168,11 @@ def test_windowed_append_drops_late_row(spark, tmp_path):
     # numRowsDroppedByWatermark=1): no duplicate emission, no count bump.
     # Windows 08,09,10 finalize in this batch (end <= 21:00).
     f2 = [(102, "2024-01-01 05:45:00", 1, "click", 1.0)]
-    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000)
-    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000)
-    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000)
+    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000, encoding)
+    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000, encoding)
+    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000, encoding)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .format("parquet")
-        .load(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = windowed_event_counts(stream)
+    agg = windowed_event_counts(_events_file_stream(spark, d))
     q = (
         agg.writeStream.outputMode("append")
         .format("memory")
@@ -170,13 +194,12 @@ def test_windowed_append_drops_late_row(spark, tmp_path):
     assert len(out) == 11  # no window emitted twice
 
 
-def test_stream_dedup_watermark_drops_late_and_evicts(spark, tmp_path):
+@pytest.mark.parametrize("encoding", ["nanos", "micros"])
+def test_stream_dedup_watermark_drops_late_and_evicts(spark, tmp_path, encoding):
     """dropDuplicatesWithinWatermark: (a) a row later than the watermark is
     dropped even for an unseen key; (b) key state is evicted one horizon
     past its first occurrence, so a re-appearing key re-emits — bounded
     state with documented horizon semantics."""
-    from pysparkflow.streaming.events import EVENTS_SCHEMA
-
     d = str(tmp_path / "late_dedup")
     import os
 
@@ -213,21 +236,13 @@ def test_stream_dedup_watermark_drops_late_and_evicts(spark, tmp_path):
         (7, "2024-01-01 03:00:00", 5, "y", 1.0),
         (8, "2024-01-01 23:00:00", 9, "x", 1.0),
     ]
-    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000)
-    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000)
-    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000)
-    _write_event_file(spark, f"{d}/f3.parquet", f3, 4_000_000)
+    _write_event_file(spark, f"{d}/f0.parquet", f0, 1_000_000, encoding)
+    _write_event_file(spark, f"{d}/f1.parquet", f1, 2_000_000, encoding)
+    _write_event_file(spark, f"{d}/f2.parquet", f2, 3_000_000, encoding)
+    _write_event_file(spark, f"{d}/f3.parquet", f3, 4_000_000, encoding)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .format("parquet")
-        .load(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
     dedup = (
-        stream.select("user_id", "event_type", "ts")
+        _events_file_stream(spark, d).select("user_id", "event_type", "ts")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
