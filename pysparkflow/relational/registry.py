@@ -1064,6 +1064,48 @@ GROUP BY 1, 2
 """
 
 
+def q_events_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (F.session_window, 30-minute gap) per
+    user in APPEND mode — the streaming counterpart of the batch
+    lag/cumsum sessionize. Emitted set = sessions whose end (last event
+    + gap) is at or before the ms-floored watermark (max(ts) - 2h), the
+    same measured boundary as the tumbling-window entry."""
+    from pysparkflow.streaming.events import run_session_windows_batchlike
+
+    _tune_session(spark)
+    return run_session_windows_batchlike(spark, f"{sf_dir}/events.parquet")
+
+
+# sessions: consecutive same-user events merge while the next event lands
+# strictly inside last_ts + gap (Spark merges on half-open range overlap);
+# a session's end is its last event + gap. Emission boundary measured:
+# end <= ms-floored(max ts) - delay, matching the tumbling-window entry.
+_Q_EVENTS_STREAM_SESSIONS_SQL = """
+WITH wm AS (
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 2 HOUR AS w FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                OR epoch_us(ts) - epoch_us(prev_ts) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM (SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM sess, wm
+GROUP BY user_id, sid, wm.w
+HAVING max(ts) + INTERVAL 30 MINUTE <= wm.w
+"""
+
+
 def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ same-user
     purchases within 30 minutes) driven to completion over the static
@@ -1559,6 +1601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "token_totals": q_token_totals,
     "events_stream_windowed": q_events_stream_windowed,
+    "events_stream_sessions": q_events_stream_sessions,
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
@@ -1615,6 +1658,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": _Q_LANG_ID_SQL,
     "token_totals": _Q_TOKEN_TOTALS_SQL,
     "events_stream_windowed": _Q_EVENTS_STREAM_SQL,
+    "events_stream_sessions": _Q_EVENTS_STREAM_SESSIONS_SQL,
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,

@@ -178,6 +178,52 @@ def run_stream_join_batchlike(
     )
 
 
+def sessionized_event_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregation per user: event-gap sessions
+    (a new event extends the session while it lands strictly inside
+    last_ts + gap; at or beyond the boundary it starts a new one). The
+    streaming counterpart of the batch lag/cumsum sessionize — state per
+    OPEN session only, merged and evicted as the watermark passes each
+    session's end (last event + gap)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_windows_batchlike(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "session_windows",
+) -> DataFrame:
+    """Session windows in APPEND mode: a session is emitted exactly once,
+    when the watermark passes its end (last event time + gap), and its
+    state is evicted. Same finalized-only semantics as
+    run_windowed_counts_batchlike; sessions still open inside the horizon
+    when the static stream ends would emit on the next live batch."""
+    agg = sessionized_event_counts(
+        events_stream(spark, events_path), gap=gap, watermark=watermark
+    )
+    return _run_to_memory(agg, query_name, "append")
+
+
 def run_stream_dedup_batchlike(
     spark: SparkSession,
     events_path: str,

@@ -264,3 +264,42 @@ def test_stream_dedup_watermark_drops_late_and_evicts(spark, tmp_path, encoding)
     assert rows.count((1, "click")) == 2  # evicted after horizon, re-emitted
     assert rows.count((9, "x")) == 1  # duplicates within horizon suppressed
     assert rows.count((2, "click")) == 1  # not late under the previous wm
+
+
+def test_session_windows_stream_equals_batch(spark, sf_dir):
+    """Append-mode session windows emit exactly the finalized sessions:
+    last event + gap at or before the ms-floored watermark; counts/sums
+    equal the batch lag/cumsum sessionization of the same file."""
+    import datetime as dt
+
+    from pysparkflow.streaming.events import run_session_windows_batchlike
+
+    out = run_session_windows_batchlike(
+        spark, f"{sf_dir}/events.parquet", query_name="t_sess_eq_batch"
+    )
+    got = {
+        (r.session_start, r.session_end, r.user_id, r.n_events, float(r.sum_value))
+        for r in out.collect()
+    }
+
+    e = load_events(spark, sf_dir).select("user_id", "ts", "value").collect()
+    mx = max(r.ts for r in e)
+    wm = mx.replace(microsecond=(mx.microsecond // 1000) * 1000) - dt.timedelta(hours=2)
+    gap = dt.timedelta(minutes=30)
+    by_user: dict[int, list] = {}
+    for r in sorted(e, key=lambda r: (r.user_id, r.ts)):
+        sessions = by_user.setdefault(r.user_id, [])
+        if sessions and r.ts < sessions[-1]["last"] + gap:
+            s = sessions[-1]
+            s["last"] = r.ts
+            s["n"] += 1
+            s["v"] += r.value
+        else:
+            sessions.append({"first": r.ts, "last": r.ts, "n": 1, "v": r.value})
+    exp = {
+        (s["first"], s["last"] + gap, uid, s["n"], round(s["v"], 2))
+        for uid, sessions in by_user.items()
+        for s in sessions
+        if s["last"] + gap <= wm
+    }
+    assert got == exp and len(got) > 0
