@@ -25,6 +25,29 @@ from pysparkflow.session import get_spark
 BENCH_QUERIES = list(QUERIES)
 
 
+def _host_calibration() -> dict[str, float]:
+    """Fixed, Spark-independent CPU probes so per-round bench numbers are
+    comparable across hosts of different speeds (round 3→4 moved to a
+    machine measuring ~1.45x slower on identical code; without a
+    calibration constant that reads as a uniform perf regression).
+    Returns seconds for a pinned single-thread python loop and a pinned
+    numpy matmul — compare ratios, not absolutes."""
+    import numpy as np
+
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    py = time.time() - t0
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((1024, 1024))
+    t0 = time.time()
+    for _ in range(8):
+        a @ a
+    blas = time.time() - t0
+    return {"py_loop_sec": round(py, 3), "matmul_sec": round(blas, 3)}
+
+
 def _warm_streaming(spark) -> None:
     """Pay one-time Structured Streaming infrastructure costs (state store
     provider init, streaming scheduler, checkpoint dir plumbing) outside
@@ -98,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "host_calibration": _host_calibration(),
             }
         )
     )
