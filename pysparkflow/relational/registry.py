@@ -1484,6 +1484,50 @@ FROM events GROUP BY user_id
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language training-mixture sampling: en
+    down-weighted to 20%, zh up at 80%, everything else 50% — selection
+    keyed off the portable md5 row hash (map-only, no shuffle, exactly
+    reproducible in the oracle)."""
+    from pysparkflow.llmops.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        rates={"en": 0.2, "zh": 0.8},
+        strata_col="lang",
+        default_rate=0.5,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+_Q_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT % 10000
+      < CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 ELSE 5000 END
+"""
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality floor: drop each language's bottom quartile
+    by document length (exact continuous percentile; threshold table is
+    one row per language, broadcast back — the corpus never shuffles)."""
+    from pysparkflow.llmops.sampling import quantile_quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = quantile_quality_filter(docs, metric_col="n_chars", group_col="lang", q=0.25)
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_Q_QUALITY_QUANTILE_SQL = """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN (SELECT lang, quantile_cont(n_chars, 0.25) AS thr
+      FROM documents GROUP BY lang) t ON d.lang = t.lang
+WHERE d.n_chars >= t.thr
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation, composed from the graded
     operators: exact-dedup survivors -> quality gate (length + stopword
@@ -1605,6 +1649,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
+    "stratified_sample": q_stratified_sample,
+    "quality_quantile_filter": q_quality_quantile_filter,
     "curation_pipeline": q_curation_pipeline,
     "approx_distinct": q_approx_distinct,
     "asof_join": q_asof_join,
@@ -1662,6 +1708,8 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
+    "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
+    "quality_quantile_filter": _Q_QUALITY_QUANTILE_SQL,
     "curation_pipeline": _Q_CURATION_SQL,
     "asof_join": _Q_ASOF_SQL,
     "range_join": _Q_RANGE_JOIN_SQL,
