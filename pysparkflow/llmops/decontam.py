@@ -1,0 +1,62 @@
+"""Eval-set decontamination: flag corpus documents that share word
+n-grams with a benchmark/eval set.
+
+The standard pretraining hygiene pass: before training, any document
+overlapping an evaluation benchmark by >= 1 n-gram (typically 8-13
+tokens) is flagged or dropped, so benchmark numbers measure
+generalization rather than memorization.
+
+Scale shape (100 TB corpus, eval sets of 10^3-10^6 shingles): the eval
+shingle set is DISTINCT'd and broadcast — the corpus side is a map-only
+explode + broadcast-hash-join probe, no corpus shuffle; only the HIT
+rows (a tiny fraction) reach the per-document count aggregation. The
+shingle tokenization is the shared functions.text.shingles, so the
+DuckDB oracle reproduces the flagging exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.functions.text import shingles
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_hits) for every corpus document sharing >= 1 word ``n``-gram
+    with the eval set; n_hits = number of DISTINCT overlapping shingles.
+    Documents with no overlap are absent (anti-join against this result
+    to keep the clean corpus)."""
+    ev = (
+        eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = corpus.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    return (
+        doc_sh.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The clean corpus: drop every document flagged by
+    contamination_hits (left anti-join on the tiny hits table)."""
+    hits = contamination_hits(corpus, eval_df, n, id_col, text_col)
+    return corpus.join(
+        hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )

@@ -1528,6 +1528,38 @@ WHERE d.n_chars >= t.thr
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: documents 0-9 stand in for the benchmark;
+    every other document sharing >= 1 word 4-gram with them is flagged
+    with its distinct-overlap count. Eval shingles broadcast; corpus side
+    is a map-only explode + broadcast probe — no corpus shuffle."""
+    from pysparkflow.llmops.decontam import contamination_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return contamination_hits(corpus, ev, n=4).select(
+        F.col("id").alias("doc_id"), "n_hits"
+    )
+
+
+_Q_DECONTAMINATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
+         i -> array_to_string(t[i:i+3], ' '))) AS sh
+  FROM toks WHERE len(t) >= 4
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sh s JOIN ev USING (sh)
+WHERE s.doc_id >= 10
+GROUP BY s.doc_id
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation, composed from the graded
     operators: exact-dedup survivors -> quality gate (length + stopword
@@ -1649,6 +1681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
+    "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "quality_quantile_filter": q_quality_quantile_filter,
     "curation_pipeline": q_curation_pipeline,
@@ -1708,6 +1741,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
+    "decontaminate": _Q_DECONTAMINATE_SQL,
     "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
     "quality_quantile_filter": _Q_QUALITY_QUANTILE_SQL,
     "curation_pipeline": _Q_CURATION_SQL,
