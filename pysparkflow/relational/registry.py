@@ -1528,6 +1528,41 @@ WHERE d.n_chars >= t.thr
 """
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: where each document lands under deterministic
+    concat-and-chunk assembly (512-token examples, 8 independent packing
+    buckets keyed by the portable row hash)."""
+    from pysparkflow.llmops.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_documents(docs, budget=512, n_buckets=8).select(
+        F.col("id").alias("doc_id"),
+        "bucket",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "example_id",
+        "offset",
+    )
+
+
+_Q_PACK_DOCUMENTS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT AS h
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_tokens, h % 8 AS bucket,
+         sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM d
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(floor(start / 512) AS BIGINT) AS example_id,
+       CAST(start % 512 AS BIGINT) AS offset
+FROM pos
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: documents 0-9 stand in for the benchmark;
     every other document sharing >= 1 word 4-gram with them is flagged
@@ -1681,6 +1716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
+    "pack_documents": q_pack_documents,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -1741,6 +1777,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
+    "pack_documents": _Q_PACK_DOCUMENTS_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
     "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,
     "quality_quantile_filter": _Q_QUALITY_QUANTILE_SQL,
