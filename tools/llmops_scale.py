@@ -117,6 +117,63 @@ def main() -> int:
     t0 = time.time()
     quality_features(docs).write.format("noop").mode("overwrite").save()
     out["quality"] = {"sec": round(time.time() - t0, 1)}
+
+    # decontamination with planted truth: eval = the ~1000 docs ≡2 (mod 10)
+    # among the first 10k ids; every ≡3 doc there is a planted near-dup of
+    # its ≡2 predecessor (57/60 tokens shared -> shares 4-grams), so the
+    # flagged set must be EXACTLY the ≡3 docs < 10k (4-gram coincidences
+    # across unrelated hash-word docs are ~(1/50k)^4 — absent).
+    from pysparkflow.llmops.decontam import contamination_hits
+
+    t0 = time.time()
+    ev = docs.where((F.pmod("doc_id", F.lit(10)) == 2) & (F.col("doc_id") < 10_000))
+    corpus = docs.where(F.pmod("doc_id", F.lit(10)) != 2)
+    hits = contamination_hits(corpus, ev, n=4).persist()
+    n_flagged = hits.count()
+    planted = corpus.where(
+        (F.pmod("doc_id", F.lit(10)) == 3) & (F.col("doc_id") < 10_000)
+    ).count()
+    wrong = hits.where(
+        (F.pmod("id", F.lit(10)) != 3) | (F.col("id") >= 10_000)
+    ).count()
+    out["decontam"] = {
+        "sec": round(time.time() - t0, 1),
+        "flagged": n_flagged,
+        "planted": planted,
+        "false_flags": wrong,
+    }
+    assert n_flagged == planted and wrong == 0, out["decontam"]
+    hits.unpersist()
+    print("[llmops] decontam OK", out["decontam"], file=sys.stderr)
+
+    # sequence packing: distributed tiling invariant — within every bucket
+    # the max reconstructed end offset equals the bucket's token total
+    # (no gaps, no overlaps), and positions are unique.
+    from pysparkflow.llmops.packing import pack_documents
+
+    t0 = time.time()
+    packed = pack_documents(docs, budget=2048, n_buckets=64).persist()
+    agg = packed.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("tok_total"),
+        F.max(F.col("example_id") * 2048 + F.col("offset") + F.col("n_tokens")).alias(
+            "max_end"
+        ),
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("example_id") * 2048 + F.col("offset")).alias("n_pos"),
+    )
+    bad_buckets = agg.where(
+        (F.col("tok_total") != F.col("max_end")) | (F.col("n") != F.col("n_pos"))
+    ).count()
+    n_packed = packed.count()
+    out["packing"] = {
+        "sec": round(time.time() - t0, 1),
+        "docs": n_packed,
+        "bad_buckets": bad_buckets,
+    }
+    assert n_packed == n_docs and bad_buckets == 0, out["packing"]
+    packed.unpersist()
+    print("[llmops] packing OK", out["packing"], file=sys.stderr)
+
     print(json.dumps(out))
     return 0
 
