@@ -147,3 +147,48 @@ def rolling_fingerprints(
     return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
         op, "id long, fingerprints array<long>"
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of duplicate
+    word 2-grams / 3-grams, and the most-frequent token's share of all
+    tokens. High values mark boilerplate/spam for quality filtering.
+
+    The n-gram fractions are pure array arithmetic (scan-fused, no
+    shuffle); the top-token share needs per-(doc, token) counts — one
+    explode + hash aggregation, map-side combined, keyed by the doc id,
+    so it scales as a normal groupBy. Rounded to 6 so the DuckDB oracle
+    hash-matches the doubles."""
+    from pysparkflow.functions.text import shingles, tokens
+
+    def dup_frac(n: int) -> Column:
+        sh = shingles(F.col(text_col), n)
+        return F.when(
+            F.size(sh) > 0,
+            F.round(
+                (F.size(sh) - F.size(F.array_distinct(sh))) / F.size(sh), 6
+            ),
+        ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    tok_counts = (
+        base.select("id", F.explode("_toks").alias("tok"))
+        .groupBy("id", "tok")
+        .count()
+        .groupBy("id")
+        .agg(
+            F.max("count").alias("_top"),
+            F.sum("count").alias("_total"),
+        )
+        .select(
+            "id", F.round(F.col("_top") / F.col("_total"), 6).alias("top_word_frac")
+        )
+    )
+    return base.drop("_toks").join(tok_counts, "id")

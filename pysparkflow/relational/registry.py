@@ -1528,6 +1528,46 @@ WHERE d.n_chars >= t.thr
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate 2/3-gram
+    fractions (scan-fused array arithmetic) + top-token share (one
+    combiner-friendly explode aggregation)."""
+    from pysparkflow.llmops.textstats import repetition_features
+
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+_Q_DOC_REPETITION_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)),
+              i -> array_to_string(t[i:i+1], ' ')) ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1),
+              i -> array_to_string(t[i:i+2], ' ')) ELSE [] END AS g3,
+         t
+  FROM toks
+), tok_counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), top AS (
+  SELECT doc_id, round(max(c) / sum(c), 6) AS top_word_frac
+  FROM tok_counts GROUP BY doc_id
+)
+SELECT g.doc_id AS id,
+       CASE WHEN len(g2) > 0
+            THEN round((len(g2) - len(list_distinct(g2))) / len(g2), 6)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN round((len(g3) - len(list_distinct(g3))) / len(g3), 6)
+            ELSE 0.0 END AS dup_3gram_frac,
+       top.top_word_frac
+FROM grams g JOIN top ON g.doc_id = top.doc_id
+"""
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: where each document lands under deterministic
     concat-and-chunk assembly (512-token examples, 8 independent packing
@@ -1716,6 +1756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
+    "doc_repetition": q_doc_repetition,
     "pack_documents": q_pack_documents,
     "decontaminate": q_decontaminate,
     "stratified_sample": q_stratified_sample,
@@ -1777,6 +1818,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
+    "doc_repetition": _Q_DOC_REPETITION_SQL,
     "pack_documents": _Q_PACK_DOCUMENTS_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
     "stratified_sample": _Q_STRATIFIED_SAMPLE_SQL,

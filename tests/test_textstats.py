@@ -119,3 +119,25 @@ def test_rolling_fingerprints_null_and_empty_text(spark):
     got = {r["id"]: r["fingerprints"] for r in rolling_fingerprints(df).collect()}
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert len(got[4]) >= 1
+
+
+def test_repetition_features_known_values(spark):
+    from pysparkflow.llmops.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # 2-grams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "x y z w"),            # no repetition
+            (3, "spam spam spam spam"),  # one token repeated
+            (4, "solo"),               # < 2 tokens -> zero fractions
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in repetition_features(df).collect()}
+    assert got[1].dup_2gram_frac == round(3 / 5, 6)
+    assert got[1].top_word_frac == 0.5
+    assert got[2].dup_2gram_frac == 0.0 and got[2].dup_3gram_frac == 0.0
+    assert got[2].top_word_frac == 0.25
+    assert got[3].dup_2gram_frac == round(2 / 3, 6)
+    assert got[3].top_word_frac == 1.0
+    assert got[4].dup_2gram_frac == 0.0 and got[4].top_word_frac == 1.0
