@@ -156,39 +156,54 @@ def repetition_features(
     word 2-grams / 3-grams, and the most-frequent token's share of all
     tokens. High values mark boilerplate/spam for quality filtering.
 
-    The n-gram fractions are pure array arithmetic (scan-fused, no
-    shuffle); the top-token share needs per-(doc, token) counts — one
-    explode + hash aggregation, map-side combined, keyed by the doc id,
-    so it scales as a normal groupBy. Rounded to 6 so the DuckDB oracle
-    hash-matches the doubles."""
-    from pysparkflow.functions.text import shingles, tokens
+    One Arrow-batched map-only pass (mapInPandas): per document a single
+    token scan builds the 2/3-gram multisets and the token counter —
+    no shuffle at any corpus size. Catalyst higher-order functions were
+    measured pathological here (interpreted, and the shingle transform
+    re-evaluates per reference — 23s vs <2s for 5k docs); same lesson as
+    rolling_fingerprints. Tokenization and HALF_UP rounding exactly
+    mirror the engine/oracle idiom (split(trim(text), '\\s+'),
+    round(x, 6)) so the DuckDB oracle hash-matches."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def dup_frac(n: int) -> Column:
-        sh = shingles(F.col(text_col), n)
-        return F.when(
-            F.size(sh) > 0,
-            F.round(
-                (F.size(sh) - F.size(F.array_distinct(sh))) / F.size(sh), 6
-            ),
-        ).otherwise(F.lit(0.0))
+    import pandas as pd
 
-    base = df.select(
-        F.col(id_col).alias("id"),
-        dup_frac(2).alias("dup_2gram_frac"),
-        dup_frac(3).alias("dup_3gram_frac"),
-        tokens(F.col(text_col)).alias("_toks"),
+    # space-only trim + Java \s split — lockstep with functions.text.tokens
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    Q = Decimal("0.000001")
+
+    def r6(x: float) -> float:
+        # Spark round(double, 6) = BigDecimal HALF_UP, not banker's
+        return float(Decimal(repr(x)).quantize(Q, rounding=ROUND_HALF_UP))
+
+    def dup_frac(toks: list[str], n: int) -> float:
+        total = len(toks) - n + 1
+        if total <= 0:
+            return 0.0
+        grams = Counter(tuple(toks[i : i + n]) for i in range(total))
+        return r6((total - len(grams)) / total)
+
+    def op(batches):
+        for pdf in batches:
+            ids, d2, d3, top = [], [], [], []
+            for doc_id, txt in zip(pdf["id"], pdf[text_col]):
+                toks = ws.split(txt.strip(" ")) if txt else [""]
+                counts = Counter(toks)
+                ids.append(doc_id)
+                d2.append(dup_frac(toks, 2))
+                d3.append(dup_frac(toks, 3))
+                top.append(r6(max(counts.values()) / len(toks)))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "dup_2gram_frac": d2,
+                    "dup_3gram_frac": d3,
+                    "top_word_frac": top,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("id"), F.col(text_col)).mapInPandas(
+        op, "id long, dup_2gram_frac double, dup_3gram_frac double, top_word_frac double"
     )
-    tok_counts = (
-        base.select("id", F.explode("_toks").alias("tok"))
-        .groupBy("id", "tok")
-        .count()
-        .groupBy("id")
-        .agg(
-            F.max("count").alias("_top"),
-            F.sum("count").alias("_total"),
-        )
-        .select(
-            "id", F.round(F.col("_top") / F.col("_total"), 6).alias("top_word_frac")
-        )
-    )
-    return base.drop("_toks").join(tok_counts, "id")
