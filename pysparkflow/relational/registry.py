@@ -1106,6 +1106,37 @@ HAVING max(ts) + INTERVAL 30 MINUTE <= wm.w
 """
 
 
+def q_events_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch
+    against the broadcast customer dimension (user_id = c_custkey),
+    keeping purchase events of customers in nations 0-4. Stateless
+    append — the stream side never shuffles."""
+    from pysparkflow.streaming.events import run_stream_enrich_batchlike
+
+    _tune_session(spark)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", F.col("c_nationkey").cast("long").alias("nation"))
+        .where(F.col("nation") < 5)
+    )
+    return run_stream_enrich_batchlike(
+        spark,
+        f"{sf_dir}/events.parquet",
+        cust,
+        join_key=F.col("user_id") == F.col("c_custkey"),
+        query_name="q_stream_enriched",
+        stream_filter=F.col("event_type") == "purchase",
+        select_cols=["event_id", "user_id", "nation", "value"],
+    )
+
+
+_Q_EVENTS_STREAM_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase' AND c.c_nationkey < 5
+"""
+
+
 def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (clicks ⋈ same-user
     purchases within 30 minutes) driven to completion over the static
@@ -1753,6 +1784,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_totals": q_token_totals,
     "events_stream_windowed": q_events_stream_windowed,
     "events_stream_sessions": q_events_stream_sessions,
+    "events_stream_enrich": q_events_stream_enrich,
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
@@ -1815,6 +1847,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_totals": _Q_TOKEN_TOTALS_SQL,
     "events_stream_windowed": _Q_EVENTS_STREAM_SQL,
     "events_stream_sessions": _Q_EVENTS_STREAM_SESSIONS_SQL,
+    "events_stream_enrich": _Q_EVENTS_STREAM_ENRICH_SQL,
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,

@@ -303,3 +303,28 @@ def test_session_windows_stream_equals_batch(spark, sf_dir):
         if s["last"] + gap <= wm
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """Stream-static broadcast enrichment emits exactly the batch join's
+    rows (stateless append, one emission per match)."""
+    from pysparkflow.streaming.events import run_stream_enrich_batchlike
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", F.col("c_nationkey").cast("long").alias("nation"))
+    )
+    out = run_stream_enrich_batchlike(
+        spark,
+        f"{sf_dir}/events.parquet",
+        cust,
+        join_key=F.col("user_id") == F.col("c_custkey"),
+        query_name="t_enrich",
+        select_cols=["event_id", "nation"],
+    )
+    batch = (
+        load_events(spark, sf_dir)
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "nation")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
