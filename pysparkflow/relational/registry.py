@@ -867,6 +867,31 @@ FROM ranked WHERE rk <= 5
 """
 
 
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: up to 5 vectors per embedding
+    cell, chosen by the portable row hash (deterministic). Approximate by
+    construction (sampled-centroid cells) but fully reproducible — the
+    oracle pins tools/ivf_oracle.py's independent numpy recomputation at
+    the graded scale (see _KNN_IVF_PINNED_ROWS provenance)."""
+    from pysparkflow.llmops.similarity import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb, per_cell=5).select(
+        F.col("id").alias("vec_id"), "cell", "rk"
+    )
+
+
+# DERIVED pins: `python tools/ivf_oracle.py`; pytest asserts equality.
+_CLUSTER_SAMPLE_PINNED_ROWS = [(62, 0, 1), (222, 0, 2), (443, 0, 3), (179, 0, 4), (247, 0, 5), (16, 1, 1), (35, 1, 2), (241, 1, 3), (223, 1, 4), (448, 1, 5), (229, 2, 1), (285, 2, 2), (356, 2, 3), (433, 2, 4), (311, 2, 5), (407, 3, 1), (24, 3, 2), (152, 3, 3), (422, 3, 4), (234, 3, 5), (317, 4, 1), (461, 4, 2), (280, 4, 3), (365, 4, 4), (54, 4, 5), (369, 5, 1), (79, 5, 2), (68, 5, 3), (451, 5, 4), (351, 5, 5), (333, 6, 1), (43, 6, 2), (53, 6, 3), (257, 6, 4), (431, 6, 5), (269, 7, 1), (48, 7, 2), (153, 7, 3), (340, 7, 4), (445, 7, 5), (337, 8, 1), (236, 8, 2), (139, 8, 3), (417, 8, 4), (386, 8, 5), (238, 9, 1), (322, 9, 2), (205, 9, 3), (92, 9, 4), (376, 9, 5), (218, 10, 1), (55, 10, 2), (5, 10, 3), (379, 10, 4), (166, 10, 5), (170, 11, 1), (128, 11, 2), (486, 11, 3), (19, 11, 4), (137, 11, 5), (327, 12, 1), (397, 12, 2), (80, 12, 3), (199, 12, 4), (240, 12, 5), (138, 13, 1), (131, 13, 2), (346, 13, 3), (163, 13, 4), (342, 13, 5), (440, 14, 1), (399, 14, 2), (90, 14, 3), (30, 14, 4), (274, 14, 5), (120, 15, 1), (140, 15, 2), (201, 15, 3), (242, 15, 4), (435, 15, 5)]
+_Q_CLUSTER_SAMPLE_SQL = (
+    "SELECT CAST(c1 AS BIGINT) AS vec_id, CAST(c2 AS BIGINT) AS cell,\n"
+    "       CAST(c3 AS BIGINT) AS rk\n"
+    "FROM (VALUES "
+    + ", ".join(f"({q}, {i}, {r})" for q, i, r in _CLUSTER_SAMPLE_PINNED_ROWS)
+    + ") t(c1, c2, c3)"
+)
+
+
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN (sampled k-means centroids; approximate by
     construction but deterministic — hash-ordered sample, fixed seed, id
@@ -1777,6 +1802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "cluster_sample": q_cluster_sample,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_recall": q_knn_ivf_recall,
     "text_quality": q_text_quality,
@@ -1830,6 +1856,7 @@ ORACLE_SQL: dict[str, str] = {
     "max_flow": _Q_MAX_FLOW_SQL,
     "max_flow_approx": _Q_MAX_FLOW_APPROX_SQL,
     "connected_components": _Q_CC_SQL,
+    "cluster_sample": _Q_CLUSTER_SAMPLE_SQL,
     "knn_ivf": _Q_KNN_IVF_SQL,
     "knn_ivf_recall": _Q_KNN_IVF_RECALL_SQL,
     "dedup_exact": _Q_DEDUP_EXACT_SQL,
@@ -1881,4 +1908,5 @@ SF_PINNED_ORACLES = {
     "max_flow": "sf0.01",
     "max_flow_approx": "sf0.01",
     "knn_ivf": "sf0.01",
+    "cluster_sample": "sf0.01",
 }

@@ -181,3 +181,25 @@ def test_registry_ivf_pins_match_numpy_oracle():
     )
     assert pins == list(_KNN_IVF_PINNED_ROWS)
     assert (n_true, n_hit, recall) == (15, 10, 0.6667)
+
+    from ivf_oracle import compute_cluster_sample_pins
+
+    from pysparkflow.relational.registry import _CLUSTER_SAMPLE_PINNED_ROWS
+
+    cs = compute_cluster_sample_pins("/root/testdata/sf0.01/embeddings.parquet")
+    assert cs == list(_CLUSTER_SAMPLE_PINNED_ROWS)
+
+
+def test_cluster_balanced_sample_semantics(spark, emb):
+    from pysparkflow.llmops.similarity import cluster_balanced_sample
+
+    out = cluster_balanced_sample(emb, per_cell=3, n_cells=8).collect()
+    per_cell: dict[int, list] = {}
+    for r in out:
+        per_cell.setdefault(r.cell, []).append(r.rk)
+    assert len(per_cell) <= 8
+    for ranks in per_cell.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids))

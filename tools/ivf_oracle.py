@@ -89,6 +89,21 @@ def knn_bruteforce(ids: np.ndarray, X: np.ndarray, query_ids: np.ndarray,
     return out
 
 
+def cluster_balanced_sample(ids: np.ndarray, X: np.ndarray, per_cell: int = 5,
+                            n_cells: int = 16, seed: int = 42) -> list[tuple[int, int, int]]:
+    """Mirror of llmops.similarity.cluster_balanced_sample: (id, cell, rk)."""
+    C = fit_centroids(ids, X, n_cells, seed)
+    Xd = X.astype(np.float64)
+    cell = (Xd @ C.T).argmax(axis=1)
+    out = []
+    for c in range(n_cells):
+        members = [int(i) for i in ids[cell == c]]
+        members.sort(key=lambda i: (portable_hash32(f"{i}:{seed}"), i))
+        for rk, i in enumerate(members[:per_cell], start=1):
+            out.append((i, int(c), rk))
+    return out
+
+
 def compute_pins(path: str) -> tuple[list[tuple[int, int, float, int]], tuple[int, int, float]]:
     t = pq.read_table(path)
     ids = np.asarray(t["vec_id"])
@@ -102,6 +117,13 @@ def compute_pins(path: str) -> tuple[list[tuple[int, int, float, int]], tuple[in
     return pins, recall
 
 
+def compute_cluster_sample_pins(path: str) -> list[tuple[int, int, int]]:
+    t = pq.read_table(path)
+    ids = np.asarray(t["vec_id"])
+    X = np.asarray([np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()])
+    return cluster_balanced_sample(ids, X)
+
+
 def main() -> None:
     path = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01/embeddings.parquet"
     pins, (n_true, n_hit, recall) = compute_pins(path)
@@ -110,6 +132,11 @@ def main() -> None:
         print(f"    {row},")
     print("]")
     print(f"recall: n_true={n_true} n_hit={n_hit} recall={recall}")
+    cs = compute_cluster_sample_pins(path)
+    print("_CLUSTER_SAMPLE_PINNED_ROWS = [")
+    for row in cs:
+        print(f"    {row},")
+    print("]")
 
 
 if __name__ == "__main__":
