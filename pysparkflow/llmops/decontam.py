@@ -37,13 +37,16 @@ def contamination_hits(
         eval_df.select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
         .distinct()
     )
+    # no corpus-side pre-distinct: that would shuffle EVERY corpus shingle
+    # before the probe. The broadcast join filters to hit rows first
+    # (a tiny fraction), and the distinct-overlap count dedups only those.
     doc_sh = corpus.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    )
     return (
         doc_sh.join(F.broadcast(ev), "sh")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("sh").alias("n_hits"))
     )
 
 
