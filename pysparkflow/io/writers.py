@@ -49,3 +49,47 @@ def dump_records(
     if key_col is not None and key is not None:
         df = df.where(F.col(key_col) == key)
     return df
+
+
+def write_curated_dataset(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: str | list[str] | None = None,
+    max_records_per_file: int | None = 500_000,
+    sort_within_partitions: str | list[str] | None = None,
+) -> dict:
+    """Materialize a curated corpus as partitioned parquet — the output
+    side of the training-data pipeline.
+
+    Layout knobs that matter at 100 TB:
+    * ``partition_by`` (e.g. lang/source) gives partition pruning to every
+      downstream scan of a slice;
+    * ``max_records_per_file`` bounds file size so a single skewed
+      partition (one dominant language) doesn't produce monolithic files
+      that kill downstream scan parallelism;
+    * ``sort_within_partitions`` clusters rows (e.g. by doc_id) within
+      each output file for better row-group min/max pruning.
+
+    Returns a small manifest {rows, partition_by, out_dir} — the driver-
+    side audit record, in the spirit of the reference's summary side
+    files (ff1/Vertex.java:147-188)."""
+    n = df.count()
+    if sort_within_partitions:
+        cols = (
+            [sort_within_partitions]
+            if isinstance(sort_within_partitions, str)
+            else list(sort_within_partitions)
+        )
+        df = df.sortWithinPartitions(*cols)
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    keys = None
+    if partition_by:
+        keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*keys)
+    w.parquet(out_dir)
+    manifest = {"rows": n, "partition_by": keys, "out_dir": out_dir}
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest

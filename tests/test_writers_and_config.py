@@ -57,3 +57,29 @@ def test_select_random_sources_sinks(spark):
     assert not set(srcs) & set(sinks)
     again = g.select_random_sources_sinks(1, min_degree=10, seed=7)
     assert (srcs, sinks) == again  # deterministic under a fixed seed
+
+
+def test_write_curated_dataset_partitioned(spark, sf_dir, tmp_path):
+    import json as _json
+    import os
+
+    from pysparkflow.io.writers import write_curated_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "curated")
+    manifest = write_curated_dataset(
+        docs, out, partition_by="lang", sort_within_partitions="doc_id"
+    )
+    assert manifest["rows"] == docs.count()
+    # hive-style partition dirs exist for every language present
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    got_dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert got_dirs == langs
+    back = spark.read.parquet(out)
+    assert back.count() == manifest["rows"]
+    # partition pruning: a lang filter scans only that partition
+    one = sorted(langs)[0]
+    plan = back.where(back.lang == one)._jdf.queryExecution().executedPlan().toString()
+    assert f"lang={one}" in plan or "PartitionFilters" in plan
+    with open(os.path.join(out, "_manifest.json")) as f:
+        assert _json.load(f)["partition_by"] == ["lang"]
