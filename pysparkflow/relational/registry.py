@@ -547,22 +547,35 @@ SELECT vertex, CAST(min(d) AS INTEGER) AS distance FROM walk GROUP BY vertex
 """
 
 
+# one flow computation per (application, sf_dir), shared by the max_flow
+# and min_cut entries — same session-scoped memo discipline as
+# _GRAPH_CACHE (min_cut is the dual of the SAME run, not a rerun)
+_MAXFLOW_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _lineitem_max_flow(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MAXFLOW_CACHE:
+        g = _lineitem_graph(spark, sf_dir)
+        # dense bipartite shape: the first meet round already yields the
+        # whole batch, so meet-round extension only adds rounds here (it
+        # pays off on unit-capacity small-world graphs)
+        _MAXFLOW_CACHE[key] = max_flow(
+            g,
+            sources=[1, 2, 3],
+            sinks=[1_000_001, 1_000_002],
+            config=MaxFlowConfig(meet_extra_rounds=0, validate=True),
+        )
+    return _MAXFLOW_CACHE[key]
+
+
 def q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline query: multi-source/multi-sink max-flow
     (main.java:17-20). Iterative — not SQL-expressible; correctness is
     enforced by the NetworkX-oracle test suite (tests/test_maxflow) AND by
     running the conservation/capacity invariants (maxflow._validate,
     ff1/Vertex.java:161-162, ff1/Edge.java:66-71) in this graded path."""
-    g = _lineitem_graph(spark, sf_dir)
-    # dense bipartite shape: the first meet round already yields the whole
-    # batch, so meet-round extension only adds rounds here (it pays off on
-    # unit-capacity small-world graphs — see MaxFlowConfig.meet_extra_rounds)
-    res = max_flow(
-        g,
-        sources=[1, 2, 3],
-        sinks=[1_000_001, 1_000_002],
-        config=MaxFlowConfig(meet_extra_rounds=0, validate=True),
-    )
+    res = _lineitem_max_flow(spark, sf_dir)
     return spark.createDataFrame(
         [(res.value, res.metrics.phases, res.metrics.accepted_paths)],
         schema="max_flow long, phases int, n_paths int",
@@ -864,6 +877,35 @@ WITH base AS (
 )
 SELECT query_id, item_id, round(cos, 4) AS cosine, CAST(rk AS INTEGER) AS rank
 FROM ranked WHERE rk <= 5
+"""
+
+
+def q_min_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum s-t cut on the lineitem graph — the dual certificate of
+    the max_flow entry: cut capacity must equal the flow value (strong
+    duality, runtime-asserted in algo/mincut.py). Iterative, not
+    SQL-expressible; the oracle pins the NX-grounded graded-scale value
+    (same provenance as the max_flow pin) plus the certificate flag."""
+    from pysparkflow.algo.mincut import min_cut
+
+    g = _lineitem_graph(spark, sf_dir)
+    res = min_cut(
+        g,
+        sources=[1, 2, 3],
+        sinks=[1_000_001, 1_000_002],
+        flow_result=_lineitem_max_flow(spark, sf_dir),
+    )
+    return spark.createDataFrame(
+        [(res.value, res.flow.value, res.certified)],
+        schema="cut_value long, max_flow long, certified boolean",
+    )
+
+
+# strong duality: cut == flow == the NX-grounded 75 at sf0.01 (the
+# max_flow pin's provenance); certified is the in-engine duality check
+_Q_MIN_CUT_SQL = """
+SELECT CAST(75 AS BIGINT) AS cut_value, CAST(75 AS BIGINT) AS max_flow,
+       true AS certified
 """
 
 
@@ -1802,6 +1844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "min_cut": q_min_cut,
     "cluster_sample": q_cluster_sample,
     "knn_ivf": q_knn_ivf,
     "knn_ivf_recall": q_knn_ivf_recall,
@@ -1856,6 +1899,7 @@ ORACLE_SQL: dict[str, str] = {
     "max_flow": _Q_MAX_FLOW_SQL,
     "max_flow_approx": _Q_MAX_FLOW_APPROX_SQL,
     "connected_components": _Q_CC_SQL,
+    "min_cut": _Q_MIN_CUT_SQL,
     "cluster_sample": _Q_CLUSTER_SAMPLE_SQL,
     "knn_ivf": _Q_KNN_IVF_SQL,
     "knn_ivf_recall": _Q_KNN_IVF_RECALL_SQL,
@@ -1909,4 +1953,5 @@ SF_PINNED_ORACLES = {
     "max_flow_approx": "sf0.01",
     "knn_ivf": "sf0.01",
     "cluster_sample": "sf0.01",
+    "min_cut": "sf0.01",
 }
