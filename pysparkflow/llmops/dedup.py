@@ -262,3 +262,27 @@ def simhash_signatures(
         ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return counts.select("id", sig.alias("simhash"))
+
+
+def dedup_resolution(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters and elect a canonical
+    survivor per cluster: (doc_id, keep_id) where keep_id is the minimum
+    doc id in the doc's connected component of the pair graph.
+
+    Near-dup similarity is not transitive — A~B and B~C does not imply
+    A~C — but dedup policy treats the transitive closure as one identity
+    cluster (keep one representative per chain). This is the standard
+    resolution step after any pair generator (MinHash-LSH, SimHash,
+    embedding near-dups): label propagation over the pair graph
+    (algo/components — min-id convergence, O(diameter) rounds), with
+    chain diameters in practice tiny (duplicate families, not social
+    graphs). Rows not in any pair are absent — they keep themselves."""
+    from pysparkflow.algo.components import connected_components
+    from pysparkflow.graph.graph import FlowGraph
+
+    edge_pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    g = FlowGraph.from_edge_pairs(pairs.sparkSession, edge_pairs)
+    cc = connected_components(g)
+    return cc.select(F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id"))

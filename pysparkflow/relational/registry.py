@@ -880,6 +880,39 @@ FROM ranked WHERE rk <= 5
 """
 
 
+def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash-LSH, J >= 0.5) resolved into identity
+    clusters: each clustered doc mapped to its component's minimum id
+    (the canonical survivor). Transitive closure via label propagation
+    (algo/components) — the standard resolution step after any pair
+    generator."""
+    from pysparkflow.llmops.dedup import dedup_resolution, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_resolution(pairs)
+
+
+# transitive closure of the SAME pair set the dedup_minhash_lsh oracle
+# recomputes (md5 minhash + banding + exact-Jaccard verify >= 0.5),
+# expressed as a recursive reachability CTE: keep_id = min reachable id.
+# DuckDB allows a WITH-bearing subquery, so the minhash oracle body is
+# embedded verbatim — one definition of the pair semantics, two oracles.
+_Q_DEDUP_RESOLUTION_SQL = f"""
+WITH RECURSIVE undirected AS (
+  SELECT id_a AS a, id_b AS b FROM ({_Q_DEDUP_MINHASH_SQL})
+  UNION ALL
+  SELECT id_b, id_a FROM ({_Q_DEDUP_MINHASH_SQL})
+), reach(a, b) AS (
+  SELECT a, b FROM undirected
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS keep_id
+FROM reach GROUP BY a
+"""
+
+
 def q_min_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum s-t cut on the lineitem graph — the dual certificate of
     the max_flow entry: cut capacity must equal the flow value (strong
@@ -1844,6 +1877,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
+    "dedup_resolution": q_dedup_resolution,
     "min_cut": q_min_cut,
     "cluster_sample": q_cluster_sample,
     "knn_ivf": q_knn_ivf,
@@ -1899,6 +1933,7 @@ ORACLE_SQL: dict[str, str] = {
     "max_flow": _Q_MAX_FLOW_SQL,
     "max_flow_approx": _Q_MAX_FLOW_APPROX_SQL,
     "connected_components": _Q_CC_SQL,
+    "dedup_resolution": _Q_DEDUP_RESOLUTION_SQL,
     "min_cut": _Q_MIN_CUT_SQL,
     "cluster_sample": _Q_CLUSTER_SAMPLE_SQL,
     "knn_ivf": _Q_KNN_IVF_SQL,

@@ -87,3 +87,20 @@ def test_minhash_on_real_documents(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
     }
     assert strong <= lsh
+
+
+def test_dedup_resolution_transitive_chains(spark):
+    """A~B and B~C puts all three in one cluster with the min id kept,
+    even though A~C was never a pair; disjoint pairs stay separate."""
+    from pysparkflow.llmops.dedup import dedup_resolution
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.keep_id for r in dedup_resolution(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
