@@ -689,14 +689,34 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
 """
 
 
+# one MinHash pair computation per (application, sf_dir), shared by the
+# dedup_minhash_lsh and dedup_resolution entries — the resolution step is
+# defined over the SAME pair set, so recomputing it per entry would be a
+# second full shingle+band pass (session memo, same discipline as
+# _GRAPH_CACHE / _MAXFLOW_CACHE; persisted outside the per-query
+# release_tracked scratch caches)
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MINHASH_PAIRS_CACHE:
+        p = minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.5
+        ).persist()
+        p.count()
+        _MINHASH_PAIRS_CACHE[key] = p
+    return _MINHASH_PAIRS_CACHE[key]
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs. The whole pipeline (md5-derived shingle
     hash, affine permutations, band buckets, exact-Jaccard verify) is
     ANSI-reproducible, so the oracle below recomputes it verbatim —
     a full hash-match check, not rows-only."""
-    return minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _minhash_pairs(spark, sf_dir).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 # the oracle mirrors minhash_lsh_pairs exactly: same md5-word hash, same
@@ -888,9 +908,7 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator."""
     from pysparkflow.llmops.dedup import dedup_resolution, minhash_lsh_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
-    return dedup_resolution(pairs)
+    return dedup_resolution(_minhash_pairs(spark, sf_dir))
 
 
 # transitive closure of the SAME pair set the dedup_minhash_lsh oracle
