@@ -286,3 +286,27 @@ def dedup_resolution(
     g = FlowGraph.from_edge_pairs(pairs.sparkSession, edge_pairs)
     cc = connected_components(g)
     return cc.select(F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id"))
+
+
+def incremental_exact_flags(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental ingest dedup: flag arriving documents whose exact text
+    (md5) already exists in the standing corpus. (id, known_dup) — filter
+    ``~known_dup`` for the admit set.
+
+    Scale shape: the corpus side reduces to DISTINCT content hashes (in a
+    real deployment these are the stored fingerprints, not a re-scan);
+    the join is hash-equi on the digest. The arriving batch is normally
+    orders of magnitude smaller than the corpus — Catalyst broadcasts
+    whichever side is small, and either way no text ever shuffles, only
+    32-byte digests."""
+    known = corpus.select(F.md5(F.col(text_col)).alias("h")).distinct()
+    return (
+        new_docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
+        .join(known.withColumn("known_dup", F.lit(True)), "h", "left")
+        .select("id", F.coalesce("known_dup", F.lit(False)).alias("known_dup"))
+    )

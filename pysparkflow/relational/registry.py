@@ -931,6 +931,28 @@ FROM reach GROUP BY a
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs with id % 5 == 0 play the arriving
+    batch; each is flagged if its exact text already exists in the rest
+    of the corpus (md5 fingerprint equi-join — only digests move)."""
+    from pysparkflow.llmops.dedup import incremental_exact_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return incremental_exact_flags(new, corpus).select(
+        F.col("id").alias("doc_id"), "known_dup"
+    )
+
+
+_Q_INCREMENTAL_DEDUP_SQL = """
+SELECT n.doc_id,
+       (md5(n.text) IN (SELECT md5(text) FROM documents WHERE doc_id % 5 <> 0))
+         AS known_dup
+FROM documents n WHERE n.doc_id % 5 = 0
+"""
+
+
 def q_min_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum s-t cut on the lineitem graph — the dual certificate of
     the max_flow entry: cut capacity must equal the flow value (strong
@@ -1896,6 +1918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,
     "dedup_resolution": q_dedup_resolution,
+    "incremental_dedup": q_incremental_dedup,
     "min_cut": q_min_cut,
     "cluster_sample": q_cluster_sample,
     "knn_ivf": q_knn_ivf,
@@ -1952,6 +1975,7 @@ ORACLE_SQL: dict[str, str] = {
     "max_flow_approx": _Q_MAX_FLOW_APPROX_SQL,
     "connected_components": _Q_CC_SQL,
     "dedup_resolution": _Q_DEDUP_RESOLUTION_SQL,
+    "incremental_dedup": _Q_INCREMENTAL_DEDUP_SQL,
     "min_cut": _Q_MIN_CUT_SQL,
     "cluster_sample": _Q_CLUSTER_SAMPLE_SQL,
     "knn_ivf": _Q_KNN_IVF_SQL,

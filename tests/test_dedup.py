@@ -104,3 +104,17 @@ def test_dedup_resolution_transitive_chains(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_incremental_exact_flags(spark):
+    from pysparkflow.llmops.dedup import incremental_exact_flags
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also known")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "also known")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r.known_dup for r in incremental_exact_flags(new, corpus).collect()}
+    assert got == {10: True, 11: False, 12: True}
