@@ -20,8 +20,12 @@ _EXECUTING = {
     "max_flow_approx",
     "bfs_distances",
     "connected_components",
+    "min_cut",            # runs max-flow + residual BFS loop
+    "dedup_resolution",   # label-propagation iteration
     "events_stream_windowed",
+    "events_stream_sessions",
     "events_stream_join",
+    "events_stream_enrich",
     "events_stream_dedup",
     "events_stream_stateful",
 }
@@ -51,6 +55,10 @@ def test_no_cartesian_or_nested_loop(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} degraded to a nested-loop join"
         )
+    # Python in the hot path must be Arrow-batched (MapInPandas /
+    # ArrowEvalPython) — row-at-a-time BatchEvalPython is the 10-100x
+    # slow path and never acceptable in a graded plan
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
 def test_scan_column_pruning(spark, sf_dir):
