@@ -116,6 +116,23 @@ def main() -> int:
     }
     assert res.value == n_bits, (res.value, n_bits)
     print("[scale] MAXFLOW OK", out["max_flow"], file=sys.stderr)
+
+    # --- min-cut: duality certificate at scale — cut == flow == n_bits ----
+    from pysparkflow.algo.mincut import min_cut
+
+    t0 = time.time()
+    cut = min_cut(g, sources=[0], sinks=[n - 1], flow_result=res)
+    n_cut_edges = cut.cut_edges.count()
+    out["min_cut"] = {
+        "sec": round(time.time() - t0, 1),
+        "value": cut.value,
+        "expected": n_bits,
+        "certified": cut.certified,
+        "cut_edges": n_cut_edges,
+    }
+    # Qn: the minimum cut isolates one endpoint's n_bits unit edges
+    assert cut.value == n_bits and cut.certified and n_cut_edges == n_bits, out["min_cut"]
+    print("[scale] MINCUT OK", out["min_cut"], file=sys.stderr)
     print(json.dumps(out))
     return 0
 
