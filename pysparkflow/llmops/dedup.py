@@ -310,3 +310,71 @@ def incremental_exact_flags(
         .join(known.withColumn("known_dup", F.lit(True)), "h", "left")
         .select("id", F.coalesce("known_dup", F.lit(False)).alias("known_dup"))
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    chunk_words: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level exact dedup (the chunked approximation of
+    exact-substring dedup): split each document into consecutive
+    ``chunk_words``-word spans, drop every span whose exact text already
+    occurred earlier in the corpus (first occurrence in (doc_id, span
+    index) order survives), and reassemble the surviving spans.
+
+    Doc-level dedup misses boilerplate repeated INSIDE otherwise-distinct
+    documents (headers, license blocks, templated paragraphs); span-level
+    removal rewrites the text instead of dropping the document.
+
+    Returns (id, text_clean, n_spans, n_dropped).
+
+    Scale shape: one corpus-sized shuffle keyed by the span's md5 (the
+    first-occurrence window — span text rides along so no second
+    derivation of the split), then one shuffle keyed by doc id to
+    reassemble. Both aggregations are combiner-friendly; no all-pairs
+    stage exists anywhere. The window partition is a single span hash —
+    skew equals the duplication count of one span, which is exactly the
+    data this operator removes."""
+    from pyspark.sql.window import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("idx", "span"),
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy("id", "idx")
+    flagged = spans.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("idx", "span"))
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .select(
+            "id",
+            "text_clean",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dropped").cast("long").alias("n_dropped"),
+        )
+    )

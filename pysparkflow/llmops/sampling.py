@@ -62,6 +62,59 @@ def stratified_sample(
     return df.where(bucket < thr)
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: draw ~``target_frac`` of
+    the corpus with per-group allocation proportional to ``count^alpha``
+    (alpha < 1 flattens the source distribution — the standard remedy for
+    head-heavy web corpora, where uniform sampling lets a few giant
+    domains dominate the training mixture). ``alpha=0.5`` is fixed to
+    sqrt so the oracle replays the exact arithmetic.
+
+    Determinism across engines: group weights are quantized to integers
+    (``floor(sqrt(count) * 1e6)``) before the denominator sum, so the
+    only floating-point is one fixed-shape expression per group —
+    identical bit-for-bit in Spark and DuckDB; row selection then keys
+    off the portable md5 hash exactly like ``stratified_sample``.
+
+    Scale shape: one combiner-friendly count per group, two scalar
+    aggregates collected to the driver (the reference's driver-side
+    coordination discipline, SURVEY §3.3), and a broadcast of the
+    group→threshold table (|groups| rows) back onto a map-only filter —
+    the corpus itself never shuffles. Groups larger than their allocation
+    are rate-limited; groups small enough to fit entirely are kept whole
+    (rate capped at 1), matching temperature-sampling-with-ceiling."""
+    if alpha != 0.5:
+        raise ValueError("alpha is fixed at 0.5 (sqrt) for oracle-exact replay")
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("_c"))
+    counts = counts.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_c")) * F.lit(1e6)).cast("long")
+    )
+    scal = counts.select(
+        F.sum("_c").alias("t"), F.sum("_w").alias("d")
+    ).collect()[0]
+    target = int(scal["t"] * target_frac)
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(float(target)) * F.col("_w").cast("double"))
+        / (F.lit(float(scal["d"])) * F.col("_c").cast("double")),
+    )
+    thr = counts.select(
+        group_col, F.floor(rate * F.lit(_BUCKETS)).cast("int").alias("_thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .where(_bucket(id_col, seed) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def quantile_quality_filter(
     docs: DataFrame,
     metric_col: str = "n_chars",

@@ -1,0 +1,70 @@
+"""TF-IDF salient-term extraction over the document corpus.
+
+The classic corpus-analysis pass of a data pipeline: which terms
+characterize each source/domain? Implemented entirely with built-in
+DataFrame operators (explode → two aggregations → window top-k), so
+every stage is whole-stage-codegen JVM work with map-side partial
+aggregation:
+
+- tokenize: ``explode(split(text))`` — fused into the scan;
+- document frequency: ``groupBy(term).agg(count_distinct(doc))`` over
+  the (term, doc) pairs — combiner-friendly, one shuffle keyed by term;
+- term frequency per group: ``groupBy(group, term).count()`` — one
+  shuffle keyed by (group, term);
+- idf join: the per-term df table is vocabulary-sized (tiny next to the
+  corpus) — broadcast, so the tf table never reshuffles;
+- top-k: ``row_number`` window per group over the scored table, which is
+  |groups|×|vocab| rows — orders of magnitude smaller than the corpus.
+
+At 100 TB the only corpus-sized shuffles are the two keyed aggregations,
+both with partial aggregation upstream; everything after operates on
+vocabulary-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def source_salient_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` terms per ``group_col`` by tf·idf, where tf is the
+    term's occurrence count within the group and idf is the document-level
+    ``ln(N_docs / df)``. Deterministic tie-break: (score desc, term asc).
+
+    Returns (group, term, tf, score, rank) with score rounded so the
+    DuckDB oracle hash-matches float-for-float.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n")).collect()[0]["n"]
+    df_tbl = toks.groupBy("term").agg(F.count_distinct("did").alias("df"))
+    tf_tbl = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    scored = tf_tbl.join(F.broadcast(df_tbl), "term").select(
+        F.col("grp").alias(group_col),
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), round_to
+        ).alias("score"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("score").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(group_col, "term", "tf", "score", "rank")
+    )

@@ -110,6 +110,11 @@ def events_ts_encoding(events_path: str, glob_filter: str | None = None) -> str:
         if not parts:
             raise FileNotFoundError(f"no parquet files under {events_path}")
         path = parts[0]
+    elif any(c in path for c in "*?["):
+        parts = sorted(glob.glob(path))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files match {events_path}")
+        path = parts[0]
     t = pq.read_schema(path).field("ts").type
     if pa.types.is_timestamp(t) and t.unit == "ns":
         return "nanos"
@@ -1888,6 +1893,138 @@ SELECT CAST(14206 AS BIGINT) AS approx_orders,
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salient terms per source: explode → two combiner-friendly
+    aggregations → broadcast idf join → vocabulary-sized top-k window
+    (llmops/tfidf.py)."""
+    from pysparkflow.llmops.tfidf import source_salient_terms
+
+    return source_salient_terms(load_table(spark, sf_dir, "documents"), top_k=3)
+
+
+_Q_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), tf AS (
+  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf,
+         round(tf.tf * ln(nd.n / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (term), nd
+)
+SELECT source, term, tf, score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score DESC, term ASC
+  ) AS rank FROM scored
+) WHERE rank <= 3
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-fused text scrubbing (llmops/scrub.py): PII families (email,
+    long id numbers) plus a term blocklist, counted against the original
+    text and replaced in one chained map-only pass."""
+    from pysparkflow.llmops.scrub import blocklist_pattern, scrub_text
+
+    pats = [
+        ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("id_number", r"\b\d{9,}\b", "<ID>"),
+        ("blocked", blocklist_pattern(["customer", "spark"]), "<BLOCKED>"),
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    return scrub_text(docs, patterns=pats).select(
+        "doc_id", "n_email", "n_id_number", "n_blocked", "text_clean"
+    )
+
+
+_Q_PII_SCRUB_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+    AS n_email,
+  len(regexp_extract_all(text, '\b\d{9,}\b')) AS n_id_number,
+  len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_blocked,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{9,}\b', '<ID>', 'g'),
+    '\b(customer|spark)\b', '<BLOCKED>', 'g') AS text_clean
+FROM documents
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (chunked exact-substring removal,
+    llmops/dedup.py::span_dedup): 16-word spans, corpus-wide first
+    occurrence survives, texts reassembled."""
+    from pysparkflow.llmops.dedup import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"), chunk_words=16)
+
+
+_Q_SPAN_DEDUP_SQL = r"""
+WITH w AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), spans AS (
+  SELECT id, CAST(i AS INTEGER) AS idx,
+         array_to_string(t[i * 16 + 1 : i * 16 + 16], ' ') AS span
+  FROM (SELECT id, t, unnest(range(CAST(ceil(len(t) / 16.0) AS BIGINT))) AS i
+        FROM w)
+), ranked AS (
+  SELECT id, idx, span,
+         row_number() OVER (PARTITION BY md5(span) ORDER BY id, idx) AS rn
+  FROM spans
+)
+SELECT id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx),
+                '') AS text_clean,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY id
+"""
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (alpha=0.5, half the
+    corpus): per-source allocation proportional to sqrt(count), selection
+    keyed off the portable md5 hash (llmops/sampling.py)."""
+    from pysparkflow.llmops.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, group_col="source", target_frac=0.5, seed=7
+    ).select("doc_id", "source")
+
+
+_Q_TEMPERATURE_MIXTURE_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS _c,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS _w
+  FROM documents GROUP BY source
+), s AS (
+  SELECT sum(_c) AS t, sum(_w) AS d FROM c
+), thr AS (
+  SELECT source,
+         CAST(floor(least(1.0,
+             (floor(t * 0.5) * CAST(_w AS DOUBLE))
+             / (CAST(d AS DOUBLE) * CAST(_c AS DOUBLE))) * 10000)
+           AS INTEGER) AS thr
+  FROM c, s
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 10000
+      < thr
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -1950,6 +2087,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_count": q_bpe_token_count,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+    "tfidf_terms": q_tfidf_terms,
+    "pii_scrub": q_pii_scrub,
+    "span_dedup": q_span_dedup,
+    "temperature_mixture": q_temperature_mixture,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2014,6 +2155,10 @@ ORACLE_SQL: dict[str, str] = {
     "sql_revenue": _Q_SQL_REVENUE_SQL,
     "bpe_token_count": _Q_BPE_TOKEN_SQL,
     "embedding_near_dups": _Q_EMB_NEAR_DUPS_SQL,
+    "tfidf_terms": _Q_TFIDF_SQL,
+    "pii_scrub": _Q_PII_SCRUB_SQL,
+    "span_dedup": _Q_SPAN_DEDUP_SQL,
+    "temperature_mixture": _Q_TEMPERATURE_MIXTURE_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -254,6 +254,41 @@ def run_stream_enrich_batchlike(
     return _run_to_memory(enriched, query_name, "append")
 
 
+def run_stream_to_parquet(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+) -> DataFrame:
+    """Stream the events source into a parquet sink with a checkpoint —
+    the durable-landing leg of a pipeline (kafka → parquet lake at
+    scale). The checkpoint (WAL + source offsets) is what makes restarts
+    exactly-once: a file already recorded as committed is never
+    reprocessed, so re-running after new files arrive appends ONLY the
+    new data (pytest-verified by restarting over a grown directory).
+
+    ``transform`` optionally maps the stream DataFrame (filter/project)
+    before the sink; keep it stateless — stateful ops need watermarks
+    and their own output-mode reasoning (see the windowed harnesses).
+    Returns a batch reader over the sink directory."""
+    s = events_stream(spark, events_path)
+    if transform is not None:
+        s = transform(s)
+    q = (
+        s.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def run_stream_dedup_batchlike(
     spark: SparkSession,
     events_path: str,
