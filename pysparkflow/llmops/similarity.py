@@ -318,8 +318,13 @@ def embedding_near_dups_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    # normalize ONCE per vector (not per candidate pair): the verify dot is
-    # then a single zip_with/aggregate per pair instead of dot + two norms
+    # normalize ONCE per vector (not per candidate pair); the verify dot
+    # then runs as one Arrow-batched numpy row-wise product per partition
+    # (zip_with/aggregate HigherOrderFunctions evaluate INTERPRETED in
+    # Catalyst — at low thresholds the candidate set approaches all-pairs
+    # and the interpreted per-pair fold dominated the whole operator)
+    import pandas as pd
+
     from pysparkflow.functions.vector import l2_norm
 
     nrm = emb.select(
@@ -331,14 +336,29 @@ def embedding_near_dups_lsh(
     nrm = track(nrm)
     va = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
     vb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    thr = float(threshold)
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["va"]), dtype=np.float64)
+            B = np.asarray(list(pdf["vb"]), dtype=np.float64)
+            cos = np.einsum("ij,ij->i", A, B)
+            m = cos >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[m],
+                    "id_b": pdf["id_b"].to_numpy()[m],
+                    "cosine": cos[m],
+                }
+            )
+
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", dot.alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "va", "vb")
+        .mapInPandas(verify, "id_a long, id_b long, cosine double")
     )
 
 

@@ -174,6 +174,76 @@ def main() -> int:
     packed.unpersist()
     print("[llmops] packing OK", out["packing"], file=sys.stderr)
 
+    # span-level dedup with planted truth: 60 tokens / 16-word chunks ->
+    # 4 spans per doc. An exact-dup doc (≡7) duplicates all 4 spans of
+    # its predecessor; a near-dup (≡3) shares spans 0-2 (tokens 0-47)
+    # and differs in span 3 (last 3 of its 12 tokens mutated). Token
+    # words are hash-derived, so cross-doc span collisions are absent.
+    from pysparkflow.llmops.dedup import span_dedup
+
+    t0 = time.time()
+    sd = span_dedup(docs, chunk_words=16).persist()
+    by_drop = {
+        r["n_dropped"]: r["n"]
+        for r in sd.groupBy("n_dropped").agg(F.count("*").alias("n")).collect()
+    }
+    out["span_dedup"] = {
+        "sec": round(time.time() - t0, 1),
+        "full_dup_docs": by_drop.get(4, 0),
+        "partial_dup_docs": by_drop.get(3, 0),
+        "clean_docs": by_drop.get(0, 0),
+    }
+    assert by_drop.get(4, 0) == planted_exact, out["span_dedup"]
+    assert by_drop.get(3, 0) == planted_near, out["span_dedup"]
+    assert by_drop.get(0, 0) == n_docs - planted_exact - planted_near, out[
+        "span_dedup"
+    ]
+    sd.unpersist()
+    print("[llmops] span_dedup OK", out["span_dedup"], file=sys.stderr)
+
+    # scan-fused scrub + tfidf + temperature mixture: timed end-to-end;
+    # mixture checked against its own contract (sqrt flattening on a
+    # 9:1 planted skew; small group keeps a higher rate than the big one)
+    from pysparkflow.llmops.scrub import scrub_text
+    from pysparkflow.llmops.tfidf import source_salient_terms
+    from pysparkflow.llmops.sampling import temperature_mixture
+
+    t0 = time.time()
+    scrub_text(docs).write.format("noop").mode("overwrite").save()
+    out["pii_scrub"] = {"sec": round(time.time() - t0, 1)}
+
+    srcd = docs.withColumn(
+        "source", F.concat(F.lit("s"), F.pmod("doc_id", F.lit(1000)))
+    )
+    t0 = time.time()
+    n_tfidf = source_salient_terms(srcd, top_k=3).count()
+    out["tfidf"] = {"sec": round(time.time() - t0, 1), "rows": n_tfidf}
+    assert n_tfidf == 3000, out["tfidf"]
+
+    skew = docs.withColumn(
+        "source",
+        F.when(F.pmod("doc_id", F.lit(10)) < 9, "big").otherwise("small"),
+    )
+    t0 = time.time()
+    mix = (
+        temperature_mixture(skew, target_frac=0.5, seed=7)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    rates = {r["source"]: r["n"] / (0.9 * n_docs if r["source"] == "big" else 0.1 * n_docs) for r in mix}
+    out["temperature_mixture"] = {
+        "sec": round(time.time() - t0, 1),
+        "big_rate": round(rates.get("big", 0), 3),
+        "small_rate": round(rates.get("small", 0), 3),
+    }
+    assert rates.get("small", 0) > rates.get("big", 1), out["temperature_mixture"]
+    print(
+        "[llmops] scrub/tfidf/mixture OK",
+        out["pii_scrub"], out["tfidf"], out["temperature_mixture"],
+        file=sys.stderr,
+    )
+
     print(json.dumps(out))
     return 0
 
