@@ -2025,6 +2025,89 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 10000
 """
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation pipeline composing the round-4
+    operators end-to-end: span-level dedup rewrites texts (16-word
+    first-occurrence spans), blocklist scrub redacts policy terms,
+    a 20-token floor drops gutted documents, temperature mixture
+    (sqrt-flattened, half the corpus) draws the training mix, and the
+    result is summarized per source. Every stage is individually
+    DD-gated; this entry checks their composition."""
+    from pysparkflow.llmops.dedup import span_dedup
+    from pysparkflow.llmops.sampling import temperature_mixture
+    from pysparkflow.llmops.scrub import blocklist_pattern, scrub_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    sd = span_dedup(docs, chunk_words=16).select(
+        F.col("id").alias("doc_id"), "text_clean"
+    )
+    scrubbed = scrub_text(
+        sd,
+        patterns=[
+            ("blocked", blocklist_pattern(["customer", "spark"]), "<BLOCKED>")
+        ],
+        text_col="text_clean",
+        out_col="text_final",
+    )
+    n_toks = F.size(F.split(F.trim(F.col("text_final")), r"\s+"))
+    enriched = (
+        scrubbed.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("n_toks", n_toks)
+        .where(F.col("n_toks") >= 20)
+        .select("doc_id", "source", "n_toks")
+    )
+    # the mixture reads this three times (scalar totals, per-group
+    # thresholds, final selection) — persist the span-dedup + scrub
+    # prefix instead of recomputing it per pass (released by the caller
+    # via engine.cache, same discipline as the shingle index)
+    from pysparkflow.engine.cache import track
+
+    enriched = track(enriched)
+    mixed = temperature_mixture(
+        enriched, group_col="source", target_frac=0.5, seed=7
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    )
+
+
+_Q_CURATION_V2_SQL = rf"""
+WITH sd AS ({_Q_SPAN_DEDUP_SQL}),
+scr AS (
+  SELECT id AS doc_id,
+         regexp_replace(text_clean, '\b(customer|spark)\b', '<BLOCKED>', 'g')
+           AS text_final
+  FROM sd
+), enr AS (
+  SELECT s.doc_id, d.source,
+         len(regexp_split_to_array(trim(s.text_final), '\s+')) AS n_toks
+  FROM scr s JOIN documents d USING (doc_id)
+  WHERE len(regexp_split_to_array(trim(s.text_final), '\s+')) >= 20
+), c AS (
+  SELECT source, count(*) AS _c,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS _w
+  FROM enr GROUP BY source
+), s2 AS (
+  SELECT sum(_c) AS t, sum(_w) AS d FROM c
+), thr AS (
+  SELECT source,
+         CAST(floor(least(1.0,
+             (floor(t * 0.5) * CAST(_w AS DOUBLE))
+             / (CAST(d AS DOUBLE) * CAST(_c AS DOUBLE))) * 10000)
+           AS INTEGER) AS thr
+  FROM c, s2
+), sel AS (
+  SELECT e.doc_id, e.source, e.n_toks
+  FROM enr e JOIN thr USING (source)
+  WHERE ('0x' || substr(md5(e.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 10000
+        < thr
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM sel GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -2091,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": q_pii_scrub,
     "span_dedup": q_span_dedup,
     "temperature_mixture": q_temperature_mixture,
+    "curation_pipeline_v2": q_curation_pipeline_v2,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2159,6 +2243,7 @@ ORACLE_SQL: dict[str, str] = {
     "pii_scrub": _Q_PII_SCRUB_SQL,
     "span_dedup": _Q_SPAN_DEDUP_SQL,
     "temperature_mixture": _Q_TEMPERATURE_MIXTURE_SQL,
+    "curation_pipeline_v2": _Q_CURATION_V2_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
