@@ -83,6 +83,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    cal_before = _host_calibration()
     spark = get_spark(
         app_name="pysparkflow-bench",
         master=f"local[{cpus}]",
@@ -121,7 +122,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
-                "host_calibration": _host_calibration(),
+                # probed twice: the bench host is a VM whose effective CPU
+                # speed drifts WITHIN a run (observed 0.20s-0.33s for the
+                # same pinned loop minutes apart); two samples bound the
+                # drift a given run was subject to
+                "host_calibration": cal_before,
+                "host_calibration_after": _host_calibration(),
             }
         )
     )
