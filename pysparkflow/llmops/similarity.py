@@ -362,6 +362,88 @@ def embedding_near_dups_lsh(
     )
 
 
+def knn_graph(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the whole corpus: for every vector,
+    its top-k neighbors by cosine among LSH-bucket candidates — the
+    curation primitive behind diversity pruning, graph-based cluster
+    discovery, and hard-negative mining, where every row (not a small
+    query set) needs neighbors.
+
+    Candidates are generated undirected (id_a < id_b) and verified ONCE
+    per pair with the Arrow-batched numpy dot, then mirrored into both
+    directions before the per-vertex top-k window — at corpus scale the
+    verify is the dominant cost and this halves it. Recall is governed by
+    the banding exactly as in ``knn_lsh``; a vector whose true neighbor
+    never collides in any band misses it (the brute-force baseline is
+    ``knn_bruteforce``). Returns (id, neighbor, cosine, rank)."""
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    from pysparkflow.functions.vector import l2_norm
+
+    banded = _band_buckets(emb, id_col, vec_col, n_bits, bands, dim, seed)
+    cands = (
+        banded.select(F.col("id").alias("id_a"), "bucket")
+        .join(banded.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nrm = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+        ).alias("nv"),
+    )
+    nrm = track(nrm)
+    va = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
+    vb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.asarray(list(pdf["va"]), dtype=np.float64)
+            B = np.asarray(list(pdf["vb"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "cosine": np.einsum("ij,ij->i", A, B),
+                }
+            )
+
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", "va", "vb")
+        .mapInPandas(verify, "id_a long, id_b long, cosine double")
+    )
+    directed = scored.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor"), "cosine"
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor"), "cosine"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "neighbor", "cosine", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()

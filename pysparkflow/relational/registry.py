@@ -2025,6 +2025,60 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 10000
 """
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide kNN graph (top-3 neighbors per vector among LSH
+    candidates, llmops/similarity.py::knn_graph). Approximate but fully
+    deterministic; the oracle replays signatures, banding, the candidate
+    join, and the per-vertex top-k window with the same plane literals."""
+    from pysparkflow.llmops.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_graph(emb, k=3, dim=64)
+    return out.select(
+        "id", "neighbor", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+# replays knn_graph with the same 16 seeded plane literals as knn_lsh
+# (_LSH_BITS above): sign signatures, 4-bit band codes, undirected
+# candidate join mirrored into both directions, per-vertex top-3 window
+_Q_KNN_GRAPH_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, ({_LSH_BITS}) AS s FROM base
+), banded AS (
+  SELECT vec_id,
+         CAST(b AS BIGINT) * 281474976710656
+         + (substr(s, b * 4 + 1, 1) = '1')::BIGINT
+         + (substr(s, b * 4 + 2, 1) = '1')::BIGINT * 2
+         + (substr(s, b * 4 + 3, 1) = '1')::BIGINT * 4
+         + (substr(s, b * 4 + 4, 1) = '1')::BIGINT * 8 AS bucket
+  FROM sig, (VALUES (0), (1), (2), (3)) t(b)
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b USING (bucket)
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_a, id_b, list_cosine_similarity(ba.v, bb.v) AS cos
+  FROM cands JOIN base ba ON ba.vec_id = id_a
+             JOIN base bb ON bb.vec_id = id_b
+), directed AS (
+  SELECT id_a AS id, id_b AS neighbor, cos FROM scored
+  UNION ALL
+  SELECT id_b AS id, id_a AS neighbor, cos FROM scored
+), ranked AS (
+  SELECT id, neighbor, cos,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY cos DESC, neighbor) AS rk
+  FROM directed
+)
+SELECT id, neighbor, round(cos, 4) AS cosine, CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= 3
+"""
+
+
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-generation curation pipeline composing the round-4
     operators end-to-end: span-level dedup rewrites texts (16-word
@@ -2175,6 +2229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "temperature_mixture": q_temperature_mixture,
     "curation_pipeline_v2": q_curation_pipeline_v2,
+    "knn_graph": q_knn_graph,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2244,6 +2299,7 @@ ORACLE_SQL: dict[str, str] = {
     "span_dedup": _Q_SPAN_DEDUP_SQL,
     "temperature_mixture": _Q_TEMPERATURE_MIXTURE_SQL,
     "curation_pipeline_v2": _Q_CURATION_V2_SQL,
+    "knn_graph": _Q_KNN_GRAPH_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

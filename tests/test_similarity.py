@@ -203,3 +203,35 @@ def test_cluster_balanced_sample_semantics(spark, emb):
         assert len(ranks) <= 3
     ids = [r.id for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_knn_graph_clusters(spark):
+    # 4 tight clusters of 10 vectors each: every vector's top neighbors
+    # must come from its own cluster (in-cluster cosine ~0.99+, across
+    # ~0); tight pairs collide in every LSH band, so recall is exact here
+    from pysparkflow.llmops.similarity import knn_graph
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 64)) * 10
+    rows = []
+    for i in range(40):
+        v = centers[i % 4] + rng.standard_normal(64) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph(df, k=3, dim=64).collect()
+    assert len(out) == 40 * 3
+    for r in out:
+        assert r["id"] % 4 == r["neighbor"] % 4, (r["id"], r["neighbor"])
+        assert r["cosine"] > 0.9
+
+
+def test_knn_graph_symmetric_scoring(spark, emb):
+    # the undirected verify + mirror must score (a,b) and (b,a) equally
+    from pysparkflow.llmops.similarity import knn_graph
+
+    out = knn_graph(emb.where("vec_id < 50"), k=5, dim=64)
+    pdf = out.toPandas()
+    sc = {(r.id, r.neighbor): r.cosine for r in pdf.itertuples()}
+    for (a, b), c in sc.items():
+        if (b, a) in sc:
+            assert abs(sc[(b, a)] - c) < 1e-12

@@ -104,6 +104,33 @@ def main() -> int:
     }
     assert top1_twin >= 0.95 * n_q, out["knn_lsh"]
     print("[ann] knn OK", out["knn_lsh"], file=sys.stderr)
+
+    # corpus-wide kNN graph at the same banding: every planted near-dup
+    # row must see its twin at rank 1 (checked from the ≡3 side; the
+    # twin's own neighbor list sees the ≡3 row symmetrically). With
+    # r=16-bit bands the background collision rate is ~2.4e-4, so the
+    # verify set stays ~1e-4 of all-pairs — the graph is built without
+    # any quadratic stage.
+    from pysparkflow.llmops.similarity import knn_graph
+
+    t0 = time.time()
+    g = knn_graph(emb, k=1, n_bits=256, bands=16, dim=DIM).persist()
+    twin_edges = g.where(
+        (F.pmod(F.col("id"), 10) == 3)
+        & (F.col("neighbor") == F.col("id") - 1)
+        & (F.col("rank") == 1)
+    ).count()
+    n_rows = g.count()
+    out["knn_graph"] = {
+        "sec": round(time.time() - t0, 1),
+        "rows": n_rows,
+        "planted": planted,
+        "twin_at_rank1": twin_edges,
+        "twin_recall": round(twin_edges / planted, 4),
+    }
+    assert out["knn_graph"]["twin_recall"] >= 0.98, out["knn_graph"]
+    g.unpersist()
+    print("[ann] knn_graph OK", out["knn_graph"], file=sys.stderr)
     print(json.dumps(out))
     return 0
 
