@@ -162,6 +162,28 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_rows(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, bucket) rows from a signature table: bucket is the
+    comma-joined run of the band's r minhashes — the only join key that
+    ever shuffles in the LSH paths, reproduced verbatim by the oracle."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{band * r + j}") for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -190,22 +212,7 @@ def minhash_lsh_pairs(
     # signature aggregation and the exact-Jaccard verification join
     sh = track(_shingle_sets(df, id_col, text_col, shingle_n))
     sig = minhash_signatures_from_shingles(sh, num_hashes, seed)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col(f"m{band * r + j}") for j in range(r)]
-                        ).alias("bucket"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _minhash_band_rows(sig, bands, r)
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cands = (
@@ -309,6 +316,66 @@ def incremental_exact_flags(
         new_docs.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h"))
         .join(known.withColumn("known_dup", F.lit(True)), "h", "left")
         .select("id", F.coalesce("known_dup", F.lit(False)).alias("known_dup"))
+    )
+
+
+def incremental_minhash_flags(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental NEAR-dup ingest check: for each arriving document, its
+    best match in the standing corpus by exact shingle Jaccard, with
+    candidates from a bipartite MinHash band-bucket join — the
+    approximate counterpart of ``incremental_exact_flags`` for the
+    copy-with-edits case an md5 equality check misses. Ids of the two
+    sides must be disjoint. Returns (id, match_id, jaccard): one row per
+    arriving doc that has a corpus match at or above ``threshold``
+    (max jaccard, ties to the smallest match_id); clean docs are absent.
+
+    Scale shape: in deployment the corpus side's signatures are the
+    STORED index (computed once at admit time, num_hashes ints per doc),
+    so an arriving batch costs its own shingling plus a bucket equi-join
+    against the index — never a rescan of the corpus text. Here both
+    sides are derived from scratch for the oracle's benefit; the plan is
+    identical from the bucket join onward."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    sh_new = track(_shingle_sets(new_docs, id_col, text_col, shingle_n))
+    sh_old = track(_shingle_sets(corpus, id_col, text_col, shingle_n))
+    b_new = _minhash_band_rows(
+        minhash_signatures_from_shingles(sh_new, num_hashes, seed), bands, r
+    )
+    b_old = _minhash_band_rows(
+        minhash_signatures_from_shingles(sh_old, num_hashes, seed), bands, r
+    )
+    cands = (
+        b_new.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(b_old.select(F.col("id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = _jaccard_verify(sh_new.unionByName(sh_old), threshold, cands=cands)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("jaccard").desc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("id"),
+            F.col("id_b").alias("match_id"),
+            "jaccard",
+        )
     )
 
 

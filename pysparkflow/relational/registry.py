@@ -2025,6 +2025,100 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || ':7'), 1, 8))::BIGINT % 10000
 """
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest check: odd doc_ids play the arriving
+    batch, even doc_ids the standing corpus; each arriving doc gets its
+    best corpus match by exact shingle Jaccard (candidates from the
+    bipartite MinHash band join — llmops/dedup.py
+    incremental_minhash_flags)."""
+    from pysparkflow.llmops.dedup import incremental_minhash_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = incremental_minhash_flags(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    )
+    return out.select("id", "match_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# replays incremental_minhash_flags: signatures over the whole table (a
+# doc's signature depends only on its own shingles, so one sig CTE equals
+# the two per-side computations), bipartite odd->even bucket join, exact
+# Jaccard verify, best match per arriving doc
+_Q_INCR_NEAR_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+), h AS (
+  SELECT id, (('0x' || substr(md5(sh), 1, 8))::BIGINT) % {{prime}} AS h FROM sh
+), sig AS (
+  SELECT id, {{mins}}
+  FROM h GROUP BY id
+), banded AS (
+  {{bands}}
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band, bucket)
+  WHERE a.id % 2 = 1 AND b.id % 2 = 0
+), sizes AS (
+  SELECT id, count(*) AS n_sh FROM sh GROUP BY id
+), common AS (
+  SELECT id_a, id_b, count(*) AS n_common
+  FROM cands JOIN sh a ON a.id = id_a JOIN sh b ON b.id = id_b AND b.sh = a.sh
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a AS id, id_b AS match_id,
+         n_common / (sa.n_sh + sb.n_sh - n_common) AS j
+  FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+)
+SELECT id, match_id, round(j, 6) AS jaccard FROM scored
+QUALIFY row_number() OVER (PARTITION BY id ORDER BY j DESC, match_id) = 1
+"""
+_Q_INCR_NEAR_DUP_SQL = _Q_INCR_NEAR_DUP_SQL.format(
+    prime=_MH_PRIME, mins=_MH_MINS, bands=_MH_BANDS
+)
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (CDC upsert materialization): the LATEST
+    event per (user_id, event_type) by event time, ties broken by
+    event_id — the batch equivalent of compacting a keyed update stream
+    into current state. One shuffle keyed by the compaction key; the
+    window never materializes more than a partition's rows, and at 100 TB
+    the same plan runs over date-partitioned input with the key shuffle
+    as the only data movement."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.round("value", 2).alias("latest_value"),
+            "event_id",
+        )
+    )
+
+
+_Q_LATEST_PER_KEY_SQL = """
+SELECT user_id, event_type, ts AS latest_ts,
+       round(value, 2) AS latest_value, event_id
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+) = 1
+"""
+
+
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide kNN graph (top-3 neighbors per vector among LSH
     candidates, llmops/similarity.py::knn_graph). Approximate but fully
@@ -2230,6 +2324,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mixture": q_temperature_mixture,
     "curation_pipeline_v2": q_curation_pipeline_v2,
     "knn_graph": q_knn_graph,
+    "latest_per_key": q_latest_per_key,
+    "incremental_near_dup": q_incremental_near_dup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2300,6 +2396,8 @@ ORACLE_SQL: dict[str, str] = {
     "temperature_mixture": _Q_TEMPERATURE_MIXTURE_SQL,
     "curation_pipeline_v2": _Q_CURATION_V2_SQL,
     "knn_graph": _Q_KNN_GRAPH_SQL,
+    "latest_per_key": _Q_LATEST_PER_KEY_SQL,
+    "incremental_near_dup": _Q_INCR_NEAR_DUP_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

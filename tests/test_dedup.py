@@ -118,3 +118,31 @@ def test_incremental_exact_flags(spark):
     )
     got = {r.id: r.known_dup for r in incremental_exact_flags(new, corpus).collect()}
     assert got == {10: True, 11: False, 12: True}
+
+
+def test_incremental_minhash_flags(spark):
+    from pysparkflow.llmops.dedup import incremental_minhash_flags
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows_corpus = [
+        (0, base),
+        (2, "completely different words about spark shuffles and partitions here"),
+        (4, base.replace("today", "tonight")),  # near-dup of 0, same side
+    ]
+    rows_new = [
+        (1, base),  # exact copy of corpus 0: J=1, every band collides
+        (3, "nothing like anything in the standing corpus at all whatsoever"),
+    ]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    out = incremental_minhash_flags(
+        mk(rows_new), mk(rows_corpus), threshold=0.3
+    ).collect()
+    flagged = {r["id"]: (r["match_id"], r["jaccard"]) for r in out}
+    # doc 1 matches the corpus; best match is max-J with min-id tie-break
+    # (doc 0 at J=1.0 beats the tonight-variant doc 4)
+    assert flagged.get(1) == (0, 1.0), flagged
+    # doc 3 is clean -> absent; corpus-side docs never appear as ids
+    # (the 0~4 near-dup pair is same-side and must not flag)
+    assert set(flagged) == {1}
+    # one row per flagged doc (best match only)
+    assert len(out) == 1
