@@ -2084,6 +2084,69 @@ _Q_INCR_NEAR_DUP_SQL = _Q_INCR_NEAR_DUP_SQL.format(
 )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (operators/snapshot.py): the 'old' snapshot
+    drops ids ≡0 (mod 11) [those read as 'added'], the 'new' snapshot
+    drops ids ≡0 (mod 13) ['removed'] and rewrites the text of ids ≡0
+    (mod 10) ['changed']; digest-only full-outer comparison."""
+    from pysparkflow.operators.snapshot import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
+_Q_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT doc_id AS id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+), n AS (
+  SELECT doc_id AS id,
+         md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(o.id, n.id) AS id,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.id = n.id
+WHERE o.id IS NULL OR n.id IS NULL OR o.h <> n.h
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch (sketch family, alongside the HLL
+    approx_distinct): percentile_approx over lineitem extended price at
+    accuracy 1000. Deterministic for a fixed dataset, so the oracle pins
+    the graded-scale result; a pytest bounds each estimate against the
+    exact percentile at the sketch's rank-error guarantee."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 1000)
+        .cast("array<double>")
+        .alias("approx_quantiles")
+    ).select(
+        F.round(F.col("approx_quantiles")[0], 2).alias("q25"),
+        F.round(F.col("approx_quantiles")[1], 2).alias("q50"),
+        F.round(F.col("approx_quantiles")[2], 2).alias("q75"),
+        F.round(F.col("approx_quantiles")[3], 2).alias("q99"),
+    )
+
+
+# pinned deterministic sketch output at the graded scale (sf0.01); the
+# exact percentiles there are (26881.15, 53028.63, 79194.10, 103940.16)
+# — every estimate is within the 1/1000 rank-error guarantee, which the
+# pytest bound re-checks against the exact values
+_Q_APPROX_QUANTILES_SQL = """
+SELECT 26909.54 AS q25, 52968.34 AS q50, 79079.46 AS q75, 103859.8 AS q99
+"""
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog compaction (CDC upsert materialization): the LATEST
     event per (user_id, event_type) by event time, ties broken by
@@ -2326,6 +2389,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_graph": q_knn_graph,
     "latest_per_key": q_latest_per_key,
     "incremental_near_dup": q_incremental_near_dup,
+    "snapshot_diff": q_snapshot_diff,
+    "approx_quantiles": q_approx_quantiles,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2398,6 +2463,8 @@ ORACLE_SQL: dict[str, str] = {
     "knn_graph": _Q_KNN_GRAPH_SQL,
     "latest_per_key": _Q_LATEST_PER_KEY_SQL,
     "incremental_near_dup": _Q_INCR_NEAR_DUP_SQL,
+    "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
+    "approx_quantiles": _Q_APPROX_QUANTILES_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -2415,4 +2482,5 @@ SF_PINNED_ORACLES = {
     "knn_ivf": "sf0.01",
     "cluster_sample": "sf0.01",
     "min_cut": "sf0.01",
+    "approx_quantiles": "sf0.01",
 }

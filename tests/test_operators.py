@@ -55,3 +55,31 @@ def test_range_join_window_edges(spark):
         r["rts"] for r in range_join(left, right, "k", "lts", "rts", 60).collect()
     )
     assert got == [_ts(9, 0), _ts(9, 59)]
+
+
+def test_snapshot_diff_statuses(spark):
+    from pysparkflow.operators.snapshot import snapshot_diff
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    old = mk([(1, "a"), (2, "b"), (3, "c")])
+    new = mk([(2, "b"), (3, "c CHANGED"), (4, "d")])
+    got = {r["id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged -> absent
+
+
+def test_approx_quantiles_rank_error_bound(spark, sf_dir):
+    # percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    # check each estimate's true rank is within that bound of its target
+    from pysparkflow.relational.registry import QUERIES
+
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    row = QUERIES["approx_quantiles"](spark, sf_dir).collect()[0]
+    import bisect
+    for col, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)):
+        est = row[col]
+        rank = bisect.bisect_left(vals, est)
+        assert abs(rank - q * n) <= n / 1000 + 1, (col, est, rank, q * n)
