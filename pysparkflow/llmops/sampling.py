@@ -115,6 +115,43 @@ def temperature_mixture(
     )
 
 
+def epoch_shuffle(
+    docs: DataFrame,
+    n_shards: int = 8,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for a training epoch: assign every
+    document a shard and a position-within-shard that depend only on
+    (id, epoch) — the training-data analogue of the reference's
+    Random(edge.id) determinism (ff1/Vertex.java:59-67). The same corpus
+    + epoch yields the same order on any cluster, any partition layout,
+    any retry; changing ``epoch`` reshuffles globally.
+
+    Scale shape: a true global sort (one total order over 100 TB) needs a
+    range-partitioned sort — worthwhile never, because training readers
+    consume per-shard files anyway. Instead the hash is the order:
+    ``shard = h % n_shards`` is a map-only computation, and the
+    within-shard order is a window keyed by shard — ONE shuffle, evenly
+    balanced by construction (md5 buckets are uniform), no driver state.
+    Each shard is then written/read independently.
+
+    Returns (id_col, shard INT, pos BIGINT) with pos 1-based within
+    shard, ordered by (hash, id) for tie-stability."""
+    from pyspark.sql import Window
+
+    h = portable_hash32(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(id_col, h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def quantile_quality_filter(
     docs: DataFrame,
     metric_col: str = "n_chars",

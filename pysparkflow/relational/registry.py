@@ -2319,6 +2319,225 @@ FROM sel GROUP BY source
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event log: users who viewed,
+    then clicked within 24 hours after their first view, then purchased
+    within 24 hours after that first qualifying click. The
+    product-analytics staple a general engine must express.
+
+    Scale shape: each stage is a combiner-friendly per-user min — the
+    event table is scanned with a pushed event_type filter and collapses
+    to |users| rows before any join, so the joins move user-cardinality
+    data only (AQE turns them into broadcasts when the user set is
+    small). No window over the raw events, no driver state."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where((F.col("ts") > F.col("vt")) & (F.col("ts") <= F.col("vt") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where((F.col("ts") > F.col("ct")) & (F.col("ts") <= F.col("ct") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").cast("long").alias("users_view"))
+        .crossJoin(c.agg(F.count("*").cast("long").alias("users_click")))
+        .crossJoin(p.agg(F.count("*").cast("long").alias("users_purchase")))
+    )
+
+
+_Q_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS vt FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS ct
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.vt
+    AND e.ts <= v.vt + INTERVAL 24 HOURS GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS pt
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+    AND e.ts <= c.ct + INTERVAL 24 HOURS GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS users_view,
+       (SELECT count(*) FROM c) AS users_click,
+       (SELECT count(*) FROM p) AS users_purchase
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort week, week offset) the number of cohort
+    members active that week.
+
+    Scale shape: the raw log collapses to distinct (user, week) pairs
+    first (one combiner-friendly shuffle, bounded by users × weeks —
+    orders of magnitude below event count); first-week extraction and
+    the offset join both run on that collapsed table."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    f = a.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        a.join(f, "user_id")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("int"),
+        )
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+_Q_COHORT_SQL = """
+WITH a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id
+)
+SELECT f.cohort_wk,
+       CAST(floor(date_diff('day', f.cohort_wk, a.wk) / 7.0) AS INTEGER)
+         AS week_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: each
+    user's purchase history as validity intervals — valid_from = event
+    time, valid_to = next change (NULL while current). The warehouse
+    pattern for materializing point-in-time joinable dimensions out of
+    an event stream.
+
+    Scale shape: one window keyed by the dimension key (user), ordered
+    by event time — a single key shuffle over the filtered changelog;
+    at 100 TB the event_type filter is pushed to the scan and the
+    window state is one partition's rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+_Q_SCD2_SQL = """
+SELECT user_id, round(value, 2) AS value, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the rollup/cube
+    entries): per-(priority, status), per-priority, and grand-total
+    aggregates in one pass, with grouping_id distinguishing levels.
+    Catalyst plans this as a single expand + aggregate — one shuffle
+    for all three granularities."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping_id(o_orderpriority, o_orderstatus) AS INT)
+                 AS level_id,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+_Q_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INTEGER)
+         AS level_id,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count (graph/triangles.py) on a unipartite fold of the
+    lineitem graph (part and supplier keys folded into one 2000-vertex
+    id space — the part↔supplier graph itself is bipartite and
+    triangle-free). Degree-ordered orientation bounds the wedge join;
+    see the module docstring for the 100 TB analysis."""
+    from pysparkflow.graph.triangles import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
+_Q_TRIANGLES_SQL = """
+WITH e AS (
+  SELECT DISTINCT least(l_partkey % 2000, l_suppkey % 2000) AS a,
+                  greatest(l_partkey % 2000, l_suppkey % 2000) AS b
+  FROM lineitem
+  WHERE l_partkey % 2000 <> l_suppkey % 2000
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.b
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (llmops/sampling.py::
+    epoch_shuffle): shard + within-shard position from the portable
+    content hash — reproducible on any cluster/partition layout."""
+    from pysparkflow.llmops.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, n_shards=8, epoch=3)
+
+
+_Q_EPOCH_SHUFFLE_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':3'), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+       row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+FROM h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -2391,6 +2610,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_near_dup": q_incremental_near_dup,
     "snapshot_diff": q_snapshot_diff,
     "approx_quantiles": q_approx_quantiles,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
+    "scd2_history": q_scd2_history,
+    "grouping_sets": q_grouping_sets,
+    "triangle_count": q_triangle_count,
+    "epoch_shuffle": q_epoch_shuffle,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2465,6 +2690,12 @@ ORACLE_SQL: dict[str, str] = {
     "incremental_near_dup": _Q_INCR_NEAR_DUP_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
     "approx_quantiles": _Q_APPROX_QUANTILES_SQL,
+    "funnel_conversion": _Q_FUNNEL_SQL,
+    "cohort_retention": _Q_COHORT_SQL,
+    "scd2_history": _Q_SCD2_SQL,
+    "grouping_sets": _Q_GROUPING_SETS_SQL,
+    "triangle_count": _Q_TRIANGLES_SQL,
+    "epoch_shuffle": _Q_EPOCH_SHUFFLE_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -1,0 +1,177 @@
+"""Unit tests for the round-4 analytics family: funnel, cohort
+retention, SCD2 history, grouping sets, triangle counting, and the
+deterministic epoch shuffle."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkflow.graph.triangles import canonical_edges, oriented_edges, triangle_count
+from pysparkflow.llmops.sampling import epoch_shuffle
+
+
+def _write_events(tmp_path, rows):
+    """Write an events.parquet with the PRODUCTION encoding (native
+    timestamp[us], the dtype of the shipped /root/testdata)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [dt.datetime.fromisoformat(ts) for ts, *_ in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _tri_brute(edges):
+    verts = sorted({v for e in edges for v in e})
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    return sum(
+        1
+        for a, b, c in itertools.combinations(verts, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (1, 3)],  # one triangle
+        [(1, 2), (2, 3), (3, 4), (4, 1)],  # 4-cycle, none
+        [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3), (3, 2)],  # dups/self-loops
+        # K5: 10 triangles, plus a pendant
+        list(itertools.combinations(range(5), 2)) + [(4, 99)],
+    ],
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == _tri_brute(edges)
+
+
+def test_orientation_is_acyclic_and_bounded(spark):
+    # star + ring: hub 0 has max degree, so all its edges point INTO it
+    edges = [(0, i) for i in range(1, 9)] + [(i, i + 1) for i in range(1, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    o = oriented_edges(canonical_edges(df)).collect()
+    assert all(r["hi"] == 0 or r["lo"] != 0 for r in o)
+    # every canonical edge appears exactly once, in one direction
+    assert len(o) == len({tuple(sorted(e)) for e in edges})
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_funnel_ordering_and_window(spark, tmp_path):
+    rows = [
+        # u1 full funnel inside windows
+        ("2024-01-01 00:00:00", 1, "view", 1),
+        ("2024-01-01 02:00:00", 1, "click", 1),
+        ("2024-01-01 03:00:00", 1, "purchase", 1),
+        # u2 clicked BEFORE first view: not converted
+        ("2024-01-02 00:00:00", 2, "click", 1),
+        ("2024-01-02 01:00:00", 2, "view", 1),
+        # u3 click after view but outside 24h
+        ("2024-01-03 00:00:00", 3, "view", 1),
+        ("2024-01-05 00:00:00", 3, "click", 1),
+        # u4 purchase before the qualifying click: counts view+click only
+        ("2024-01-04 00:00:00", 4, "view", 1),
+        ("2024-01-04 00:30:00", 4, "purchase", 1),
+        ("2024-01-04 01:00:00", 4, "click", 1),
+    ]
+    _write_events(tmp_path, rows)
+    from pysparkflow.relational.registry import q_funnel_conversion
+
+    out = q_funnel_conversion(spark, str(tmp_path)).collect()[0]
+    assert (out["users_view"], out["users_click"], out["users_purchase"]) == (4, 2, 1)
+
+
+# ---------------------------------------------------------------- cohort
+
+
+def test_cohort_retention_offsets(spark, tmp_path):
+    rows = [
+        # u1 first active week of Jan 1 (Mon), returns week+2
+        ("2024-01-02 10:00:00", 1, "view", 1),
+        ("2024-01-16 10:00:00", 1, "view", 1),
+        # u2 first active week of Jan 8, active twice that week (1 row)
+        ("2024-01-09 10:00:00", 2, "view", 1),
+        ("2024-01-10 10:00:00", 2, "view", 1),
+    ]
+    _write_events(tmp_path, rows)
+    from pysparkflow.relational.registry import q_cohort_retention
+
+    got = {
+        (r["cohort_wk"].strftime("%Y-%m-%d"), r["week_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+# ---------------------------------------------------------------- scd2
+
+
+def test_scd2_intervals_tile_and_current(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:00", 1, "purchase", 10),
+        ("2024-01-02 00:00:00", 1, "purchase", 20),
+        ("2024-01-03 00:00:00", 1, "purchase", 30),
+        ("2024-01-01 12:00:00", 2, "purchase", 5),
+        ("2024-01-05 00:00:00", 1, "view", 99),  # ignored
+    ]
+    _write_events(tmp_path, rows)
+    from pysparkflow.relational.registry import q_scd2_history
+
+    out = q_scd2_history(spark, str(tmp_path)).orderBy("user_id", "valid_from")
+    rows_out = out.collect()
+    u1 = [r for r in rows_out if r["user_id"] == 1]
+    # intervals tile: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    assert u1[-1]["valid_to"] is None
+    u2 = [r for r in rows_out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"]
+
+
+# ---------------------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_deterministic_and_balanced(spark):
+    docs = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(docs, 8, 1).collect()}
+    b = {
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in epoch_shuffle(docs.repartition(7), 8, 1).collect()
+    }
+    assert a == b  # partition-layout invariant
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in epoch_shuffle(docs, 8, 2).collect()}
+    assert {t[0] for t in c} == {t[0] for t in a} and c != a  # epoch reshuffles
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in a:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == set(range(8))
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1-based pos
+        assert len(ps) > 2000 / 8 * 0.7  # rough balance (md5 uniformity)

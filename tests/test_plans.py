@@ -32,8 +32,9 @@ _EXECUTING = {
 
 # broadcast-side cross join is the intended plan: tiny query set
 # replicated against the corpus (documented in llmops/similarity.py);
-# knn_ivf_recall embeds knn_bruteforce as its ground truth
-_CROSS_JOIN_OK = {"knn_bruteforce", "knn_ivf_recall"}
+# knn_ivf_recall embeds knn_bruteforce as its ground truth;
+# funnel_conversion combines three 1-row stage counts (scalar × scalar)
+_CROSS_JOIN_OK = {"knn_bruteforce", "knn_ivf_recall", "funnel_conversion"}
 
 _DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
 
