@@ -152,6 +152,97 @@ def epoch_shuffle(
     )
 
 
+def importance_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 11,
+) -> DataFrame:
+    """Importance-weighted deterministic sampling: keep each row with
+    probability proportional to its (integer) weight, scaled so the
+    expected kept count is ``target_frac`` of the corpus — the per-ROW
+    generalization of ``temperature_mixture``'s per-group allocation
+    (up-weight long/high-quality documents instead of whole sources).
+
+    All arithmetic is integer so the DuckDB oracle replays it exactly:
+    the keep threshold is ``(target * BUCKETS * w) div sum_w`` (capped at
+    BUCKETS), compared against the portable md5 hash bucket. Weights must
+    be non-negative integers; rows with weight 0 are never kept.
+
+    Scale shape: one combiner-friendly scalar aggregate (sum of weights +
+    row count, collected to the driver — the reference's driver-side
+    coordination discipline), then a map-only scan-fused filter; the
+    corpus never shuffles. The int64 product ``target * BUCKETS * w``
+    bounds corpus size: target ≤ 9e18 / (1e4 * max_w) — ~1e11 rows at
+    max_w 1e4; beyond that, pre-divide the weights."""
+    scal = docs.agg(
+        F.sum(F.col(weight_col).cast("long")).alias("sw"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if not scal["sw"]:
+        raise ValueError("all weights are zero — empty sample")
+    target = int(scal["n"] * target_frac)
+    thr = F.least(
+        F.lit(_BUCKETS).cast("long"),
+        F.expr(
+            f"({target}L * {_BUCKETS}L * CAST({weight_col} AS BIGINT))"
+            f" div {int(scal['sw'])}L"
+        ),
+    )
+    return docs.where(_bucket(id_col, seed) < thr)
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_frac_pct: int = 60,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-budget selection (the corpus analogue of top-p /
+    nucleus selection): within each source, rank documents by quality
+    (longest first, id ties ascending) and keep the best prefix whose
+    cumulative token count stays within ``budget_frac_pct`` percent of
+    the source's total tokens. Caps every source's contribution while
+    keeping its best documents — unlike a rate sample, the cut adapts to
+    each source's length distribution.
+
+    The budget is an integer percentage and the comparison is pure
+    integer (``100 * cum <= pct * total``), so the oracle replays it
+    bit-for-bit.
+
+    Returns (id, group, n_toks, cum_toks).
+
+    Scale shape: one shuffle keyed by source; the running sum is a
+    window over each source's partition. A pathologically huge single
+    source serializes its own cumsum — the same two-level bucketed
+    cumsum used by packing (llmops/packing.py) drops in if a source
+    exceeds one partition's comfort; group cardinality here makes the
+    plain window the right default."""
+    from pyspark.sql import Window
+
+    from pysparkflow.functions.text import token_count
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        token_count(text_col).cast("long").alias("n_toks"),
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("n_toks").desc(), F.col("id").asc()
+    )
+    wt = Window.partitionBy("group")
+    return (
+        toks.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .withColumn("_tot", F.sum("n_toks").over(wt))
+        .where(
+            F.lit(100) * F.col("cum_toks") <= F.lit(budget_frac_pct) * F.col("_tot")
+        )
+        .drop("_tot")
+    )
+
+
 def quantile_quality_filter(
     docs: DataFrame,
     metric_col: str = "n_chars",

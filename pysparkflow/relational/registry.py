@@ -2538,6 +2538,125 @@ FROM h
 """
 
 
+def q_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling (llmops/sampling.py::
+    importance_sample): keep probability proportional to n_chars, scaled
+    to an expected half of the corpus; integer-exact replay."""
+    from pysparkflow.llmops.sampling import importance_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_sample(docs, target_frac=0.5).select("doc_id", "n_chars")
+
+
+_Q_IMPORTANCE_SAMPLE_SQL = """
+WITH s AS (
+  SELECT sum(CAST(n_chars AS BIGINT)) AS sw,
+         CAST(floor(count(*) * 0.5) AS BIGINT) AS target
+  FROM documents
+)
+SELECT doc_id, n_chars
+FROM documents, s
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || ':11'), 1, 8))::BIGINT % 10000
+      < least(10000, (target * 10000 * CAST(n_chars AS BIGINT)) // sw)
+"""
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget (top-p) selection (llmops/sampling.py::
+    token_budget_select): best 60% of each source's tokens, longest
+    documents first."""
+    from pysparkflow.llmops.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_select(docs, budget_frac_pct=60).withColumnRenamed(
+        "group", "source"
+    )
+
+
+_Q_TOKEN_BUDGET_SQL = r"""
+WITH t AS (
+  SELECT doc_id AS id, source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT id, source, n_toks,
+         CAST(sum(n_toks) OVER (PARTITION BY source
+                                ORDER BY n_toks DESC, id) AS BIGINT)
+           AS cum_toks,
+         CAST(sum(n_toks) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM t
+)
+SELECT id, source, n_toks, cum_toks FROM c WHERE 100 * cum_toks <= 60 * tot
+"""
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 family, adapted to the
+    synthetic schema): orders with at least one lineitem shipped more
+    than 60 days after the order date, counted per priority. Catalyst
+    de-correlates the EXISTS into a left-semi hash join on orderkey with
+    the date comparison as a residual condition — verified by the plan
+    lint (no nested-loop); combiner-aggregated to priority cardinality."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_Q_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-aggregate subquery (TPC-H Q17 family): revenue
+    from lineitems whose quantity is below 50% of their part's average
+    quantity. Catalyst rewrites the per-row correlated avg into one
+    grouped aggregate joined back on partkey — two passes over lineitem,
+    no per-row re-scan; the same plan a hand-written groupBy+join would
+    produce, from declarative SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice), 2) AS low_qty_revenue,
+               count(*) AS n_items
+        FROM lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
+
+
+_Q_CORRELATED_AVG_SQL = """
+SELECT round(sum(l_extendedprice), 2) AS low_qty_revenue,
+       count(*) AS n_items
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey
+)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -2616,6 +2735,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouping_sets": q_grouping_sets,
     "triangle_count": q_triangle_count,
     "epoch_shuffle": q_epoch_shuffle,
+    "importance_sample": q_importance_sample,
+    "token_budget_select": q_token_budget_select,
+    "exists_correlated": q_exists_correlated,
+    "correlated_avg": q_correlated_avg,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2696,6 +2819,10 @@ ORACLE_SQL: dict[str, str] = {
     "grouping_sets": _Q_GROUPING_SETS_SQL,
     "triangle_count": _Q_TRIANGLES_SQL,
     "epoch_shuffle": _Q_EPOCH_SHUFFLE_SQL,
+    "importance_sample": _Q_IMPORTANCE_SAMPLE_SQL,
+    "token_budget_select": _Q_TOKEN_BUDGET_SQL,
+    "exists_correlated": _Q_EXISTS_SQL,
+    "correlated_avg": _Q_CORRELATED_AVG_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

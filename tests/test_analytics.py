@@ -155,6 +155,72 @@ def test_scd2_intervals_tile_and_current(spark, tmp_path):
     assert len(u2) == 1 and u2[0]["is_current"]
 
 
+# ------------------------------------------------------- importance sampling
+
+
+def test_importance_sample_weighted_and_deterministic(spark):
+    from pysparkflow.llmops.sampling import importance_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        # weights 1 and 9: heavy rows should be kept ~9x as often
+        F.when(F.col("id") % 2 == 0, 1).otherwise(9).alias("n_chars"),
+    )
+    out = importance_sample(docs, target_frac=0.4).collect()
+    kept = {r["doc_id"] for r in out}
+    again = {r["doc_id"] for r in importance_sample(docs.repartition(5), target_frac=0.4).collect()}
+    assert kept == again  # layout-invariant
+    light = sum(1 for d in kept if d % 2 == 0)
+    heavy = len(kept) - light
+    # keep rates: c*w with c = (0.4*4000)/(2000*1 + 2000*9) = 0.08
+    # -> heavy ~ 2000*0.72 = 1440, light ~ 2000*0.08 = 160
+    assert 1440 * 0.85 < heavy < 1440 * 1.15
+    assert 160 * 0.6 < light < 160 * 1.5
+    assert 0.3 < len(kept) / 4000 < 0.5  # expected total ~40%
+
+
+def test_importance_sample_zero_weight_never_kept(spark):
+    from pysparkflow.llmops.sampling import importance_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 50, 0).otherwise(10).alias("n_chars"),
+    )
+    kept = {r["doc_id"] for r in importance_sample(docs, target_frac=0.5).collect()}
+    assert all(d >= 50 for d in kept) and kept
+
+
+# ------------------------------------------------------- token budget select
+
+
+def test_token_budget_prefix_property(spark):
+    from pysparkflow.llmops.sampling import token_budget_select
+
+    rows = [
+        # source a: tokens 10, 6, 4 (total 20); 60% budget = 12 -> keep 10 only
+        (1, "a", "w " * 10),
+        (2, "a", "w " * 6),
+        (3, "a", "w " * 4),
+        # source b: tokens 5,5 (total 10); budget 6 -> keep best single doc
+        (4, "b", "w " * 5),
+        (5, "b", "w " * 5),
+    ]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], "doc_id long, source string, text string"
+    )
+    out = {(r["id"], r["cum_toks"]) for r in token_budget_select(docs, 60).collect()}
+    assert out == {(1, 10), (4, 5)}
+
+
+def test_token_budget_full_budget_keeps_all(spark):
+    from pysparkflow.llmops.sampling import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(i, "s", "a b c") for i in range(10)], "doc_id long, source string, text string"
+    )
+    assert token_budget_select(docs, 100).count() == 10
+
+
 # ---------------------------------------------------------------- epoch shuffle
 
 

@@ -244,6 +244,77 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # round-4 sampling family: epoch shuffle, importance sampling,
+    # token-budget selection — deterministic contracts checked at scale
+    from pysparkflow.llmops.sampling import (
+        epoch_shuffle,
+        importance_sample,
+        token_budget_select,
+    )
+
+    t0 = time.time()
+    es = epoch_shuffle(docs, n_shards=32, epoch=5).persist()
+    shard_stats = (
+        es.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    )
+    es.unpersist()
+    ns = [r["n"] for r in shard_stats]
+    out["epoch_shuffle"] = {
+        "sec": round(time.time() - t0, 1),
+        "shards": len(ns),
+        "balance": round(max(ns) / min(ns), 3),
+    }
+    assert len(ns) == 32 and sum(ns) == n_docs, out["epoch_shuffle"]
+    assert all(r["mx"] == r["n"] for r in shard_stats), "positions not dense"
+    # binomial spread: ~±3σ each side around n/32 -> ratio 1 + 6/sqrt(n/32)
+    assert max(ns) / min(ns) < 1 + 6 / (n_docs / 32) ** 0.5, out["epoch_shuffle"]
+    print("[llmops] epoch_shuffle OK", out["epoch_shuffle"], file=sys.stderr)
+
+    # planted 1:9 weight skew; expected keep rates c*w with
+    # c = 0.4*n / (n/2*1 + n/2*9) = 0.08 -> light 0.08, heavy 0.72
+    wdocs = docs.withColumn(
+        "n_chars", F.when(F.pmod("doc_id", F.lit(2)) == 0, 1).otherwise(9)
+    )
+    t0 = time.time()
+    ksel = (
+        importance_sample(wdocs, target_frac=0.4)
+        .groupBy(F.pmod("doc_id", F.lit(2)).alias("par"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    light = next((r["n"] for r in ksel if r["par"] == 0), 0)
+    heavy = next((r["n"] for r in ksel if r["par"] == 1), 0)
+    out["importance_sample"] = {
+        "sec": round(time.time() - t0, 1),
+        "light_rate": round(light / (n_docs / 2), 4),
+        "heavy_rate": round(heavy / (n_docs / 2), 4),
+    }
+    assert 0.7 < out["importance_sample"]["heavy_rate"] < 0.74
+    assert 0.07 < out["importance_sample"]["light_rate"] < 0.09
+    print("[llmops] importance_sample OK", out["importance_sample"], file=sys.stderr)
+
+    # uniform 60-token docs -> the budget contract closes exactly:
+    # per source kept == floor(0.6 * count)
+    t0 = time.time()
+    tb = (
+        token_budget_select(
+            srcd, budget_frac_pct=60, group_col="source", text_col="text"
+        )
+        .groupBy("group")
+        .agg(F.count("*").alias("kept"))
+    )
+    totals = srcd.groupBy("source").agg(F.count("*").alias("cnt"))
+    off = (
+        tb.join(totals, tb["group"] == totals["source"])
+        .where(F.col("kept") != F.floor(F.col("cnt") * 0.6))
+        .count()
+    )
+    out["token_budget"] = {"sec": round(time.time() - t0, 1), "off_sources": off}
+    assert off == 0, out["token_budget"]
+    print("[llmops] token_budget OK", out["token_budget"], file=sys.stderr)
+
     print(json.dumps(out))
     return 0
 
