@@ -1,0 +1,71 @@
+"""PageRank over a symmetric edge table — the engine's second iterative
+rank/propagation algorithm beside max-flow, BFS, and connected components.
+
+The reference's iteration discipline applies directly (SURVEY.md §3.3):
+a driver loop over a fixed-point dataflow round, the static edge table
+never reshuffled (schimmy, D13), per-round lineage cut. PageRank's round
+is one join + one keyed aggregation:
+
+    r_{i+1}(v) = (1-d)/N + d * sum_{u->v} r_i(u) / outdeg(u)
+
+Determinism: given a fixed iteration count the result is a pure function
+of the graph — no randomness — so the DuckDB oracle can replay the exact
+computation by unrolling the iterations into CTEs (registry builds that
+SQL programmatically). Rank sums are floating-point; both engines sum
+doubles whose round-off differences are ~1e-16 relative, far below the
+rounding used for comparison.
+
+Scale shape (100 TB): the edge table with per-source out-degree attached
+is computed ONCE and cached, hash-partitioned by src; each iteration
+shuffles only the (vertex, rank) table — |V| rows, orders of magnitude
+below |E| — into the join, and the aggregation combiner reduces map-side.
+``localCheckpoint`` every few rounds keeps the plan from growing with the
+iteration count (the reference's file-per-round, D11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Ranks after ``iterations`` synchronous rounds on the directed
+    edge list. Every vertex must have outdegree >= 1 (true for any
+    symmetrized undirected graph — pass both directions); dangling-mass
+    redistribution is deliberately out of scope so the oracle replay
+    stays one join + one aggregate per round. Returns (vertex, rank)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
+    # static side: edges with outdegree attached, cached once (schimmy)
+    arcs = e.join(deg, "u").persist()
+    verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
+    n = verts.count()
+    ranks = verts.select("vertex", (F.lit(1.0) / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contrib = (
+            arcs.join(
+                ranks.withColumnRenamed("vertex", "u"), "u"
+            )
+            .groupBy(F.col("v").alias("vertex"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+        )
+        # every vertex has indegree >= 1 on a symmetric graph, but keep
+        # the no-inbound case correct anyway (rank floor (1-d)/N)
+        ranks = verts.join(contrib, "vertex", "left").select(
+            "vertex",
+            (F.lit(base) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -2657,6 +2657,117 @@ WHERE l_quantity < (
 """
 
 
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (llmops/dedup.py::simhash_near_dups):
+    byte-band candidates, bit_count verify at hamming <= 7 — complete by
+    pigeonhole, so this is exact Hamming-ball search."""
+    from pysparkflow.llmops.dedup import simhash_near_dups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=7)
+
+
+# replays the signature CTE (_Q_SIMHASH_SQL), 8 byte-bands, bucket join,
+# xor/bit_count verify; (x >> k) & 255 extracts the same byte whether the
+# shift sign-extends (DuckDB) or not (Spark's shiftrightunsigned) for
+# k <= 56
+_Q_SIMHASH_ND_SQL = f"""
+WITH sig AS ({_Q_SIMHASH_SQL}),
+banded AS (
+  SELECT id, simhash, b, (simhash >> (8 * b)) & 255 AS code
+  FROM sig, (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(b)
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM banded a JOIN banded b2 USING (b, code)
+  WHERE a.id < b2.id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cands
+JOIN sig sa ON sa.id = id_a
+JOIN sig sb ON sb.id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 7
+"""
+
+
+_PR_ITERS = 10
+_PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (algo/pagerank.py) on the symmetrized 2000-vertex fold
+    of the lineitem graph, 10 synchronous rounds at damping 0.85. The
+    oracle unrolls the identical iteration into CTEs — a full replay,
+    not a pin. Ranks rounded to 9 decimals (FP round-off across engines
+    is ~1e-16 relative, six orders below the quantum)."""
+    from pysparkflow.algo.pagerank import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    half = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # checkpoint_every=_PR_ITERS -> no mid-run checkpoint: at 10 rounds
+    # the lineage is shallow enough that cutting it costs more (an extra
+    # job) than it saves (measured 7.6s -> 6.1s at sf0.01); long runs
+    # keep the default cadence
+    out = pagerank(
+        sym,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        checkpoint_every=_PR_ITERS,
+    )
+    return out.select("vertex", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
+    """Unroll the PageRank rounds into chained CTEs (same arithmetic as
+    algo/pagerank.py: contrib join + aggregate, floor (1-d)/N)."""
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey % 2000 AS src, l_suppkey % 2000 AS dst
+  FROM lineitem WHERE l_partkey % 2000 <> l_suppkey % 2000
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), deg AS (
+  SELECT src AS u, count(*) AS outdeg FROM e GROUP BY src
+), arcs AS (
+  SELECT e.src AS u, e.dst AS v, deg.outdeg FROM e JOIN deg ON deg.u = e.src
+), verts AS (
+  SELECT DISTINCT u AS vertex FROM arcs
+), nn AS (
+  SELECT count(*) AS n FROM verts
+), r0 AS (
+  SELECT vertex, 1.0 / (SELECT n FROM nn) AS rank FROM verts
+)"""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""", r{i + 1} AS (
+  SELECT verts.vertex,
+         (1.0 - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(m.mass, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT arcs.v AS vertex, sum(r{i}.rank / arcs.outdeg) AS mass
+    FROM arcs JOIN r{i} ON r{i}.vertex = arcs.u
+    GROUP BY arcs.v
+  ) m ON m.vertex = verts.vertex
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT vertex, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+_Q_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -2739,6 +2850,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_select": q_token_budget_select,
     "exists_correlated": q_exists_correlated,
     "correlated_avg": q_correlated_avg,
+    "simhash_near_dups": q_simhash_near_dups,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2823,6 +2936,8 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_select": _Q_TOKEN_BUDGET_SQL,
     "exists_correlated": _Q_EXISTS_SQL,
     "correlated_avg": _Q_CORRELATED_AVG_SQL,
+    "simhash_near_dups": _Q_SIMHASH_ND_SQL,
+    "pagerank": _Q_PAGERANK_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

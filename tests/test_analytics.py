@@ -241,3 +241,46 @@ def test_epoch_shuffle_deterministic_and_balanced(spark):
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))  # dense 1-based pos
         assert len(ps) > 2000 / 8 * 0.7  # rough balance (md5 uniformity)
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _pagerank_reference(directed_edges, iterations, damping):
+    """Independent pure-Python synchronous power iteration (the nx/scipy
+    formulation without dangling nodes)."""
+    verts = sorted({v for e in directed_edges for v in e})
+    outdeg = {v: 0 for v in verts}
+    for u, _ in directed_edges:
+        outdeg[u] += 1
+    r = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(iterations):
+        mass = {v: 0.0 for v in verts}
+        for u, v in directed_edges:
+            mass[v] += r[u] / outdeg[u]
+        r = {
+            v: (1.0 - damping) / len(verts) + damping * mass[v] for v in verts
+        }
+    return r
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    import networkx as nx
+
+    from pysparkflow.algo.pagerank import pagerank
+
+    g = nx.karate_club_graph()
+    edges = [(u, v) for u, v in g.edges()] + [(v, u) for u, v in g.edges()]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(df, iterations=40, damping=0.85).collect()
+    }
+    want = _pagerank_reference(edges, iterations=40, damping=0.85)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-12, (v, got[v], r)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # rank mass conserved
+    # hub (0) and leader (33) must outrank every leaf
+    leaf_max = max(r for v, r in got.items() if v not in (0, 33))
+    assert got[0] > leaf_max and got[33] > leaf_max

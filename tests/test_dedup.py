@@ -146,3 +146,29 @@ def test_incremental_minhash_flags(spark):
     assert set(flagged) == {1}
     # one row per flagged doc (best match only)
     assert len(out) == 1
+
+
+def test_simhash_near_dups_matches_bruteforce(spark):
+    """Byte-band + verify must equal an all-pairs Hamming scan over the
+    signatures (complete for hamming < 8 by pigeonhole)."""
+    import itertools
+
+    from pysparkflow.llmops.dedup import simhash_near_dups, simhash_signatures
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    rows = [(i, f"{base} tail{i % 5} word{i % 7}") for i in range(30)]
+    rows += [(100, rows[0][1]), (101, rows[1][1])]  # exact copies: hamming 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    expect = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1") <= 7
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dups(docs, max_hamming=7).collect()
+    }
+    assert got == expect
+    assert (0, 100, 0) in got and (1, 101, 0) in got  # planted exact copies

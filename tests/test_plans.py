@@ -22,6 +22,7 @@ _EXECUTING = {
     "connected_components",
     "min_cut",            # runs max-flow + residual BFS loop
     "dedup_resolution",   # label-propagation iteration
+    "pagerank",           # driver iteration loop + localCheckpoint
     "events_stream_windowed",
     "events_stream_sessions",
     "events_stream_join",
