@@ -2768,6 +2768,82 @@ WITH e0 AS (
 _Q_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+_SSSP_HOPS = 4
+
+
+def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted SSSP (algo/sssp.py) from vertex 0 on the
+    2000-vertex lineitem fold; deterministic integer weights
+    1 + (partkey + suppkey) % 10 merged by min over parallel edges.
+    The oracle unrolls the identical 4 Bellman-Ford rounds into CTEs
+    (full replay). Costs are sums of small integers stored as doubles —
+    exact in both engines, no rounding needed."""
+    from pysparkflow.algo.sssp import bounded_sssp
+
+    li = load_table(spark, sf_dir, "lineitem")
+    half = (
+        li.select(
+            F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
+            F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+            (
+                1 + F.pmod(F.col("l_partkey") + F.col("l_suppkey"), F.lit(10))
+            ).alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    sym = (
+        half.unionByName(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").cast("double").alias("w"))
+    )
+    out = bounded_sssp(sym, sources=[0], max_hops=_SSSP_HOPS)
+    return out.select("vertex", F.col("dist").cast("long").alias("dist"))
+
+
+def _sssp_oracle_sql(hops: int = _SSSP_HOPS) -> str:
+    head = """
+WITH half AS (
+  SELECT l_partkey % 2000 AS src, l_suppkey % 2000 AS dst,
+         min(1 + (l_partkey + l_suppkey) % 10) AS w
+  FROM lineitem WHERE l_partkey % 2000 <> l_suppkey % 2000
+  GROUP BY 1, 2
+), arcs AS (
+  SELECT src AS u, dst AS v, CAST(min(w) AS DOUBLE) AS w FROM (
+    SELECT src, dst, w FROM half
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM half
+  ) GROUP BY 1, 2
+), d0 AS (
+  SELECT CAST(0 AS BIGINT) AS vertex, 0.0 AS dist
+)"""
+    steps = []
+    for i in range(hops):
+        steps.append(
+            f""", d{i + 1} AS (
+  SELECT vertex, min(dist) AS dist FROM (
+    SELECT vertex, dist FROM d{i}
+    UNION ALL
+    SELECT arcs.v AS vertex, d{i}.dist + arcs.w AS dist
+    FROM arcs JOIN d{i} ON d{i}.vertex = arcs.u
+  ) GROUP BY vertex
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT vertex, CAST(dist AS BIGINT) AS dist FROM d{hops}"
+    )
+
+
+_Q_SSSP_SQL = _sssp_oracle_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -2852,6 +2928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "correlated_avg": q_correlated_avg,
     "simhash_near_dups": q_simhash_near_dups,
     "pagerank": q_pagerank,
+    "sssp_bounded": q_sssp_bounded,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -2938,6 +3015,7 @@ ORACLE_SQL: dict[str, str] = {
     "correlated_avg": _Q_CORRELATED_AVG_SQL,
     "simhash_near_dups": _Q_SIMHASH_ND_SQL,
     "pagerank": _Q_PAGERANK_SQL,
+    "sssp_bounded": _Q_SSSP_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -284,3 +284,56 @@ def test_pagerank_matches_reference_power_iteration(spark):
     # hub (0) and leader (33) must outrank every leaf
     leaf_max = max(r for v, r in got.items() if v not in (0, 33))
     assert got[0] > leaf_max and got[33] > leaf_max
+
+
+# ---------------------------------------------------------------- bounded sssp
+
+
+def _dijkstra(arcs, source):
+    import heapq
+
+    adj = {}
+    for u, v, w in arcs:
+        adj.setdefault(u, []).append((v, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(pq, (d + w, v))
+    return dist
+
+
+def test_bounded_sssp_matches_dijkstra_when_hops_suffice(spark):
+    from pysparkflow.algo.sssp import bounded_sssp
+
+    # weighted graph where the cheapest path is NOT the fewest-hop path:
+    # 0->3 direct costs 10; 0->1->2->3 costs 3
+    arcs = [
+        (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 10.0),
+        (3, 4, 2.0), (1, 4, 9.0), (4, 5, 1.0),
+    ]
+    df = spark.createDataFrame(arcs, "src long, dst long, w double")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in bounded_sssp(df, sources=[0], max_hops=6).collect()
+    }
+    assert got == _dijkstra(arcs, 0)
+    assert got[3] == 3.0  # cheap 3-hop beats the direct edge
+
+
+def test_bounded_sssp_hop_limit_binds(spark):
+    from pysparkflow.algo.sssp import bounded_sssp
+
+    arcs = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 10.0)]
+    df = spark.createDataFrame(arcs, "src long, dst long, w double")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in bounded_sssp(df, sources=[0], max_hops=2).collect()
+    }
+    # within 2 hops the only route to 3 is the expensive direct edge
+    assert got[3] == 10.0 and got[2] == 2.0
