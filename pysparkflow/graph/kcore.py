@@ -1,0 +1,78 @@
+"""k-core extraction by iterative peeling.
+
+The k-core of an undirected graph is the maximal subgraph in which every
+vertex has degree >= k — the standard dense-substructure primitive
+(community cores, spam/bot rings, robust-connectivity filtering).
+
+Peeling round: drop every vertex whose degree in the CURRENT subgraph is
+below k, remove its edges, repeat until stable. Each round is one
+degree aggregation + one semi-join against the surviving vertex set —
+the same join-extend/merge dataflow as the engine's other iterative
+operators (SURVEY §3.3), with monotonically SHRINKING state: the edge
+table only loses rows, so round cost decreases as peeling progresses.
+
+Peeling is monotone and confluent: once no vertex is below k, further
+rounds are no-ops — running R >= rounds-to-convergence rounds yields the
+same result for any R, which is what lets the DuckDB oracle replay a
+FIXED unroll of R rounds while the engine iterates to convergence (the
+registry entry asserts convergence within the unrolled horizon).
+
+Scale shape: degrees are a combiner-friendly aggregation over the edge
+list; the per-round semi-joins shuffle the shrinking edge table by
+endpoint. At 100 TB the first rounds dominate; lineage is cut with
+localCheckpoint on a cadence so the loop depth never accretes plan cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.graph.triangles import canonical_edges
+
+
+def kcore_vertices(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Vertices of the k-core. Converges in at most |V| rounds; raises
+    if ``max_rounds`` is hit while still unstable (callers choosing a
+    replay horizon need the guarantee, not a silent partial peel).
+    Returns (vertex,). Deterministic — pure function of the graph."""
+    e = canonical_edges(edges, src, dst).persist()
+    rounds = 0
+    while True:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v").persist()
+        ka = keep.select(F.col("v").alias("a"))
+        kb = keep.select(F.col("v").alias("b"))
+        e2 = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi").persist()
+        # stable iff no edge was dropped (vertex counts can't change
+        # without edge counts changing)
+        n_before, n_after = e.count(), e2.count()
+        e.unpersist()
+        rounds += 1
+        if rounds % checkpoint_every == 0:
+            e2 = e2.localCheckpoint()
+        e = e2
+        if n_after == n_before:
+            keep.unpersist()
+            break
+        keep.unpersist()
+        if rounds >= max_rounds:
+            raise RuntimeError(f"k-core did not stabilize in {max_rounds} rounds")
+    out = (
+        e.select(F.col("a").alias("vertex"))
+        .unionAll(e.select(F.col("b").alias("vertex")))
+        .distinct()
+    )
+    return out

@@ -2735,7 +2735,7 @@ WITH e0 AS (
   SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
 ), deg AS (
   SELECT src AS u, count(*) AS outdeg FROM e GROUP BY src
-), arcs AS (
+), arcs AS MATERIALIZED (
   SELECT e.src AS u, e.dst AS v, deg.outdeg FROM e JOIN deg ON deg.u = e.src
 ), verts AS (
   SELECT DISTINCT u AS vertex FROM arcs
@@ -2747,7 +2747,7 @@ WITH e0 AS (
     steps = []
     for i in range(iters):
         steps.append(
-            f""", r{i + 1} AS (
+            f""", r{i + 1} AS MATERIALIZED (
   SELECT verts.vertex,
          (1.0 - {d}) / (SELECT n FROM nn)
          + {d} * coalesce(m.mass, 0.0) AS rank
@@ -2813,7 +2813,7 @@ WITH half AS (
          min(1 + (l_partkey + l_suppkey) % 10) AS w
   FROM lineitem WHERE l_partkey % 2000 <> l_suppkey % 2000
   GROUP BY 1, 2
-), arcs AS (
+), arcs AS MATERIALIZED (
   SELECT src AS u, dst AS v, CAST(min(w) AS DOUBLE) AS w FROM (
     SELECT src, dst, w FROM half
     UNION ALL
@@ -2825,7 +2825,7 @@ WITH half AS (
     steps = []
     for i in range(hops):
         steps.append(
-            f""", d{i + 1} AS (
+            f""", d{i + 1} AS MATERIALIZED (
   SELECT vertex, min(dist) AS dist FROM (
     SELECT vertex, dist FROM d{i}
     UNION ALL
@@ -2842,6 +2842,144 @@ WITH half AS (
 
 
 _Q_SSSP_SQL = _sssp_oracle_sql()
+
+
+_KCORE_K = 30
+_KCORE_UNROLL = 10
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core vertices (graph/kcore.py) at k=30 on the 2000-vertex
+    lineitem fold (avg degree ~51 at the graded scale, so the peel
+    actually removes ~3/4 of the graph and takes multiple rounds).
+    The engine peels to convergence; the oracle unrolls
+    a fixed 10-round peel — identical by monotonicity provided
+    convergence happens inside the horizon, which kcore_vertices
+    enforces by raising past max_rounds."""
+    from pysparkflow.graph.kcore import kcore_vertices
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+    )
+    return kcore_vertices(edges, k=_KCORE_K, max_rounds=_KCORE_UNROLL)
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_UNROLL) -> str:
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(l_partkey % 2000, l_suppkey % 2000) AS a,
+                  greatest(l_partkey % 2000, l_suppkey % 2000) AS b
+  FROM lineitem
+  WHERE l_partkey % 2000 <> l_suppkey % 2000
+)"""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f""", k{i} AS MATERIALIZED (
+  SELECT v FROM (
+    SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+  ) GROUP BY v HAVING count(*) >= {k}
+), e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT v FROM k{i}) AND b IN (SELECT v FROM k{i})
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+SELECT DISTINCT vertex FROM (
+  SELECT a AS vertex FROM e{rounds} UNION ALL SELECT b AS vertex FROM e{rounds}
+)"""
+    )
+
+
+_Q_KCORE_SQL = _kcore_oracle_sql()
+
+
+def q_sliding_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE sliding window (the analytic-window counterpart of the
+    streaming tumbling windows): per user, the average and count of
+    event values over the trailing hour [ts - 1h, ts], evaluated at
+    every event. The frame bound is integer MICROSECONDS on both
+    engines, so frame membership is bit-exact.
+
+    Scale shape: one shuffle keyed by user; each partition is processed
+    with a sliding frame over its time-sorted rows — no self-join
+    materializing (event x events-in-hour) pairs."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+        F.count("*").over(w).cast("long").alias("n_1h"),
+    )
+
+
+_Q_SLIDING_SQL = """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER w, 6) AS avg_1h,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed top-k: rank event types inside each FINALIZED
+    hourly window (append-mode watermarked aggregation — state evicted
+    as windows close) and keep the top 2 by count per window; the rank
+    runs batch-side over the sink, the pattern for dashboard top-N over
+    a live stream. Oracle replays the watermark emission boundary
+    (ms-floored max ts minus the 2h delay) plus the rank."""
+    from pysparkflow.streaming.events import run_windowed_counts_batchlike
+
+    out = run_windowed_counts_batchlike(
+        spark,
+        f"{sf_dir}/events.parquet",
+        query_name="events_stream_topk_sink",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+_Q_EVENTS_STREAM_TOPK_SQL = """
+WITH wm AS (
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 2 HOUR AS w FROM events
+), agg AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events
+  FROM events, wm
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+  GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rk
+  FROM agg
+) WHERE rk <= 2
+"""
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -2929,6 +3067,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "pagerank": q_pagerank,
     "sssp_bounded": q_sssp_bounded,
+    "kcore": q_kcore,
+    "sliding_window_avg": q_sliding_window_avg,
+    "events_stream_topk": q_events_stream_topk,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3016,6 +3157,9 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_near_dups": _Q_SIMHASH_ND_SQL,
     "pagerank": _Q_PAGERANK_SQL,
     "sssp_bounded": _Q_SSSP_SQL,
+    "kcore": _Q_KCORE_SQL,
+    "sliding_window_avg": _Q_SLIDING_SQL,
+    "events_stream_topk": _Q_EVENTS_STREAM_TOPK_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -337,3 +337,69 @@ def test_bounded_sssp_hop_limit_binds(spark):
     }
     # within 2 hops the only route to 3 is the expensive direct edge
     assert got[3] == 10.0 and got[2] == 2.0
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _kcore_brute(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return set(deg)
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+        if not es:
+            return set()
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_kcore_matches_bruteforce(spark, k):
+    import itertools as it
+
+    from pysparkflow.graph.kcore import kcore_vertices
+
+    # K4 clique + a tail chain + a triangle hanging off the clique
+    edges = list(it.combinations(range(4), 2))
+    edges += [(3, 10), (10, 11), (11, 12)]  # chain peels away for k>=2... 
+    edges += [(0, 20), (20, 21), (21, 0)]  # triangle survives k=2 only
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["vertex"] for r in kcore_vertices(df, k=k).collect()}
+    assert got == _kcore_brute(edges, k)
+
+
+def test_kcore_raises_past_horizon(spark):
+    from pysparkflow.graph.kcore import kcore_vertices
+
+    # a long chain peels one layer per round: needs > 2 rounds for k=2
+    edges = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not stabilize"):
+        kcore_vertices(df, k=2, max_rounds=2)
+
+
+# ------------------------------------------------------- sliding range window
+
+
+def test_sliding_window_avg_frame(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:00", 1, "view", 10),
+        ("2024-01-01 00:30:00", 1, "view", 20),
+        ("2024-01-01 01:30:00", 1, "view", 30),  # 00:30 still in frame, 00:00 out
+        ("2024-01-01 00:10:00", 2, "view", 100),  # other user: own frame
+    ]
+    _write_events(tmp_path, rows)
+    from pysparkflow.relational.registry import q_sliding_window_avg
+
+    got = {
+        r["event_id"]: (r["avg_1h"], r["n_1h"])
+        for r in q_sliding_window_avg(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (10.0, 1)
+    assert got[1] == (15.0, 2)   # 10,20 within the hour
+    assert got[2] == (25.0, 2)   # 20,30 — the 00:00 event aged out
+    assert got[3] == (100.0, 1)  # per-user isolation

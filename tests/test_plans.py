@@ -23,6 +23,8 @@ _EXECUTING = {
     "min_cut",            # runs max-flow + residual BFS loop
     "dedup_resolution",   # label-propagation iteration
     "pagerank",           # driver iteration loop + localCheckpoint
+    "kcore",              # peeling loop with per-round counts
+    "events_stream_topk", # runs the streaming sink before ranking
     "events_stream_windowed",
     "events_stream_sessions",
     "events_stream_join",
