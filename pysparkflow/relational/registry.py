@@ -2488,26 +2488,35 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count (graph/triangles.py) on a unipartite fold of the
-    lineitem graph (part and supplier keys folded into one 2000-vertex
-    id space — the part↔supplier graph itself is bipartite and
-    triangle-free). Degree-ordered orientation bounds the wedge join;
-    see the module docstring for the 100 TB analysis."""
+    lineitem graph (part and supplier keys folded into one id space —
+    the pure part↔supplier graph is bipartite and triangle-free;
+    triangles arise where the folded id ranges overlap). The fold
+    modulus SCALES with the data (max(2000, rows/25), driver-collected
+    count — the reference's driver-coordination discipline) so graph
+    density stays constant across scale factors: a fixed modulus makes
+    the synthetic graph quadratically denser as rows grow, which
+    measured 40s at sf0.1 — real triangle counting runs on sparse
+    graphs, and the degree-ordered wedge join is built for that regime.
+    The oracle recomputes the identical modulus from count(*)."""
     from pysparkflow.graph.triangles import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)
     edges = li.select(
-        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
-        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+        F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
     )
     return triangle_count(edges)
 
 
 _Q_TRIANGLES_SQL = """
-WITH e AS (
-  SELECT DISTINCT least(l_partkey % 2000, l_suppkey % 2000) AS a,
-                  greatest(l_partkey % 2000, l_suppkey % 2000) AS b
-  FROM lineitem
-  WHERE l_partkey % 2000 <> l_suppkey % 2000
+WITH m AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), e AS (
+  SELECT DISTINCT least(l_partkey % m.m, l_suppkey % m.m) AS a,
+                  greatest(l_partkey % m.m, l_suppkey % m.m) AS b
+  FROM lineitem, m
+  WHERE l_partkey % m.m <> l_suppkey % m.m
 )
 SELECT count(*) AS n_triangles
 FROM e e1
