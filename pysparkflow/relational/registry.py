@@ -2991,6 +2991,87 @@ SELECT window_start, event_type, n_events, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert/delete (operators/merge.py::apply_changelog):
+    even event_ids form the base snapshot (latest value per user),
+    odd event_ids replay as a changelog — 'error' events delete the
+    user's row, everything else upserts its value; later event_ids win."""
+    from pysparkflow.operators.merge import apply_changelog
+
+    e = load_table(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    base = (
+        e.where(F.col("event_id") % 2 == 0)
+        .withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.round("value", 2).alias("value"))
+    )
+    changes = e.where(F.col("event_id") % 2 == 1).select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_changelog(
+        base, changes, key_cols=["user_id"], payload_cols=["value"]
+    )
+
+
+_Q_APPLY_CHANGELOG_SQL = """
+WITH base AS (
+  SELECT user_id, round(value, 2) AS value FROM events
+  WHERE event_id % 2 = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY event_id DESC) = 1
+), last AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         round(value, 2) AS new_value
+  FROM events WHERE event_id % 2 = 1
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY event_id DESC) = 1
+)
+SELECT coalesce(b.user_id, l.user_id) AS user_id,
+       CASE WHEN l.op = 'U' THEN l.new_value ELSE b.value END AS value
+FROM base b FULL OUTER JOIN last l USING (user_id)
+WHERE l.op IS NULL OR l.op = 'U'
+"""
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-type (count, sum)
+    rollup of the full event log computed as MERGE(agg(base snapshot),
+    agg(delta)) — the algebraic partial-aggregate combine that lets a
+    100 TB summary update from a day's delta without rescanning the
+    base. The DuckDB oracle aggregates the WHOLE table directly, so the
+    hash match proves the incremental merge is lossless."""
+    e = load_table(spark, sf_dir, "events")
+
+    def agg(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("value").alias("sv")
+        )
+
+    base = agg(e.where(F.col("event_id") % 2 == 0))
+    delta = agg(e.where(F.col("event_id") % 2 == 1))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").cast("long").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "event_type", "n_events", F.round("sv", 2).alias("sum_value")
+    )
+
+
+_Q_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3079,6 +3160,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore": q_kcore,
     "sliding_window_avg": q_sliding_window_avg,
     "events_stream_topk": q_events_stream_topk,
+    "apply_changelog": q_apply_changelog,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3169,6 +3252,8 @@ ORACLE_SQL: dict[str, str] = {
     "kcore": _Q_KCORE_SQL,
     "sliding_window_avg": _Q_SLIDING_SQL,
     "events_stream_topk": _Q_EVENTS_STREAM_TOPK_SQL,
+    "apply_changelog": _Q_APPLY_CHANGELOG_SQL,
+    "incremental_rollup": _Q_INCREMENTAL_ROLLUP_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -83,3 +83,41 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
         est = row[col]
         rank = bisect.bisect_left(vals, est)
         assert abs(rank - q * n) <= n / 1000 + 1, (col, est, rank, q * n)
+
+
+def test_apply_changelog_merge_matrix(spark):
+    """Upsert existing, insert new, delete, later-seq-wins, untouched."""
+    from pysparkflow.operators.merge import apply_changelog
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 11.0, 100, "U"),   # update existing
+            (5, 55.0, 101, "U"),   # insert new key
+            (2, 0.0, 102, "D"),    # delete existing
+            (3, 31.0, 103, "U"),   # superseded by...
+            (3, 0.0, 104, "D"),    # ...a later delete
+            (6, 66.0, 105, "D"),   # delete a key not in base: no row
+        ],
+        "k long, v double, seq long, op string",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(
+            base, changes, key_cols=["k"], payload_cols=["v"]
+        ).collect()
+    }
+    assert got == {1: 11.0, 4: 40.0, 5: 55.0}
+
+
+def test_apply_changelog_delete_then_reinsert(spark):
+    from pysparkflow.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 0.0, 1, "D"), (1, 9.0, 2, "U")], "k long, v double, seq long, op string"
+    )
+    got = apply_changelog(base, changes, ["k"], ["v"]).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, 9.0)]
