@@ -3072,6 +3072,46 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join (streaming/events.py::
+    stream_stream_purchase_left_join): clicks with their 30-minute
+    purchase matches, null-padded once the watermark proves no match can
+    come — abandonment detection with bounded state. The oracle replays
+    the emission rule exactly: all matches, plus unmatched clicks whose
+    click_ts is below the min-of-sides watermark."""
+    from pysparkflow.streaming.events import run_stream_left_join_batchlike
+
+    _tune_session(spark)
+    return run_stream_left_join_batchlike(spark, f"{sf_dir}/events.parquet")
+
+
+_Q_EVENTS_STREAM_JOIN_OUTER_SQL = """
+WITH wm AS (
+  SELECT least(
+    (SELECT date_trunc('millisecond', max(ts)) FROM events
+      WHERE event_type = 'click'),
+    (SELECT date_trunc('millisecond', max(ts)) FROM events
+      WHERE event_type = 'purchase')
+  ) - INTERVAL 2 HOUR AS w
+), c AS (
+  SELECT * FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+         p.ts AS p_ts, round(p.value, 2) AS p_value
+  FROM c JOIN p ON p.user_id = c.user_id
+   AND p.ts >= c.ts - INTERVAL 30 MINUTE AND p.ts <= c.ts
+)
+SELECT * FROM m
+UNION ALL
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       CAST(NULL AS TIMESTAMP) AS p_ts, CAST(NULL AS DOUBLE) AS p_value
+FROM c, wm
+WHERE c.event_id NOT IN (SELECT click_id FROM m) AND c.ts < wm.w
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3162,6 +3202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_topk": q_events_stream_topk,
     "apply_changelog": q_apply_changelog,
     "incremental_rollup": q_incremental_rollup,
+    "events_stream_join_outer": q_events_stream_join_outer,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3254,6 +3295,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_topk": _Q_EVENTS_STREAM_TOPK_SQL,
     "apply_changelog": _Q_APPLY_CHANGELOG_SQL,
     "incremental_rollup": _Q_INCREMENTAL_ROLLUP_SQL,
+    "events_stream_join_outer": _Q_EVENTS_STREAM_JOIN_OUTER_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -178,6 +178,50 @@ def run_stream_join_batchlike(
     )
 
 
+def stream_stream_purchase_left_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every click, with the
+    same user's purchases in the preceding 30 minutes, or NULL padding
+    when no purchase arrives. Matches emit immediately (the inner part);
+    an unmatched click emits its null-padded row only once the GLOBAL
+    watermark — the MIN of the two sides' (ms-floored max event time −
+    delay), Spark's multipleWatermarkPolicy=min default — passes its
+    click_ts, the point where no future purchase can still match
+    (p_ts <= click_ts and late purchases are dropped at the watermark).
+    Clicks still inside that horizon when a static stream ends are never
+    emitted; on a live stream they emit as the watermark advances. The
+    state-eviction contract is the abandonment-detection primitive:
+    bounded state, every click eventually resolved matched-or-not."""
+    c = clicks.withWatermark("click_ts", "2 hours")
+    p = purchases.withWatermark("p_ts", "2 hours")
+    cond = (
+        (c["user_id"] == p["p_user"])
+        & (p["p_ts"] >= c["click_ts"] - F.expr("INTERVAL 30 MINUTES"))
+        & (p["p_ts"] <= c["click_ts"])
+    )
+    return c.join(p, cond, "left_outer").select(
+        "user_id", "click_id", "click_ts", "p_ts", "p_value"
+    )
+
+
+def run_stream_left_join_batchlike(
+    spark: SparkSession, events_path: str, query_name: str = "stream_left_joined"
+) -> DataFrame:
+    s = events_stream(spark, events_path)
+    clicks = s.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = s.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("p_value"),
+    )
+    return _run_to_memory(
+        stream_stream_purchase_left_join(clicks, purchases), query_name, "append"
+    )
+
+
 def sessionized_event_counts(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -25,6 +25,7 @@ _EXECUTING = {
     "pagerank",           # driver iteration loop + localCheckpoint
     "kcore",              # peeling loop with per-round counts
     "events_stream_topk", # runs the streaming sink before ranking
+    "events_stream_join_outer",
     "events_stream_windowed",
     "events_stream_sessions",
     "events_stream_join",

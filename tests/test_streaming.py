@@ -328,3 +328,37 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
         .select("event_id", "nation")
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+@pytest.mark.parametrize("encoding", ["micros"])
+def test_left_outer_join_emits_expired_unmatched_only(spark, tmp_path, encoding):
+    """Null-padded rows appear ONLY for clicks the watermark has proven
+    unmatched; clicks still inside the horizon are withheld."""
+    from pysparkflow.streaming.events import run_stream_left_join_batchlike
+
+    rows = [
+        # matched pair: purchase 10 min after the click? (no: p must be
+        # <= click_ts) -> purchase 10 min BEFORE the click
+        (1, "2024-01-01 00:50:00", 7, "purchase", 5.0),
+        (2, "2024-01-01 01:00:00", 7, "click", 0.0),
+        # unmatched click, far in the past -> expires, null row
+        (3, "2024-01-01 02:00:00", 8, "click", 0.0),
+        # unmatched click inside the 2h horizon of max ts -> withheld
+        (4, "2024-01-01 11:30:00", 9, "click", 0.0),
+        # tail events advance both sides' watermarks (and match each
+        # other: same user, same instant satisfies p_ts <= click_ts)
+        (5, "2024-01-01 12:00:00", 1, "click", 0.0),
+        (6, "2024-01-01 12:00:00", 1, "purchase", 1.0),
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    _write_event_file(spark, str(d / "events.parquet"), rows, 1000, encoding)
+    out = run_stream_left_join_batchlike(
+        spark, str(d / "events.parquet"), query_name="t_louter"
+    ).collect()
+    by_click = {r["click_id"]: r for r in out}
+    # watermark = min-side max (12:00) - 2h = 10:00
+    assert by_click[2]["p_value"] == 5.0          # matched emits
+    assert by_click[3]["p_ts"] is None            # expired unmatched: null row
+    assert 4 not in by_click                      # inside horizon: withheld
+    assert by_click[5]["p_value"] == 1.0          # same-instant match emits
