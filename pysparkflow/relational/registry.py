@@ -2713,9 +2713,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkflow.algo.pagerank import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)  # density-constant fold (see q_triangle_count)
     half = li.select(
-        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
-        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+        F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
     ).where(F.col("src") != F.col("dst")).distinct()
     sym = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -2737,9 +2738,11 @@ def _pagerank_oracle_sql(iters: int = _PR_ITERS, d: float = _PR_DAMPING) -> str:
     """Unroll the PageRank rounds into chained CTEs (same arithmetic as
     algo/pagerank.py: contrib join + aggregate, floor (1-d)/N)."""
     head = f"""
-WITH e0 AS (
-  SELECT DISTINCT l_partkey % 2000 AS src, l_suppkey % 2000 AS dst
-  FROM lineitem WHERE l_partkey % 2000 <> l_suppkey % 2000
+WITH mm AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), e0 AS (
+  SELECT DISTINCT l_partkey % mm.m AS src, l_suppkey % mm.m AS dst
+  FROM lineitem, mm WHERE l_partkey % mm.m <> l_suppkey % mm.m
 ), e AS (
   SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
 ), deg AS (
@@ -2790,10 +2793,11 @@ def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkflow.algo.sssp import bounded_sssp
 
     li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)  # density-constant fold (see q_triangle_count)
     half = (
         li.select(
-            F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
-            F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+            F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+            F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
             (
                 1 + F.pmod(F.col("l_partkey") + F.col("l_suppkey"), F.lit(10))
             ).alias("w"),
@@ -2817,10 +2821,12 @@ def q_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sssp_oracle_sql(hops: int = _SSSP_HOPS) -> str:
     head = """
-WITH half AS (
-  SELECT l_partkey % 2000 AS src, l_suppkey % 2000 AS dst,
+WITH mm AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), half AS (
+  SELECT l_partkey % mm.m AS src, l_suppkey % mm.m AS dst,
          min(1 + (l_partkey + l_suppkey) % 10) AS w
-  FROM lineitem WHERE l_partkey % 2000 <> l_suppkey % 2000
+  FROM lineitem, mm WHERE l_partkey % mm.m <> l_suppkey % mm.m
   GROUP BY 1, 2
 ), arcs AS MATERIALIZED (
   SELECT src AS u, dst AS v, CAST(min(w) AS DOUBLE) AS w FROM (
@@ -2868,20 +2874,23 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkflow.graph.kcore import kcore_vertices
 
     li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)  # density-constant fold (see q_triangle_count)
     edges = li.select(
-        F.pmod(F.col("l_partkey"), F.lit(2000)).alias("src"),
-        F.pmod(F.col("l_suppkey"), F.lit(2000)).alias("dst"),
+        F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
     )
     return kcore_vertices(edges, k=_KCORE_K, max_rounds=_KCORE_UNROLL)
 
 
 def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_UNROLL) -> str:
     head = """
-WITH e0 AS MATERIALIZED (
-  SELECT DISTINCT least(l_partkey % 2000, l_suppkey % 2000) AS a,
-                  greatest(l_partkey % 2000, l_suppkey % 2000) AS b
-  FROM lineitem
-  WHERE l_partkey % 2000 <> l_suppkey % 2000
+WITH mm AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(l_partkey % mm.m, l_suppkey % mm.m) AS a,
+                  greatest(l_partkey % mm.m, l_suppkey % mm.m) AS b
+  FROM lineitem, mm
+  WHERE l_partkey % mm.m <> l_suppkey % mm.m
 )"""
     steps = []
     for i in range(rounds):
