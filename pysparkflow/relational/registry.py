@@ -3121,6 +3121,75 @@ WHERE c.event_id NOT IN (SELECT click_id FROM m) AND c.ts < wm.w
 """
 
 
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (20 bins) of lineitem extended price, bin
+    edges derived from the data's min/max — the profiling primitive.
+    One scalar aggregate broadcast into a map-only bin assignment +
+    one combiner-friendly count; bin arithmetic is the same IEEE double
+    expression in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mm = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(19),
+            F.floor(
+                (F.col("l_extendedprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / F.lit(20.0))
+            ),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").cast("long").alias("n"))
+
+
+_Q_HISTOGRAM_SQL = """
+WITH mm AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+)
+SELECT CAST(least(19, floor((l_extendedprice - mn) / ((mx - mn) / 20.0)))
+            AS INTEGER) AS bin,
+       count(*) AS n
+FROM lineitem, mm
+GROUP BY 1
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition counts (the Markov matrix of
+    the event log): per user, each consecutive (prev_type -> next_type)
+    pair by event time, counted corpus-wide. One window keyed by user +
+    one 25-row aggregate — sequence mining's cheapest useful statistic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+_Q_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+)
+SELECT prev_type, next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3212,6 +3281,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_changelog": q_apply_changelog,
     "incremental_rollup": q_incremental_rollup,
     "events_stream_join_outer": q_events_stream_join_outer,
+    "histogram_bins": q_histogram_bins,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3305,6 +3376,8 @@ ORACLE_SQL: dict[str, str] = {
     "apply_changelog": _Q_APPLY_CHANGELOG_SQL,
     "incremental_rollup": _Q_INCREMENTAL_ROLLUP_SQL,
     "events_stream_join_outer": _Q_EVENTS_STREAM_JOIN_OUTER_SQL,
+    "histogram_bins": _Q_HISTOGRAM_SQL,
+    "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic

@@ -37,8 +37,14 @@ _EXECUTING = {
 # broadcast-side cross join is the intended plan: tiny query set
 # replicated against the corpus (documented in llmops/similarity.py);
 # knn_ivf_recall embeds knn_bruteforce as its ground truth;
-# funnel_conversion combines three 1-row stage counts (scalar × scalar)
-_CROSS_JOIN_OK = {"knn_bruteforce", "knn_ivf_recall", "funnel_conversion"}
+# funnel_conversion combines three 1-row stage counts (scalar × scalar);
+# histogram_bins broadcasts a 1-row min/max scalar against the scan
+_CROSS_JOIN_OK = {
+    "knn_bruteforce",
+    "knn_ivf_recall",
+    "funnel_conversion",
+    "histogram_bins",
+}
 
 _DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
 
