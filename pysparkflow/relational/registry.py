@@ -3190,6 +3190,80 @@ GROUP BY 1, 2
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-style data-quality report: one row per declared check
+    with its violation count — the pipeline health-check primitive
+    (null keys, domain violations, duplicate natural keys, referential
+    orphans). Each check is a conditional aggregate over ONE scan of its
+    table (no per-check rescans); the duplicate check is a keyed count;
+    the referential check an anti-join. A 100 TB nightly run is one pass
+    over each fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    one_pass = li.agg(
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderkey"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nonpositive_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("discount_out_of_range"),
+    )
+    dup_keys = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    orphans = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    checks = one_pass.selectExpr(
+        "stack(3, 'null_orderkey', null_orderkey, "
+        "'nonpositive_qty', nonpositive_qty, "
+        "'discount_out_of_range', discount_out_of_range) AS (check, violations)"
+    )
+    return checks.unionByName(
+        dup_keys.select(
+            F.lit("duplicate_line_key").alias("check"),
+            F.col("n").alias("violations"),
+        )
+    ).unionByName(
+        orphans.select(
+            F.lit("orphan_lineitem").alias("check"),
+            F.col("n").alias("violations"),
+        )
+    )
+
+
+_Q_DATA_QUALITY_SQL = """
+SELECT 'null_orderkey' AS check,
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS violations
+FROM lineitem
+UNION ALL
+SELECT 'nonpositive_qty',
+       CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'discount_out_of_range',
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'duplicate_line_key', CAST(count(*) AS BIGINT) FROM (
+  SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'orphan_lineitem', CAST(count(*) AS BIGINT)
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3283,6 +3357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join_outer": q_events_stream_join_outer,
     "histogram_bins": q_histogram_bins,
     "event_transitions": q_event_transitions,
+    "data_quality_report": q_data_quality_report,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3378,6 +3453,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join_outer": _Q_EVENTS_STREAM_JOIN_OUTER_SQL,
     "histogram_bins": _Q_HISTOGRAM_SQL,
     "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
+    "data_quality_report": _Q_DATA_QUALITY_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
