@@ -4,7 +4,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full compute, no
-collect/write overhead)."""
+collect/write overhead).
+
+Artifact-safety (BENCH_r04 postmortem): the driver captures only the
+last ~2KB of stdout, and a single JSON line carrying all 93 query
+timings (~3KB) overflowed that window, losing the headline numbers
+(`parsed: null`).  The final line is therefore COMPACT: totals,
+calibration, and the HEADLINE subset of query timings only; the full
+per-query map is written to bench_queries_latest.json (committed per
+round) and its path is referenced from the final line."""
 
 from __future__ import annotations
 
@@ -23,6 +31,27 @@ from pysparkflow.session import get_spark
 # every registry query is benchmarked — a perf regression in any graded
 # entry shows up as a BENCH_r{N} delta, not silently
 BENCH_QUERIES = list(QUERIES)
+
+# the subset whose timings ride on the compact final JSON line (the
+# driver-parseable artifact); everything else lives in the side file
+HEADLINE = [
+    "max_flow",
+    "max_flow_approx",
+    "bfs_distances",
+    "min_cut",
+    "connected_components",
+    "pagerank",
+    "sssp_bounded",
+    "kcore",
+    "triangle_count",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "knn_ivf",
+    "events_stream_windowed",
+    "events_stream_stateful",
+    "curation_pipeline",
+]
 
 
 def _host_calibration() -> dict[str, float]:
@@ -127,21 +156,52 @@ def main() -> None:
             release_tracked()
         print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    cal_after = _host_calibration()
+    # full per-query map → committed side file (too big for the driver's
+    # ~2KB stdout tail window; see module docstring)
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries_latest.json"
+    )
+    with open(side_path, "w") as fh:
+        json.dump(
+            {
+                "total_sec": total,
+                "sf": sf_val,
+                "queries": timings,
+                "host_calibration": cal_before,
+                "host_calibration_after": cal_after,
+                # ADVICE r4 (bench.py:122): min-of-2 applies to sub-3s
+                # queries from round 4 onward; BENCH_r02 and earlier were
+                # single-sample, so cross-round ratios vs those rounds
+                # carry a sampling-policy asymmetry in the newer round's
+                # favor (bounded by the host-drift the policy removes).
+                "sampling": {
+                    "policy": "min-of-2 for <3s queries, single-sample above",
+                    "baseline_note": "BENCH_r02 and earlier were single-sample",
+                },
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
     print(
         json.dumps(
             {
                 "metric": "bench_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: timings[k] for k in HEADLINE if k in timings},
+                "n_queries": len(timings),
                 "sf": sf_val,
                 # probed twice: the bench host is a VM whose effective CPU
                 # speed drifts WITHIN a run (observed 0.20s-0.33s for the
                 # same pinned loop minutes apart); two samples bound the
                 # drift a given run was subject to
                 "host_calibration": cal_before,
-                "host_calibration_after": _host_calibration(),
-            }
+                "host_calibration_after": cal_after,
+                "queries_full": "bench_queries_latest.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -36,18 +36,39 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    validate: bool = True,
 ) -> DataFrame:
     """Ranks after ``iterations`` synchronous rounds on the directed
     edge list. Every vertex must have outdegree >= 1 (true for any
     symmetrized undirected graph — pass both directions); dangling-mass
     redistribution is deliberately out of scope so the oracle replay
-    stays one join + one aggregate per round. Returns (vertex, rank)."""
+    stays one join + one aggregate per round. The precondition is
+    CHECKED (``validate=True``): a directed input with sink vertices
+    (outdegree 0) would otherwise be silently dropped from the output
+    with their rank mass leaking — misuse raises instead. One extra
+    vertex-scale anti-join job; disable for hot repeated calls on
+    known-symmetric graphs. Returns (vertex, rank)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # static side: edges with outdegree attached, cached once (schimmy)
     arcs = e.join(deg, "u").persist()
     verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
     n = verts.count()
+    if validate:
+        n_sinks = (
+            e.select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(verts, "vertex", "left_anti")
+            .count()
+        )
+        if n_sinks:
+            arcs.unpersist()
+            verts.unpersist()
+            raise ValueError(
+                f"pagerank requires outdegree >= 1 for every vertex; "
+                f"{n_sinks} vertices appear only as destinations "
+                f"(symmetrize the graph or add self-loops)"
+            )
     ranks = verts.select("vertex", (F.lit(1.0) / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iterations):

@@ -45,6 +45,9 @@ def kcore_vertices(
     Returns (vertex,). Deterministic — pure function of the graph."""
     e = canonical_edges(edges, src, dst).persist()
     rounds = 0
+    # carried across rounds: this round's n_before IS last round's
+    # n_after — recounting e would spend an extra job per peeling round
+    n_before = e.count()
     while True:
         deg = (
             e.select(F.col("a").alias("v"))
@@ -58,7 +61,7 @@ def kcore_vertices(
         e2 = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi").persist()
         # stable iff no edge was dropped (vertex counts can't change
         # without edge counts changing)
-        n_before, n_after = e.count(), e2.count()
+        n_after = e2.count()
         e.unpersist()
         rounds += 1
         if rounds % checkpoint_every == 0:
@@ -68,6 +71,7 @@ def kcore_vertices(
             keep.unpersist()
             break
         keep.unpersist()
+        n_before = n_after
         if rounds >= max_rounds:
             raise RuntimeError(f"k-core did not stabilize in {max_rounds} rounds")
     out = (

@@ -43,10 +43,28 @@ def apply_changelog(
     ``changes`` carries the key columns, payload columns, a total-order
     ``seq_col`` (later wins; must be unique per key for determinism) and
     ``op_col`` in {"U", "D"}. ``base`` carries key + payload columns.
-    Returns the merged state with base's column set."""
+    Returns the merged state with base's column set.
+
+    The op domain is ENFORCED in-dataflow: any op outside {"U", "D"}
+    (including NULL) raises at execution instead of being silently
+    treated as a delete (ADVICE r4) — a per-row JVM-side conditional,
+    no extra validation job."""
+    op_checked = F.when(
+        F.col(op_col).isin(UPSERT, DELETE), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("apply_changelog: op must be 'U' or 'D', got: "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
     last = (
-        changes.withColumn("_rn", F.row_number().over(w))
+        # checked on EVERY changelog row (same scan stage, no extra job),
+        # not just the applied last-per-key row
+        changes.withColumn(op_col, op_checked)
+        .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select(
             *key_cols,

@@ -403,3 +403,36 @@ def test_sliding_window_avg_frame(spark, tmp_path):
     assert got[1] == (15.0, 2)   # 10,20 within the hour
     assert got[2] == (25.0, 2)   # 20,30 — the 00:00 event aged out
     assert got[3] == (100.0, 1)  # per-user isolation
+
+
+def test_pagerank_rejects_sink_vertices(spark):
+    """ADVICE r4: a directed input with outdegree-0 vertices must raise
+    (their rank mass would silently leak), not return a truncated result."""
+    import pytest
+
+    from pysparkflow.algo.pagerank import pagerank
+
+    # vertex 3 appears only as a destination
+    df = spark.createDataFrame([(1, 2), (2, 1), (1, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="appear only as destinations"):
+        pagerank(df, iterations=2)
+
+
+def test_histogram_bins_degenerate_constant_column(spark, tmp_path):
+    """ADVICE r4: all-equal values -> width 0 -> must land in bin 0, not NaN."""
+    import duckdb
+
+    from pysparkflow.relational.registry import _Q_HISTOGRAM_SQL, q_histogram_bins
+
+    d = str(tmp_path / "sfdeg")
+    spark.createDataFrame(
+        [(i, 1, 42.0) for i in range(10)],
+        "l_orderkey long, l_linenumber int, l_extendedprice double",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = q_histogram_bins(spark, d).collect()
+    assert [(r["bin"], r["n"]) for r in got] == [(0, 10)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
+    )
+    assert con.execute(_Q_HISTOGRAM_SQL).fetchall() == [(0, 10)]

@@ -121,3 +121,32 @@ def test_apply_changelog_delete_then_reinsert(spark):
     )
     got = apply_changelog(base, changes, ["k"], ["v"]).collect()
     assert [(r["k"], r["v"]) for r in got] == [(1, 9.0)]
+
+
+def test_apply_changelog_rejects_invalid_op(spark):
+    """ADVICE r4: an op outside {'U','D'} must raise, not silently delete."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from pysparkflow.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, 1, "X")], "k long, v double, seq long, op string"
+    )
+    with pytest.raises(PySparkException, match="op must be 'U' or 'D'"):
+        apply_changelog(base, changes, ["k"], ["v"]).collect()
+
+
+def test_apply_changelog_rejects_null_op(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from pysparkflow.operators.merge import apply_changelog
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 2.0, 1, None)], "k long, v double, seq long, op string"
+    )
+    with pytest.raises(PySparkException, match="NULL"):
+        apply_changelog(base, changes, ["k"], ["v"]).collect()
