@@ -1927,21 +1927,47 @@ GROUP BY d.source
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (sketch family). The HLL++ sketch is
-    deterministic for a given dataset, so the oracle pins the expected
-    values at the driver's graded scale (sf=0.01; exact counts there are
-    15000 orders / 2000 parts — the pinned estimates are within the
-    documented 2% rsd). Exactness bounds are additionally pytest-checked."""
+    """HLL approximate distinct (sketch family), de-pinned (VERDICT r4
+    #5): instead of pinning the sketch estimates at one scale, surface
+    the RECOMPUTED exact distinct count plus an in-query check that the
+    HLL++ estimate (rsd 0.02) lands within a 3-sigma band of it. The
+    oracle recomputes the exact counts in DuckDB and asserts the band
+    booleans — valid at ANY scale, so the entry stays green if the
+    driver ever grades a different sf. The estimate itself remains
+    pytest-bounded; at 100 TB only the HLL side would run (the exact
+    count here is the verification cost, one extra distinct shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_o"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_p"),
+        F.countDistinct("l_orderkey").alias("e_o"),
+        F.countDistinct("l_partkey").alias("e_p"),
+    )
+    stacked = agg.select(
+        F.expr(
+            "stack(2, 'orders', a_o, e_o, 'parts', a_p, e_p) "
+            "AS (metric, approx, exact)"
+        )
+    )
+    return stacked.select(
+        "metric",
+        F.col("exact").cast("long").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= F.lit(0.06)
+        ).alias("within_rsd_band"),
     )
 
 
 _Q_APPROX_DISTINCT_SQL = """
-SELECT CAST(14206 AS BIGINT) AS approx_orders,
-       CAST(1947 AS BIGINT) AS approx_parts
+SELECT 'orders' AS metric,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_rsd_band
+FROM lineitem
+UNION ALL
+SELECT 'parts',
+       CAST(count(DISTINCT l_partkey) AS BIGINT),
+       TRUE
+FROM lineitem
 """
 
 
@@ -2171,31 +2197,55 @@ WHERE o.id IS NULL OR n.id IS NULL OR o.h <> n.h
 """
 
 
+_AQ_PS = [0.25, 0.5, 0.75, 0.99]
+_AQ_EPS = 1.0 / 1000  # percentile_approx accuracy 1000 -> rank error 1/1000
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-quantile sketch (sketch family, alongside the HLL
-    approx_distinct): percentile_approx over lineitem extended price at
-    accuracy 1000. Deterministic for a fixed dataset, so the oracle pins
-    the graded-scale result; a pytest bounds each estimate against the
-    exact percentile at the sketch's rank-error guarantee."""
+    """Approximate-quantile sketch, de-pinned (VERDICT r4 #5): surfaces
+    the RECOMPUTED exact percentile (same linear interpolation in Spark
+    ``percentile`` and DuckDB ``quantile_cont``) plus an in-query check
+    that the sketch estimate lies inside the exact-percentile envelope
+    at p +/- 2*eps (eps = 1/accuracy; doubled so interpolation-vs-rank
+    convention differences can't flip the bound at tiny n). The oracle
+    recomputes the exact percentiles and asserts the envelope booleans —
+    scale-independent. At 100 TB only the sketch side would run; the
+    exact percentile here is the verification cost."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.99], 1000)
+    ps = ", ".join(str(p) for p in _AQ_PS)
+    los = ", ".join(str(max(p - 2 * _AQ_EPS, 0.0)) for p in _AQ_PS)
+    his = ", ".join(str(min(p + 2 * _AQ_EPS, 1.0)) for p in _AQ_PS)
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", _AQ_PS, 1000)
         .cast("array<double>")
-        .alias("approx_quantiles")
-    ).select(
-        F.round(F.col("approx_quantiles")[0], 2).alias("q25"),
-        F.round(F.col("approx_quantiles")[1], 2).alias("q50"),
-        F.round(F.col("approx_quantiles")[2], 2).alias("q75"),
-        F.round(F.col("approx_quantiles")[3], 2).alias("q99"),
+        .alias("apx"),
+        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("exact"),
+        F.expr(f"percentile(l_extendedprice, array({los}))").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, array({his}))").alias("hi"),
+    )
+    rows = []
+    for i, p in enumerate(_AQ_PS):
+        rows.append(
+            f"'q{int(p * 100)}', round(exact[{i}], 2), "
+            f"apx[{i}] >= lo[{i}] AND apx[{i}] <= hi[{i}]"
+        )
+    return agg.select(
+        F.expr(
+            f"stack({len(_AQ_PS)}, {', '.join(rows)}) "
+            "AS (q, exact_pc, sketch_within_bound)"
+        )
     )
 
 
-# pinned deterministic sketch output at the graded scale (sf0.01); the
-# exact percentiles there are (26881.15, 53028.63, 79194.10, 103940.16)
-# — every estimate is within the 1/1000 rank-error guarantee, which the
-# pytest bound re-checks against the exact values
 _Q_APPROX_QUANTILES_SQL = """
-SELECT 26909.54 AS q25, 52968.34 AS q50, 79079.46 AS q75, 103859.8 AS q99
+SELECT 'q25' AS q, round(quantile_cont(l_extendedprice, 0.25), 2) AS exact_pc,
+       TRUE AS sketch_within_bound FROM lineitem
+UNION ALL
+SELECT 'q50', round(quantile_cont(l_extendedprice, 0.50), 2), TRUE FROM lineitem
+UNION ALL
+SELECT 'q75', round(quantile_cont(l_extendedprice, 0.75), 2), TRUE FROM lineitem
+UNION ALL
+SELECT 'q99', round(quantile_cont(l_extendedprice, 0.99), 2), TRUE FROM lineitem
 """
 
 
@@ -3529,15 +3579,16 @@ ORACLE_SQL: dict[str, str] = {
 
 # oracle entries whose SQL pins a deterministic expectation that is only
 # valid at the driver's graded scale (the CORRECTNESS gate runs sf=0.01)
+# (approx_distinct / approx_quantiles were de-pinned in round 5: their
+# oracles now recompute exact counts/percentiles plus scale-independent
+# error-band booleans, so they hold at any sf)
 SF_PINNED_ORACLES = {
     "knn_ivf_recall": "sf0.01",
-    "approx_distinct": "sf0.01",
     "max_flow": "sf0.01",
     "max_flow_approx": "sf0.01",
     "knn_ivf": "sf0.01",
     "cluster_sample": "sf0.01",
     "min_cut": "sf0.01",
-    "approx_quantiles": "sf0.01",
 }
 
 # --- driver-sample ordering -------------------------------------------

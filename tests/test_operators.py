@@ -70,19 +70,56 @@ def test_snapshot_diff_statuses(spark):
 def test_approx_quantiles_rank_error_bound(spark, sf_dir):
     # percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
     # check each estimate's true rank is within that bound of its target
-    from pysparkflow.relational.registry import QUERIES
-
+    # (the TIGHT bound; the registry entry's in-query envelope is 2x)
     import pyspark.sql.functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
     n = len(vals)
-    row = QUERIES["approx_quantiles"](spark, sf_dir).collect()[0]
+    ps = [0.25, 0.5, 0.75, 0.99]
+    ests = li.agg(
+        F.percentile_approx("l_extendedprice", ps, 1000).alias("a")
+    ).collect()[0]["a"]
     import bisect
-    for col, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)):
-        est = row[col]
+    for q, est in zip(ps, ests):
         rank = bisect.bisect_left(vals, est)
-        assert abs(rank - q * n) <= n / 1000 + 1, (col, est, rank, q * n)
+        assert abs(rank - q * n) <= n / 1000 + 1, (est, rank, q * n)
+
+
+def test_approx_quantiles_query_envelope_and_exact_pc(spark, sf_dir):
+    # de-pinned registry entry: every envelope boolean true, and the
+    # surfaced exact percentile matches an independent interpolation
+    # over the collected sorted values (percentile_cont convention)
+    from pysparkflow.relational.registry import QUERIES
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    rows = {r["q"]: r for r in QUERIES["approx_quantiles"](spark, sf_dir).collect()}
+    assert set(rows) == {"q25", "q50", "q75", "q99"}
+    for name, p in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)):
+        assert rows[name]["sketch_within_bound"] is True
+        idx = p * (n - 1)
+        lo, frac = int(idx), idx - int(idx)
+        want = vals[lo] if frac == 0 else vals[lo] * (1 - frac) + vals[lo + 1] * frac
+        # one-cent tolerance: python's interpolation arithmetic can land
+        # on the other side of a .xx5 rounding knife-edge than Spark's
+        # (Spark and DuckDB agree with each other — oracle-checked)
+        assert abs(rows[name]["exact_pc"] - round(want, 2)) <= 0.011
+
+
+def test_approx_distinct_query_band(spark, sf_dir):
+    from pysparkflow.relational.registry import QUERIES
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        "orders": li.select("l_orderkey").distinct().count(),
+        "parts": li.select("l_partkey").distinct().count(),
+    }
+    rows = {r["metric"]: r for r in QUERIES["approx_distinct"](spark, sf_dir).collect()}
+    for m in ("orders", "parts"):
+        assert rows[m]["exact_distinct"] == exact[m]
+        assert rows[m]["within_rsd_band"] is True
 
 
 def test_apply_changelog_merge_matrix(spark):

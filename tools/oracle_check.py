@@ -54,6 +54,7 @@ def main() -> int:
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     failures = []
+    results: dict[str, str] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -62,14 +63,17 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
+            results[name] = f"FAIL: spark error {type(e).__name__}"
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         el = time.time() - t0
         if name not in ORACLE_SQL:
+            results[name] = f"rows-only: {len(sdf)} rows"
             print(f"ok*   {name}: rows={len(sdf)} ({el:.1f}s) [rows-only, no oracle]")
             continue
         pinned = SF_PINNED_ORACLES.get(name)
         if pinned and not sf_dir.rstrip("/").endswith(pinned):
+            results[name] = f"rows-only here: {len(sdf)} rows (oracle pinned {pinned})"
             print(
                 f"ok*   {name}: rows={len(sdf)} ({el:.1f}s) "
                 f"[oracle pinned to {pinned}, skipped here]"
@@ -79,10 +83,12 @@ def main() -> int:
             odf = con.sql(ORACLE_SQL[name]).df()
         except Exception as e:
             failures.append(name)
+            results[name] = "FAIL: oracle error"
             print(f"FAIL  {name}: oracle error: {str(e)[:300]}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
+            results[name] = "FAIL: columns differ"
             print(
                 f"FAIL  {name}: columns differ spark={sorted(sdf.columns)} "
                 f"oracle={sorted(odf.columns)}"
@@ -90,17 +96,49 @@ def main() -> int:
             continue
         if len(sdf) != len(odf):
             failures.append(name)
+            results[name] = f"FAIL: rowcount {len(sdf)} vs {len(odf)}"
             print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             continue
         a, b = normalize(sdf), normalize(odf)
         if a.equals(b):
+            results[name] = f"PASS: {len(sdf)} rows"
             print(f"PASS  {name}: rows={len(sdf)} ({el:.1f}s)")
         else:
             failures.append(name)
             neq = (a != b).any(axis=1)
+            results[name] = f"FAIL: {int(neq.sum())}/{len(a)} rows differ"
             print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first:")
             print(pd.concat([a[neq].head(3), b[neq].head(3)]).to_string())
     print("FAILURES:", failures if failures else "none")
+    if not only:
+        # full-surface run: persist the pass list as committed evidence
+        # (the driver's CORRECTNESS gate samples only the first 50
+        # entries; this artifact carries the whole surface)
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "ORACLE_CHECK_LOCAL.json")
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_entries": len(results),
+                    "n_pass_hash_match": sum(
+                        1 for v in results.values() if v.startswith("PASS")
+                    ),
+                    "n_rows_only": sum(
+                        1 for v in results.values() if v.startswith("rows-only")
+                    ),
+                    "failures": failures,
+                    "results": results,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 
