@@ -53,10 +53,13 @@ def bounded_sssp(
         [(int(s), 0.0) for s in sources], "vertex long, dist double"
     )
     for i in range(max_hops):
-        cand = (
-            arcs.join(dist.withColumnRenamed("vertex", "u"), "u")
-            .groupBy(F.col("v").alias("vertex"))
-            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        # candidate rows stay un-aggregated: min(dist, min(cand)) ==
+        # min over the union, so one groupBy replaces the former
+        # per-round pre-aggregation + merge pair (one shuffle saved per
+        # round; map-side partial agg still combines before the exchange)
+        cand = arcs.join(dist.withColumnRenamed("vertex", "u"), "u").select(
+            F.col("v").alias("vertex"),
+            (F.col("dist") + F.col("w")).alias("dist"),
         )
         dist = (
             dist.unionByName(cand)

@@ -3378,6 +3378,289 @@ FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
 """
 
 
+# ---------------------------------------------------------------------------
+# round 5: URL dedup, fuzzy match, time-series, skew handling, LM scoring,
+# chunking, ORC source, ordered-set aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (llmops/urltools.py): raw crawl URLs —
+    synthesized deterministically from doc_id, with case noise, www
+    prefixes, utm_* tracking params, fragments, and trailing slashes —
+    collapse to canonical form; dup groups survive. Map-only transform +
+    one key-only shuffle; document text is never read."""
+    from pysparkflow.llmops.urltools import url_dup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 10).cast("string")
+    p = (F.col("doc_id") % 50).cast("string")
+    base = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("HTTPS://WWW.SRC"), h, F.lit(".Example.COM")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("https://www.src"), h, F.lit(".example.com")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("https://src"), h, F.lit(".example.com")))
+        .otherwise(F.concat(F.lit("https://SRC"), h, F.lit(".EXAMPLE.com")))
+    )
+    url = F.concat(
+        base,
+        F.lit("/doc/"), p,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?id=1&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    raw = d.select(F.col("doc_id"), url.alias("url"))
+    return url_dup_groups(raw, "url", "doc_id")
+
+
+def _url_dedup_sql() -> str:
+    from pysparkflow.llmops.urltools import CANONICALIZE_SQL
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    (CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.SRC' || (doc_id % 10) || '.Example.COM'
+      WHEN 1 THEN 'https://www.src' || (doc_id % 10) || '.example.com'
+      WHEN 2 THEN 'https://src' || (doc_id % 10) || '.example.com'
+      ELSE 'https://SRC' || (doc_id % 10) || '.EXAMPLE.com' END)
+    || '/doc/' || (doc_id % 50)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+    || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&utm_medium=rss'
+                        WHEN 1 THEN '?id=1&utm_campaign=x' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+  FROM documents)
+SELECT {CANONICALIZE_SQL.format(u="url")} AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS min_id
+FROM raw GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join (operators/simjoin.py):
+    distinct-value vocabulary first (corpus-size independent), suffix
+    block + lossless length band, exact levenshtein verify on candidates
+    only — the LSH find/verify discipline applied to edit distance."""
+    from pysparkflow.operators.simjoin import edit_distance_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return edit_distance_pairs(part, "p_name", max_dist=3, suffix_len=4)
+
+
+_Q_EDITDIST_SQL = """
+WITH v AS (SELECT DISTINCT p_name AS nm FROM part)
+SELECT v1.nm AS a, v2.nm AS b,
+       CAST(levenshtein(v1.nm, v2.nm) AS INTEGER) AS dist
+FROM v v1 JOIN v v2
+  ON right(v1.nm, 4) = right(v2.nm, 4)
+ AND v1.nm < v2.nm
+ AND abs(length(v1.nm) - length(v2.nm)) <= 3
+WHERE levenshtein(v1.nm, v2.nm) <= 3
+"""
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (operators/timeseries.py): per-user
+    hourly buckets with missing hours as explicit zeros; each key's
+    calendar arm is generated distributed via sequence()+explode."""
+    from pysparkflow.operators.timeseries import gap_fill_hourly
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    return gap_fill_hourly(ev)
+
+
+_Q_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n, round(sum(value), 2) AS sv
+  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+cal AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans)
+SELECT c.user_id, c.hour,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       coalesce(h.sv, 0.0) AS sum_value
+FROM cal c LEFT JOIN hourly h USING (user_id, hour)
+"""
+
+
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window (operators/timeseries.py): trailing
+    30-day spend per customer — interval semantics (every row within the
+    window, however many), not row-count frames."""
+    from pysparkflow.operators.timeseries import rolling_range_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    return rolling_range_sum(
+        o, "o_custkey", "o_orderdate", "o_totalprice", days=30
+    ).select("o_custkey", "o_orderkey", "rolling_sum")
+
+
+_Q_ROLLING_30D_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS rolling_sum
+FROM orders
+"""
+
+
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outliers (operators/timeseries.py): group
+    stats via one window partition — no stats subquery + rejoin."""
+    from pysparkflow.operators.timeseries import zscore_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return zscore_outliers(ev, "event_type", "value", threshold=3.0)
+
+
+_Q_ZSCORE_SQL = """
+SELECT event_id, event_type, value, round(z, 2) AS z FROM (
+  SELECT event_id, event_type, value,
+         (value - avg(value) OVER (PARTITION BY event_type))
+           / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+  FROM events) WHERE abs(z) > 3.0
+"""
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for pathological key skew (operators/skew.py): the
+    5-value event_type key would put ~20% of a 100 TB fact table in one
+    reducer; salting 8 ways rebalances it while the replicated build
+    side stays dim-sized. Semantics identical to the plain join — which
+    is exactly what the oracle replays."""
+    from pysparkflow.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type"))
+    )
+    return (
+        salted_join(ev, dim, on="event_type", factor=8)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("type_weight")), 2).alias(
+                "weighted_sum"
+            ),
+        )
+    )
+
+
+_Q_SALTED_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value * length(event_type)), 2) AS weighted_sum
+FROM events GROUP BY event_type
+"""
+
+
+def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-model fluency scoring (llmops/lm_score.py): unigram LM
+    from the corpus itself, mean token log-prob per document."""
+    from pysparkflow.llmops.lm_score import unigram_lm_scores
+
+    return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+_Q_LM_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, t
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+  WHERE t <> ''),
+model AS (
+  SELECT t, ln(count(*) / (SELECT count(*) * 1.0 FROM toks)) AS lp
+  FROM toks GROUP BY t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 4) AS lm_score
+FROM toks JOIN model USING (t) GROUP BY doc_id
+"""
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (llmops/chunking.py): 200-char
+    chunks every 150 chars, emitted as fingerprints (md5) so chunk-level
+    dedup downstream needs no text shuffle. Map-only."""
+    from pysparkflow.llmops.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=200, stride=150
+    )
+
+
+_Q_CHUNKING_SQL = """
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(length(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS INTEGER)
+         AS chunk_len,
+       md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_md5
+FROM documents, unnest(generate_series(0, (length(text) - 1) // 150)) AS g(i)
+WHERE length(text) > 0
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink fidelity (io/orc.py): write the documents table
+    as ORC, read it back through Spark's native vectorized ORC reader,
+    and aggregate — md5-distinct over text proves the payload survived
+    the columnar encode/decode. Oracle runs the same aggregate on the
+    original parquet."""
+    import re as _re
+
+    from pysparkflow.io.orc import orc_roundtrip
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    rt = orc_roundtrip(docs, f"/tmp/pysparkflow_orc/{tag}/documents")
+    return rt.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+_Q_ORC_ROUNDTRIP_SQL = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+FROM documents GROUP BY lang, source
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate: most frequent event_type per user, ties
+    broken lexicographically (deterministic, unlike F.mode's arbitrary
+    tie winner). One partial-agg shuffle + one window."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), "n")
+    )
+
+
+_Q_MODE_SQL = """
+SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events GROUP BY user_id, event_type) WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3473,6 +3756,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_bins": q_histogram_bins,
     "event_transitions": q_event_transitions,
     "data_quality_report": q_data_quality_report,
+    "url_dedup": q_url_dedup,
+    "editdist_pairs": q_editdist_pairs,
+    "gap_fill_hourly": q_gap_fill_hourly,
+    "rolling_30d_spend": q_rolling_30d_spend,
+    "zscore_anomaly": q_zscore_anomaly,
+    "salted_skew_join": q_salted_skew_join,
+    "lm_unigram_score": q_lm_unigram_score,
+    "doc_chunking": q_doc_chunking,
+    "orc_roundtrip": q_orc_roundtrip,
+    "mode_per_group": q_mode_per_group,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3570,6 +3863,16 @@ ORACLE_SQL: dict[str, str] = {
     "histogram_bins": _Q_HISTOGRAM_SQL,
     "event_transitions": _Q_EVENT_TRANSITIONS_SQL,
     "data_quality_report": _Q_DATA_QUALITY_SQL,
+    "url_dedup": _url_dedup_sql(),
+    "editdist_pairs": _Q_EDITDIST_SQL,
+    "gap_fill_hourly": _Q_GAP_FILL_SQL,
+    "rolling_30d_spend": _Q_ROLLING_30D_SQL,
+    "zscore_anomaly": _Q_ZSCORE_SQL,
+    "salted_skew_join": _Q_SALTED_SQL,
+    "lm_unigram_score": _Q_LM_SCORE_SQL,
+    "doc_chunking": _Q_CHUNKING_SQL,
+    "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
+    "mode_per_group": _Q_MODE_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -3607,9 +3910,21 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 5 front: the 43 entries absent from CORRECTNESS_r04.json, plus
-# the round-5 additions (never driver-graded yet)
+# round 5 front: the round-5 additions (never driver-graded), then the
+# entries absent from CORRECTNESS_r04.json. 60 candidates now compete
+# for 50 driver slots; the tail 10 below the cut keep their committed
+# ORACLE_CHECK_LOCAL.json green row and rotate to the r6 front.
 _ROUND_FRONT = [
+    "url_dedup",
+    "editdist_pairs",
+    "gap_fill_hourly",
+    "rolling_30d_spend",
+    "zscore_anomaly",
+    "salted_skew_join",
+    "lm_unigram_score",
+    "doc_chunking",
+    "orc_roundtrip",
+    "mode_per_group",
     "multimodal_decode",
     "asof_join",
     "range_join",
@@ -3637,25 +3952,28 @@ _ROUND_FRONT = [
     "scd2_history",
     "grouping_sets",
     "triangle_count",
+    "simhash_near_dups",
+    "pagerank",
+    "sssp_bounded",
+    "kcore",
+    "events_stream_topk",
+    "apply_changelog",
+    "events_stream_join_outer",
+    # --- r5 driver cut falls here (6 core + 44 above = 50); the tail
+    # below keeps its ORACLE_CHECK_LOCAL green row and fronts the r6
+    # rotation ---
+    "sliding_window_avg",
+    "incremental_rollup",
+    "histogram_bins",
+    "event_transitions",
+    "data_quality_report",
     "epoch_shuffle",
     "importance_sample",
     "token_budget_select",
     "exists_correlated",
     "correlated_avg",
-    "simhash_near_dups",
-    "pagerank",
-    "sssp_bounded",
-    "kcore",
-    "sliding_window_avg",
-    "events_stream_topk",
-    "apply_changelog",
-    "incremental_rollup",
-    "events_stream_join_outer",
-    "histogram_bins",
-    "event_transitions",
-    "data_quality_report",
 ]
-_front = _ROUND_FRONT + [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT]
+_front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
 QUERIES = {k: QUERIES[k] for k in _front} | {
     k: v for k, v in QUERIES.items() if k not in set(_front)
