@@ -245,34 +245,62 @@ def decode_stats(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows = []
-            for did in pdf[id_col]:
-                did = int(did)
-                payload = synth_ppm(did)
-                modality, (arr, maxval) = decode_media(payload)
-                assert modality == "image" and maxval == 255
-                h, w, c = arr.shape
-                a = arr.astype(np.int64)
-                wx = np.arange(w, dtype=np.int64)[None, :, None]
-                wy = np.arange(h, dtype=np.int64)[:, None, None]
-                wc = np.arange(c, dtype=np.int64)[None, None, :]
-                rows.append(
-                    (
-                        did, w, h, c, len(payload),
-                        round(float(a.mean()), 6), int(a.min()), int(a.max()),
-                        int(arr[0, 0, 0]), int(arr[h - 1, w - 1, c - 1]),
-                        int((a * (wx + 7 * wy + 13 * wc)).sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "media_id", "width", "height", "channels", "n_bytes",
-                    "mean_px", "min_px", "max_px", "tl_px", "br_px", "wsum",
-                ],
+            yield _stats_frame(
+                (int(did), synth_ppm(int(did))) for did in pdf[id_col]
             )
 
     return ids.mapInPandas(op, schema=DECODE_STATS_SCHEMA)
+
+
+def _stats_frame(id_payloads) -> pd.DataFrame:
+    """Decode each (id, payload) through the real parser and compute the
+    per-image statistic row shared by decode_stats / decode_stats_from_bytes."""
+    rows = []
+    for did, payload in id_payloads:
+        modality, (arr, maxval) = decode_media(payload)
+        assert modality == "image" and maxval == 255
+        h, w, c = arr.shape
+        a = arr.astype(np.int64)
+        wx = np.arange(w, dtype=np.int64)[None, :, None]
+        wy = np.arange(h, dtype=np.int64)[:, None, None]
+        wc = np.arange(c, dtype=np.int64)[None, None, :]
+        rows.append(
+            (
+                did, w, h, c, len(payload),
+                round(float(a.mean()), 6), int(a.min()), int(a.max()),
+                int(arr[0, 0, 0]), int(arr[h - 1, w - 1, c - 1]),
+                int((a * (wx + 7 * wy + 13 * wc)).sum()),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "media_id", "width", "height", "channels", "n_bytes",
+            "mean_px", "min_px", "max_px", "tl_px", "br_px", "wsum",
+        ],
+    )
+
+
+def decode_stats_from_bytes(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """The same per-image statistics as ``decode_stats``, but over a
+    binary column actually READ from storage (io/binaryfiles.py) rather
+    than synthesized in-process — the end-to-end shape of a decode pass
+    over an ingested media table. Arrow-batched, map-only."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield _stats_frame(
+                (int(i), bytes(p))
+                for i, p in zip(pdf[id_col], pdf[content_col])
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        op, schema=DECODE_STATS_SCHEMA
+    )
 
 
 def extract_features(media: DataFrame, decode_fn=None, batch_hint: int = 256) -> DataFrame:

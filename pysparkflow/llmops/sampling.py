@@ -261,3 +261,41 @@ def quantile_quality_filter(
         .where(F.col(metric_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    each row draws u ~ U(0,1) from the portable hash of (id, seed) and
+    the k rows with the largest u^(1/w) win — provably a weight-
+    proportional sample without replacement.
+
+    Ranking by ln(u)/w (monotone in u^(1/w), descending) keeps the
+    arithmetic in one well-conditioned double op per row. Zero/negative
+    weights are excluded (they cannot win a weighted draw).
+
+    Scale shape: map-only key computation + a global top-k — Spark plans
+    LIMIT-over-ORDER as per-partition top-k + a k-row reduce, so nothing
+    resembling a full sort materializes. Deterministic: the same
+    (ids, weights, seed) select the same rows on any cluster layout —
+    and in the DuckDB oracle, which replays the identical hash and key.
+    """
+    h = portable_hash32(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    # u in (0, 1): (h + 1) / (2^32 + 1); ln(u) < 0, so bigger w pulls the
+    # key toward 0 from below — rank descending
+    u = (h + F.lit(1).cast("double")) / F.lit(float(2**32 + 1))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("ares_key", key)
+        .orderBy(F.col("ares_key").desc(), F.col(id_col))
+        .limit(k)
+        .withColumn("ares_key", F.round("ares_key", 8))
+    )

@@ -110,3 +110,44 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > threshold)
         .withColumn("z", F.round("z", 2))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: str,
+    value: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outliers via median absolute deviation: flag rows where
+    |value - median| > threshold * 1.4826 * MAD (the normal-consistency
+    constant). Unlike z-scores (``zscore_outliers``), the estimator
+    itself is immune to the outliers it hunts — one extreme value
+    inflates a stddev enough to mask itself, but moves a median not
+    at all.
+
+    Dataflow: two group-sized exact-median aggregates (Catalyst
+    ``median`` is distributed) with broadcast joins back — the corpus
+    shuffles only into the two combiner-friendly aggs, never into a
+    window sort. Adds ``dev`` (|value-median| / (1.4826*MAD), rounded).
+    Groups with MAD = 0 (over half the values identical) flag any
+    deviation from the median."""
+    med = df.groupBy(group).agg(F.median(value).alias("_med"))
+    with_med = df.join(F.broadcast(med), group)
+    mad = (
+        with_med.groupBy(group)
+        .agg(F.median(F.abs(F.col(value) - F.col("_med"))).alias("_mad"))
+    )
+    scaled = F.lit(1.4826) * F.col("_mad")
+    dev = F.abs(F.col(value) - F.col("_med")) / scaled
+    return (
+        with_med.join(F.broadcast(mad), group)
+        .where(
+            F.when(F.col("_mad") > 0, dev > threshold)
+            .otherwise(F.abs(F.col(value) - F.col("_med")) > 0)
+        )
+        .withColumn(
+            "dev",
+            F.when(F.col("_mad") > 0, F.round(dev, 2)).otherwise(F.lit(None)),
+        )
+        .drop("_med", "_mad")
+    )

@@ -3661,6 +3661,238 @@ SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# round 5b: Z-order layout, BPE statistics, binaryFile ingest, robust
+# MAD outliers, weighted sampling w/o replacement, sessionized paths
+# ---------------------------------------------------------------------------
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering (operators/zorder.py): Morton-interleave the
+    quantile-bucket ranks of two independent predicate columns, then
+    report each z-cell's min/max envelope on BOTH dimensions — the
+    footer stats a z-sorted file layout would carry, i.e. proof that
+    either predicate prunes. No global sort: one percentile aggregate +
+    a map-only broadcast bucket/interleave pass + one cell-sized agg."""
+    from pysparkflow.operators.zorder import zorder_envelope_stats, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    z = zorder_key(li, "l_extendedprice", "l_quantity", bits=4)
+    return zorder_envelope_stats(z, "l_extendedprice", "l_quantity").select(
+        "z",
+        "n_rows",
+        F.round("min_a", 2).alias("min_price"),
+        F.round("max_a", 2).alias("max_price"),
+        F.col("min_b").alias("min_qty"),
+        F.col("max_b").alias("max_qty"),
+    )
+
+
+def _zorder_sql() -> str:
+    from pysparkflow.operators.zorder import interleave_sql
+
+    ps = ", ".join(str(i / 16.0) for i in range(1, 16))
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(l_extendedprice, [{ps}]) AS ba,
+         quantile_cont(l_quantity, [{ps}]) AS bb
+  FROM lineitem
+), zt AS (
+  SELECT l_extendedprice, l_quantity,
+         len(list_filter(ba, x -> x <= l_extendedprice)) AS ra,
+         len(list_filter(bb, x -> x <= l_quantity)) AS rb
+  FROM lineitem, b
+)
+SELECT CAST({interleave_sql('ra', 'rb', 4)} AS BIGINT) AS z,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       min(l_quantity) AS min_qty,
+       max(l_quantity) AS max_qty
+FROM zt GROUP BY 1
+"""
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE tokenizer-training round (llmops/bpe.py): word-frequency
+    dictionary, in-array adjacent-pair zip (no per-token shuffle),
+    frequency-weighted pair counts, deterministic top-30."""
+    from pysparkflow.llmops.bpe import top_merge_candidates
+
+    return top_merge_candidates(load_table(spark, sf_dir, "documents"), k=30)
+
+
+_Q_BPE_SQL = """
+WITH words AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+), pairs AS (
+  SELECT substr(word, CAST(i AS INTEGER), 1) AS lhs,
+         substr(word, CAST(i + 1 AS INTEGER), 1) AS rhs, freq
+  FROM words, unnest(generate_series(1, length(word) - 1)) AS g(i)
+  WHERE length(word) >= 2
+)
+SELECT lhs, rhs, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY sum(freq) DESC, lhs, rhs) AS rank
+  FROM pairs GROUP BY lhs, rhs
+) WHERE rank <= 30
+"""
+
+
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-file ingest end-to-end (io/binaryfiles.py): the PPM
+    payloads of multimodal_decode written as ACTUAL files, scanned back
+    through Spark's binaryFile datasource (pathGlobFilter pushdown, id
+    from filename), decoded from the READ bytes (llmops/multimodal.py
+    decode_stats_from_bytes) — storage round-trip + scan + parse must
+    all invert for the closed-form raster oracle to match. The file
+    write is fixture synthesis (driver loop over ≤ corpus/7 ids); the
+    graded dataflow is the scan + map-only decode."""
+    import os as _os
+    import re as _re
+
+    from pysparkflow.io.binaryfiles import binary_files_to_table
+    from pysparkflow.llmops.multimodal import decode_stats_from_bytes, synth_ppm
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [
+        r["doc_id"]
+        for r in d.select("doc_id").where(F.col("doc_id") % 7 == 0).collect()
+    ]
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    media_dir = f"/tmp/pysparkflow_media/{tag}"
+    _os.makedirs(media_dir, exist_ok=True)
+    for did in ids:
+        p = f"{media_dir}/img_{did:09d}.ppm"
+        if not _os.path.exists(p):
+            with open(p, "wb") as fh:
+                fh.write(synth_ppm(int(did)))
+    tbl = binary_files_to_table(spark, media_dir, "*.ppm")
+    return decode_stats_from_bytes(tbl, id_col="media_id")
+
+
+def q_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers (operators/timeseries.py::mad_outliers):
+    median absolute deviation flags, immune to the outliers' own pull on
+    the estimator (contrast zscore_anomaly)."""
+    from pysparkflow.operators.timeseries import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return mad_outliers(ev, "event_type", "value", threshold=3.5)
+
+
+_Q_MAD_SQL = """
+WITH med AS MATERIALIZED (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+), mad AS MATERIALIZED (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT event_id, event_type, value,
+       CASE WHEN mad.d > 0
+            THEN round(abs(e.value - med.m) / (1.4826 * mad.d), 2)
+       END AS dev
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE CASE WHEN mad.d > 0
+           THEN abs(e.value - med.m) / (1.4826 * mad.d) > 3.5
+           ELSE abs(e.value - med.m) > 0 END
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (llmops/sampling.py::
+    weighted_sample_wor, Efraimidis-Spirakis A-Res): 200 documents drawn
+    proportionally to length, deterministic via the portable hash — the
+    oracle replays the identical keys and takes the same top-k."""
+    from pysparkflow.llmops.sampling import weighted_sample_wor
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_sample_wor(d, k=200, weight_col="n_chars")
+
+
+_Q_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars, round(k, 8) AS ares_key FROM (
+  SELECT doc_id, lang, n_chars,
+         ln((('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))::BIGINT
+             + 1.0) / 4294967297.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+) ORDER BY k DESC, doc_id LIMIT 200
+"""
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step navigation paths within sessions (30-min idle gap):
+    the product-analytics sequence-mining op one level up from
+    event_transitions' bigrams. One exchange on user_id feeds the
+    session-boundary cumsum AND both path lags; the corpus-wide count
+    is a 125-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact microsecond epochs (q_sessionize discipline): double-epoch
+    # arithmetic would round sub-second parts and disagree with the
+    # oracle's epoch_us at the 30-min boundary
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))
+    sess = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "new_sess",
+            F.when(
+                gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(wu))
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    paths = (
+        sess.withColumn("s1", F.lag("event_type", 2).over(ws))
+        .withColumn("s2", F.lag("event_type", 1).over(ws))
+        .where(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", F.col("event_type").alias("s3"))
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), "s1", "s2", "s3")
+    return (
+        paths.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 25)
+        .select("s1", "s2", "s3", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_Q_SESSION_PATHS_SQL = """
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events)
+), paths AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, n, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, s1, s2, s3) AS rank
+  FROM paths WHERE s1 IS NOT NULL GROUP BY s1, s2, s3
+) WHERE rank <= 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -3766,6 +3998,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunking": q_doc_chunking,
     "orc_roundtrip": q_orc_roundtrip,
     "mode_per_group": q_mode_per_group,
+    "zorder_layout": q_zorder_layout,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "binaryfile_ingest": q_binaryfile_ingest,
+    "mad_anomaly": q_mad_anomaly,
+    "weighted_sample": q_weighted_sample,
+    "session_paths": q_session_paths,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3873,6 +4111,14 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunking": _Q_CHUNKING_SQL,
     "orc_roundtrip": _Q_ORC_ROUNDTRIP_SQL,
     "mode_per_group": _Q_MODE_SQL,
+    "zorder_layout": _zorder_sql(),
+    "bpe_merge_candidates": _Q_BPE_SQL,
+    # binaryfile_ingest reuses the multimodal closed-form raster oracle:
+    # the file write + binaryFile scan + parse must reproduce it exactly
+    "binaryfile_ingest": _Q_MULTIMODAL_DECODE_SQL,
+    "mad_anomaly": _Q_MAD_SQL,
+    "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
+    "session_paths": _Q_SESSION_PATHS_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -3915,6 +4161,12 @@ _ALWAYS_IN_CORE = [
 # for 50 driver slots; the tail 10 below the cut keep their committed
 # ORACLE_CHECK_LOCAL.json green row and rotate to the r6 front.
 _ROUND_FRONT = [
+    "zorder_layout",
+    "bpe_merge_candidates",
+    "binaryfile_ingest",
+    "mad_anomaly",
+    "weighted_sample",
+    "session_paths",
     "url_dedup",
     "editdist_pairs",
     "gap_fill_hourly",
@@ -3952,16 +4204,16 @@ _ROUND_FRONT = [
     "scd2_history",
     "grouping_sets",
     "triangle_count",
+    "sssp_bounded",
+    # --- r5 driver cut falls here (6 core + 44 above = 50); the tail
+    # below keeps its ORACLE_CHECK_LOCAL green row and fronts the r6
+    # rotation ---
     "simhash_near_dups",
     "pagerank",
-    "sssp_bounded",
     "kcore",
     "events_stream_topk",
     "apply_changelog",
     "events_stream_join_outer",
-    # --- r5 driver cut falls here (6 core + 44 above = 50); the tail
-    # below keeps its ORACLE_CHECK_LOCAL green row and fronts the r6
-    # rotation ---
     "sliding_window_avg",
     "incremental_rollup",
     "histogram_bins",

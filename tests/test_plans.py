@@ -38,12 +38,14 @@ _EXECUTING = {
 # replicated against the corpus (documented in llmops/similarity.py);
 # knn_ivf_recall embeds knn_bruteforce as its ground truth;
 # funnel_conversion combines three 1-row stage counts (scalar × scalar);
-# histogram_bins broadcasts a 1-row min/max scalar against the scan
+# histogram_bins broadcasts a 1-row min/max scalar against the scan;
+# zorder_layout broadcasts a 1-row percentile-boundary scalar likewise
 _CROSS_JOIN_OK = {
     "knn_bruteforce",
     "knn_ivf_recall",
     "funnel_conversion",
     "histogram_bins",
+    "zorder_layout",
 }
 
 _DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
