@@ -1937,12 +1937,19 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-bounded; at 100 TB only the HLL side would run (the exact
     count here is the verification cost, one extra distinct shuffle)."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
+    # one agg per distinct column: two distinct groups in a single agg
+    # would trigger Catalyst's Expand (row multiplication by #groups);
+    # split aggs keep each a plain two-phase distinct, joined as 1-row
+    # scalars
+    agg_o = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("a_o"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("a_p"),
         F.countDistinct("l_orderkey").alias("e_o"),
+    )
+    agg_p = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_p"),
         F.countDistinct("l_partkey").alias("e_p"),
     )
+    agg = agg_o.crossJoin(F.broadcast(agg_p))
     stacked = agg.select(
         F.expr(
             "stack(2, 'orders', a_o, e_o, 'parts', a_p, e_p) "

@@ -39,13 +39,16 @@ _EXECUTING = {
 # knn_ivf_recall embeds knn_bruteforce as its ground truth;
 # funnel_conversion combines three 1-row stage counts (scalar × scalar);
 # histogram_bins broadcasts a 1-row min/max scalar against the scan;
-# zorder_layout broadcasts a 1-row percentile-boundary scalar likewise
+# zorder_layout broadcasts a 1-row percentile-boundary scalar likewise;
+# approx_distinct combines two 1-row per-column distinct aggs
+# (scalar × scalar — split to avoid Expand row multiplication)
 _CROSS_JOIN_OK = {
     "knn_bruteforce",
     "knn_ivf_recall",
     "funnel_conversion",
     "histogram_bins",
     "zorder_layout",
+    "approx_distinct",
 }
 
 _DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
