@@ -54,6 +54,7 @@ discipline), so task retries and speculative execution are safe.
 from __future__ import annotations
 
 import sys
+import time as _time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Iterable
@@ -299,11 +300,18 @@ def max_flow(
     g, s_id, t_id = graph.with_super_nodes(sources, sinks)
     spark = g.spark
 
+    _t_init = _time.time()
     edges = g.edges.persist()
     edges.count()  # materialize once; the static graph is never shuffled again
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     flows = _empty_flows(spark)
     flow_edge_count = 0
     metrics = RoundMetrics()
+
+    def _seg(name, t0):
+        metrics.segment_secs[name] = metrics.segment_secs.get(name, 0.0) + (
+            _time.time() - t0
+        )
     total = 0
     phase_cache: list[DataFrame] = []
 
@@ -311,16 +319,19 @@ def max_flow(
     # consolidated, repaired, localCheckpointed path tables per side
     stored: tuple[DataFrame, DataFrame] | None = None
 
+    _seg("init", _t_init)
     while cfg.max_phases is None or metrics.phases < cfg.max_phases:
         metrics.phases += 1
         # cached per phase: the flows join + residual filter run once; every
         # round's joins scan the in-memory arc cache
+        _t = _time.time()
         arcs = _residual_arcs(
             edges,
             flows if flow_edge_count > 0 else None,
             broadcast_flows=flow_edge_count <= _FLOW_BROADCAST_LIMIT,
         ).persist()
         phase_cache.append(arcs)
+        _seg("arcs_build", _t)
 
         # frontiers are localCheckpointed every round: this both materializes
         # the data AND truncates the logical plan — with persist() alone the
@@ -329,20 +340,21 @@ def max_flow(
         candidates: list = []
         rnd = 0
         if stored is None:
+            _t = _time.time()
             seed_rows = [(int(s_id), [int(s_id)], []), (int(t_id), [int(t_id)], [])]
-            frontier_s = spark.createDataFrame(
-                [seed_rows[0]], _FRONTIER_SCHEMA
-            ).localCheckpoint()
-            frontier_t = spark.createDataFrame(
-                [seed_rows[1]], _FRONTIER_SCHEMA
-            ).localCheckpoint()
+            # literal 1-row DFs: no lineage to truncate, nothing to
+            # materialize — checkpointing them was two pure-overhead jobs
+            frontier_s = spark.createDataFrame([seed_rows[0]], _FRONTIER_SCHEMA)
+            frontier_t = spark.createDataFrame([seed_rows[1]], _FRONTIER_SCHEMA)
             paths_s, paths_t = frontier_s, frontier_t
             n_s, n_t = 1, 1
+            _seg("seed", _t)
         else:
             # incremental restart: stored paths survive (repaired against
             # the new flows); re-extend them all — one wide round instead
             # of re-growing the whole BFS tree (the ff5 master
             # re-extension, ff5/ReduceFF.java:72-115)
+            _t = _time.time()
             paths_s, paths_t = stored
             frontier_s, frontier_t = paths_s, paths_t
             n_s, n_t = paths_s.count(), paths_t.count()
@@ -360,6 +372,7 @@ def max_flow(
                 .collect()
             )
             candidates = [(r, True) for r in meets]
+            _seg("restart_meet", _t)
 
         # candidates pre-filled from the stored-pair meet: accept them now,
         # spend no extension rounds this epoch
@@ -369,6 +382,7 @@ def max_flow(
                 break
             rnd += 1
             metrics.rounds += 1
+            _round_t0 = _time.time()
             # extend the smaller live frontier (classic bidirectional BFS)
             extend_s = n_t == 0 or (n_s > 0 and n_s <= n_t)
             frontier = frontier_s if extend_s else frontier_t
@@ -406,14 +420,18 @@ def max_flow(
             else:
                 frontier_t, n_t = new_f, n_new
             if n_new > 0:
+                # coalesce (no shuffle) caps the accumulator's partition
+                # count: without it every join that scans the paths union
+                # schedules 32 x rounds map tasks of a few hundred rows
                 if extend_s:
-                    paths_s = paths_s.unionAll(new_f)
+                    paths_s = paths_s.unionAll(new_f).coalesce(n_shuffle)
                 else:
-                    paths_t = paths_t.unionAll(new_f)
+                    paths_t = paths_t.unionAll(new_f).coalesce(n_shuffle)
                 if meets:
                     candidates.extend((r, extend_s) for r in meets)
             if candidates:
                 rounds_after_meet += 1
+            metrics.round_secs.append(_time.time() - _round_t0)
             metrics.frontier_rows_max = max(metrics.frontier_rows_max, n_new)
             if n_new == 0:
                 # ONE exhausted side proves optimality: if a residual s-t
@@ -429,6 +447,7 @@ def max_flow(
         if not candidates:
             break  # optimal
 
+        _t = _time.time()
         acceptor = GreedyAcceptor()
         walks = []
         for row, from_s_side in candidates:
@@ -455,6 +474,7 @@ def max_flow(
                 "invariant violation: meet candidates present but none accepted "
                 "(cf. conservation cross-check ff1/Vertex.java:161-162)"
             )
+        _seg("accept", _t)
         total += accepted_this_phase
         metrics.accepted_flow = total
         metrics.accepted_paths += len(acceptor.accepted_paths)
@@ -468,6 +488,7 @@ def max_flow(
                 file=sys.stderr,
             )
 
+        _t = _time.time()
         deltas = acceptor.flow_deltas()
         delta_df = spark.createDataFrame(deltas, schema="u long, v long, f long")
         flows = (
@@ -478,17 +499,17 @@ def max_flow(
             .localCheckpoint()  # cut lineage each phase (iteration GC, §4)
         )
         flow_edge_count = flows.count()
+        _seg("flows_update", _t)
 
+        _t = _time.time()
         if cfg.incremental:
             # D9: repair surviving paths against this epoch's deltas and
             # carry them into the next epoch (consolidated + checkpointed
             # BEFORE the arc cache they were built from is dropped)
             delta_items = [(k, int(v)) for k, v in acceptor.delta.items() if v != 0]
             if len(delta_items) <= cfg.repair_join_threshold:
-                stored = (
-                    _repair_paths(paths_s, delta_items).localCheckpoint(),
-                    _repair_paths(paths_t, delta_items).localCheckpoint(),
-                )
+                rep_s = _repair_paths(paths_s, delta_items)
+                rep_t = _repair_paths(paths_t, delta_items)
             else:
                 # too many deltas for a map literal — distributed join
                 # repair instead of abandoning the stored search state
@@ -496,12 +517,24 @@ def max_flow(
                     [(x, y, d) for (x, y), d in delta_items],
                     schema="au long, av long, d long",
                 )
-                stored = (
-                    _repair_paths_join(paths_s, repair_df).localCheckpoint(),
-                    _repair_paths_join(paths_t, repair_df).localCheckpoint(),
-                )
+                rep_s = _repair_paths_join(paths_s, repair_df)
+                rep_t = _repair_paths_join(paths_t, repair_df)
+            # ONE materialization job for both sides: tag + union +
+            # checkpoint, then split by tag over the cached partitions
+            # (coalesce bounds the union-accumulated partition count)
+            tagged = (
+                rep_s.withColumn("_side", F.lit("s"))
+                .unionAll(rep_t.withColumn("_side", F.lit("t")))
+                .coalesce(n_shuffle)
+                .localCheckpoint()
+            )
+            stored = (
+                tagged.where(F.col("_side") == "s").drop("_side"),
+                tagged.where(F.col("_side") == "t").drop("_side"),
+            )
         else:
             stored = None
+        _seg("repair", _t)
 
         for df in phase_cache:
             df.unpersist()
@@ -517,7 +550,9 @@ def max_flow(
         df.unpersist()
     phase_cache.clear()
     if cfg.validate:
+        _t = _time.time()
         _validate(edges, flows, s_id, t_id, total)
+        _seg("validate", _t)
     edges.unpersist()
     return MaxFlowResult(value=total, flows=flows, s_id=s_id, t_id=t_id, metrics=metrics)
 

@@ -19,6 +19,12 @@ class RoundMetrics:
     candidates_rejected: int = 0
     frontier_rows_max: int = 0
     per_phase: list[dict] = field(default_factory=list)
+    # per-round wall seconds, appended by the driver loop — the profile
+    # that shows whether a slow run is round-count or per-round cost
+    round_secs: list[float] = field(default_factory=list)
+    # coarse non-round segment wall seconds (arcs build, restart meet,
+    # acceptance, flow update, repair, validate), summed across phases
+    segment_secs: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:
         return {
@@ -29,4 +35,6 @@ class RoundMetrics:
             "candidates_seen": self.candidates_seen,
             "candidates_rejected": self.candidates_rejected,
             "frontier_rows_max": self.frontier_rows_max,
+            "round_secs": [round(t, 3) for t in self.round_secs],
+            "segment_secs": {k: round(v, 3) for k, v in self.segment_secs.items()},
         }
