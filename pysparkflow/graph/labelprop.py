@@ -1,0 +1,67 @@
+"""Synchronous label propagation (community detection).
+
+The cheapest useful community detector at scale: every vertex adopts the
+most frequent label among its neighbors each round (ties broken by the
+smallest label, making the whole run deterministic), for a FIXED number
+of synchronous rounds — the bounded-round discipline of the engine's
+other iterative operators (pagerank, bounded_sssp), which keeps the run
+replayable as unrolled SQL and sidesteps synchronous LPA's oscillation
+pathology (no convergence test, so two-coloring flip-flops can't hang
+the driver).
+
+Per-round dataflow (the schimmy shape — the graph never reshuffles):
+
+    msgs    = arcs ⋈ labels on src        -- arcs cached once
+    counts  = msgs groupBy (dst, label)   -- combiner-collapsed
+    labels  = per dst: max count, min label (one window over the
+              neighbor-label counts — label-cardinality rows, not edges)
+
+Reference analogue: the per-round vertex-state merge discipline of the
+max-flow core (SURVEY §2.2 D5, ff1/ReduceFF min-merge), applied to a
+mode-merge instead of a min-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pysparkflow.engine.cache import track
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Labels after ``rounds`` synchronous mode-adoption rounds over the
+    directed edge list (pass both directions for an undirected graph).
+    Initial label = vertex id. Returns (vertex, label)."""
+    # tracked persist: the returned lazy labels plan still scans arcs, so
+    # release is the caller's (engine/cache.release_tracked) after consume
+    arcs = track(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    verts = arcs.select(F.col("u").alias("vertex")).distinct()
+    labels = verts.select("vertex", F.col("vertex").alias("label"))
+    w = Window.partitionBy("vertex").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for i in range(rounds):
+        msgs = arcs.join(labels.withColumnRenamed("vertex", "u"), "u")
+        counts = msgs.groupBy(F.col("v").alias("vertex"), "label").agg(
+            F.count("*").alias("c")
+        )
+        labels = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("vertex", "label")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def community_sizes(labels: DataFrame) -> DataFrame:
+    """Community size distribution from a (vertex, label) table."""
+    return labels.groupBy("label").agg(F.count("*").alias("n_members"))

@@ -3900,6 +3900,216 @@ SELECT s1, s2, s3, n, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# round 5c: temporal SCD2-as-of join, unpivot, regex extraction, label
+# propagation communities, percent-rank calibration
+# ---------------------------------------------------------------------------
+
+
+def q_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: every click event joined to the
+    SCD2 purchase dimension row valid AT the click's event time — the
+    composition of q_scd2_history's interval build with the as-of join
+    (operators/asof.py), i.e. the warehouse "temporal join". Because
+    lead() makes the intervals tile exactly, backward as-of at-or-before
+    equals interval containment; the oracle replays it with DuckDB's
+    native ASOF JOIN — two independent engine mechanisms that must
+    agree. Scale shape: one user-key shuffle for the dimension window,
+    one user-key join; no range explosion."""
+    from pysparkflow.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    dim = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round("value", 2).alias("pval"),
+        F.col("ts").alias("valid_from"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        clicks, dim, on="user_id", left_ts="ts", right_ts="valid_from"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("pval_right").alias("price_at_click"),
+        F.col("valid_from_right").alias("price_since"),
+    )
+
+
+_Q_SCD2_TEMPORAL_SQL = """
+WITH dim AS (
+  SELECT user_id, round(value, 2) AS pval, ts AS valid_from
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, d.pval AS price_at_click,
+       d.valid_from AS price_since
+FROM clicks c ASOF LEFT JOIN dim d
+  ON c.user_id = d.user_id AND c.ts >= d.valid_from
+"""
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: the wide per-priority aggregate table turned into
+    the long (priority, metric, value) shape — Spark's native
+    DataFrame.unpivot (Expand under the hood, no shuffle beyond the
+    aggregate's own)."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.count("*").cast("double").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids="o_orderpriority",
+        values=["sum_price", "avg_price", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_Q_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price,
+         CAST(count(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'avg_price', avg_price FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_orders', n_orders FROM wide
+"""
+
+
+# the entity pattern ships to BOTH engines from this one literal so the
+# Spark query and the oracle can never drift (engine-keyword mentions —
+# the synthetic corpus is lowercase query-engine vocabulary)
+_ENTITY_PATTERN = "scan|join|sort|hash|merge|window|stream|batch"
+
+
+def q_regex_extract_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction: pull every entity mention (here: query-
+    engine keywords) out of free text into a positional mention table
+    and count corpus-wide — the regexp_extract_all + posexplode pattern
+    every log/entity pipeline uses. Map-only until the final
+    vocabulary-sized count."""
+    d = load_table(spark, sf_dir, "documents")
+    mentions = d.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("text", F.lit(_ENTITY_PATTERN), 0)
+        ).alias("pos", "token"),
+    )
+    return (
+        mentions.groupBy("token")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min(F.col("doc_id") * 100000 + F.col("pos")).alias("first_seen"),
+        )
+        .where(F.col("n_mentions") > 1)
+    )
+
+
+_Q_REGEX_EXTRACT_SQL = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(text, '{_ENTITY_PATTERN}') AS arr
+  FROM documents
+), mentions AS (
+  SELECT doc_id, arr[CAST(i AS INTEGER)] AS token,
+         CAST(i - 1 AS BIGINT) AS pos
+  FROM arrs, unnest(generate_series(1, len(arr))) AS g(i)
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id * 100000 + pos) AS first_seen
+FROM mentions GROUP BY token HAVING count(*) > 1
+"""
+
+
+_LPA_ROUNDS = 4
+
+
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (graph/labelprop.py) on the
+    symmetrized lineitem fold, 4 deterministic rounds (mode label, min
+    tie-break). Full (vertex, label) assignment compared — the oracle
+    unrolls the identical rounds into materialized CTEs."""
+    from pysparkflow.graph.labelprop import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)
+    half = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return label_propagation(sym, rounds=_LPA_ROUNDS)
+
+
+def _label_prop_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
+    head = """
+WITH mm AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), half AS (
+  SELECT l_partkey % m AS src, l_suppkey % m AS dst
+  FROM lineitem, mm WHERE l_partkey % m <> l_suppkey % m
+), arcs AS MATERIALIZED (
+  SELECT DISTINCT src AS u, dst AS v FROM (
+    SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half)
+), r0 AS MATERIALIZED (
+  SELECT DISTINCT u AS vertex, u AS label FROM arcs
+)"""
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        rounds_sql.append(f""", r{i} AS MATERIALIZED (
+  SELECT vertex, label FROM (
+    SELECT a.v AS vertex, m.label, count(*) AS c,
+           row_number() OVER (PARTITION BY a.v
+                              ORDER BY count(*) DESC, m.label) AS rk
+    FROM arcs a JOIN r{i - 1} m ON a.u = m.vertex
+    GROUP BY a.v, m.label) WHERE rk = 1
+)""")
+    return (
+        head
+        + "".join(rounds_sql)
+        + f"\nSELECT vertex, label FROM r{rounds}\n"
+    )
+
+
+def q_quality_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution calibration: percent_rank and cume_dist of document
+    length within each language — the normalization step before mixing
+    quality scores across heterogeneous subcorpora. One key shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+_Q_PERCENT_RANK_SQL = """
+SELECT doc_id, lang, n_chars,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -4011,6 +4221,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_anomaly": q_mad_anomaly,
     "weighted_sample": q_weighted_sample,
     "session_paths": q_session_paths,
+    "scd2_temporal_join": q_scd2_temporal_join,
+    "unpivot_metrics": q_unpivot_metrics,
+    "regex_extract_table": q_regex_extract_table,
+    "label_prop_communities": q_label_prop_communities,
+    "quality_percent_rank": q_quality_percent_rank,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4126,6 +4341,11 @@ ORACLE_SQL: dict[str, str] = {
     "mad_anomaly": _Q_MAD_SQL,
     "weighted_sample": _Q_WEIGHTED_SAMPLE_SQL,
     "session_paths": _Q_SESSION_PATHS_SQL,
+    "scd2_temporal_join": _Q_SCD2_TEMPORAL_SQL,
+    "unpivot_metrics": _Q_UNPIVOT_SQL,
+    "regex_extract_table": _Q_REGEX_EXTRACT_SQL,
+    "label_prop_communities": _label_prop_oracle_sql(),
+    "quality_percent_rank": _Q_PERCENT_RANK_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -4215,6 +4435,11 @@ _ROUND_FRONT = [
     # --- r5 driver cut falls here (6 core + 44 above = 50); the tail
     # below keeps its ORACLE_CHECK_LOCAL green row and fronts the r6
     # rotation ---
+    "scd2_temporal_join",
+    "unpivot_metrics",
+    "regex_extract_table",
+    "label_prop_communities",
+    "quality_percent_rank",
     "simhash_near_dups",
     "pagerank",
     "kcore",
