@@ -184,6 +184,13 @@ def main() -> None:
             indent=1,
         )
         fh.write("\n")
+    # stop Spark BEFORE the final print: intermittent JVM shutdown-race
+    # stack traces otherwise land on the merged stream AFTER the JSON
+    # line and can displace it from a tail-capture artifact
+    try:
+        spark.stop()
+    except Exception:
+        pass
     print(
         json.dumps(
             {

@@ -4109,6 +4109,124 @@ WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
 """
 
 
+_PPR_SEEDS = [1, 2, 3]
+
+
+def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (algo/pagerank.py::personalized_pagerank):
+    proximity to the seed set {1,2,3} on the symmetrized lineitem fold —
+    the related-items / local-community primitive. Same per-round plan
+    as pagerank with the restart vector concentrated on the seeds; the
+    oracle unrolls the identical rounds with a CASE restart."""
+    from pysparkflow.algo.pagerank import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    m = max(2000, li.count() // 25)
+    half = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(m)).alias("src"),
+        F.pmod(F.col("l_suppkey"), F.lit(m)).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    out = personalized_pagerank(
+        sym,
+        sources=_PPR_SEEDS,
+        iterations=_PR_ITERS,
+        damping=_PR_DAMPING,
+        checkpoint_every=_PR_ITERS,
+    )
+    # drop never-reached vertices so the graded rows are the reachable
+    # neighborhood, mirrored by the oracle's rank > 0 filter
+    return out.where(F.col("rank") > 0).select(
+        "vertex", F.round("rank", 9).alias("rank")
+    )
+
+
+def _ppr_oracle_sql(
+    iters: int = _PR_ITERS, d: float = _PR_DAMPING, seeds: list[int] = _PPR_SEEDS
+) -> str:
+    """Unrolled personalized-PageRank replay: _pagerank_oracle_sql with
+    the uniform restart replaced by a seed-set CASE."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    restart = (
+        f"CASE WHEN verts.vertex IN ({seed_list}) "
+        f"THEN (1.0 - {d}) / {len(seeds)} ELSE 0.0 END"
+    )
+    head = f"""
+WITH mm AS (
+  SELECT greatest(2000, count(*) // 25) AS m FROM lineitem
+), e0 AS (
+  SELECT DISTINCT l_partkey % mm.m AS src, l_suppkey % mm.m AS dst
+  FROM lineitem, mm WHERE l_partkey % mm.m <> l_suppkey % mm.m
+), e AS (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+), deg AS (
+  SELECT src AS u, count(*) AS outdeg FROM e GROUP BY src
+), arcs AS MATERIALIZED (
+  SELECT e.src AS u, e.dst AS v, deg.outdeg FROM e JOIN deg ON deg.u = e.src
+), verts AS (
+  SELECT DISTINCT u AS vertex FROM arcs
+), r0 AS (
+  SELECT vertex,
+         CASE WHEN vertex IN ({seed_list})
+              THEN (1.0 - {d}) / {len(seeds)} ELSE 0.0 END AS rank
+  FROM verts
+)"""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""", r{i + 1} AS MATERIALIZED (
+  SELECT verts.vertex,
+         {restart}
+         + {d} * coalesce(m.mass, 0.0) AS rank
+  FROM verts LEFT JOIN (
+    SELECT arcs.v AS vertex, sum(r{i}.rank / arcs.outdeg) AS mass
+    FROM arcs JOIN r{i} ON r{i}.vertex = arcs.u
+    GROUP BY arcs.v
+  ) m ON m.vertex = verts.vertex
+)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT vertex, round(rank, 9) AS rank FROM r{iters} WHERE rank > 0"
+    )
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long form (label, dim, centroid,
+    n_vecs): posexplode the vector column and average per (label, dim) —
+    one combiner-friendly shuffle keyed by (label, dim), the building
+    block of k-means/IVF training (llmops/similarity.py fits its cells
+    the same way, numpy-side on a sample; this is the full-data
+    Catalyst version)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", "vec_id", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count_distinct("vec_id").alias("n_vecs"),
+        )
+    )
+
+
+_Q_EMBED_CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, vec_id,
+         CAST(i - 1 AS INTEGER) AS dim,
+         embedding[CAST(i AS INTEGER)] AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+)
+SELECT label, dim, round(avg(val), 6) AS centroid,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+FROM exploded GROUP BY label, dim
+"""
+
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
@@ -4226,6 +4344,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_extract_table": q_regex_extract_table,
     "label_prop_communities": q_label_prop_communities,
     "quality_percent_rank": q_quality_percent_rank,
+    "ppr_related": q_ppr_related,
+    "embedding_centroids": q_embedding_centroids,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4346,6 +4466,8 @@ ORACLE_SQL: dict[str, str] = {
     "regex_extract_table": _Q_REGEX_EXTRACT_SQL,
     "label_prop_communities": _label_prop_oracle_sql(),
     "quality_percent_rank": _Q_PERCENT_RANK_SQL,
+    "ppr_related": _ppr_oracle_sql(),
+    "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -4440,6 +4562,8 @@ _ROUND_FRONT = [
     "regex_extract_table",
     "label_prop_communities",
     "quality_percent_rank",
+    "ppr_related",
+    "embedding_centroids",
     "simhash_near_dups",
     "pagerank",
     "kcore",

@@ -286,6 +286,58 @@ def test_pagerank_matches_reference_power_iteration(spark):
     assert got[0] > leaf_max and got[33] > leaf_max
 
 
+def _ppr_reference(directed_edges, seeds, iterations, damping):
+    """Independent personalized-PageRank power iteration: restart mass
+    (1-d)/|seeds| on the seed set, starting from the restart vector."""
+    verts = sorted({v for e in directed_edges for v in e})
+    outdeg = {v: 0 for v in verts}
+    for u, _ in directed_edges:
+        outdeg[u] += 1
+    base = {v: (1.0 - damping) / len(seeds) if v in seeds else 0.0 for v in verts}
+    r = dict(base)
+    for _ in range(iterations):
+        mass = {v: 0.0 for v in verts}
+        for u, v in directed_edges:
+            mass[v] += r[u] / outdeg[u]
+        r = {v: base[v] + damping * mass[v] for v in verts}
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    import networkx as nx
+
+    from pysparkflow.algo.pagerank import personalized_pagerank
+
+    g = nx.karate_club_graph()
+    edges = [(u, v) for u, v in g.edges()] + [(v, u) for u, v in g.edges()]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [0, 33]
+    got = {
+        r["vertex"]: r["rank"]
+        for r in personalized_pagerank(
+            df, sources=seeds, iterations=40, damping=0.85
+        ).collect()
+    }
+    want = _ppr_reference(edges, set(seeds), iterations=40, damping=0.85)
+    assert set(got) == set(want)
+    for v, r in want.items():
+        assert abs(got[v] - r) < 1e-12, (v, got[v], r)
+    # proximity semantics: seeds outrank everything, and vertices
+    # adjacent to a seed outrank the far side of the graph
+    non_seed_max = max(r for v, r in got.items() if v not in seeds)
+    assert min(got[0], got[33]) > non_seed_max
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    from pysparkflow.algo.pagerank import personalized_pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, sources=[])
+
+
 # ---------------------------------------------------------------- bounded sssp
 
 
