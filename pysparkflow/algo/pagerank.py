@@ -100,6 +100,7 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    validate: bool = True,
 ) -> DataFrame:
     """Personalized PageRank: the restart mass (1 - damping) lands on
     the ``sources`` set (uniformly) instead of on every vertex — ranks
@@ -108,14 +109,41 @@ def personalized_pagerank(
     as ``pagerank`` (one cached-arc join + one vertex-scale aggregate);
     the only change is the restart vector, so the unrolled-CTE oracle
     replay differs by one CASE expression. Requires outdegree >= 1
-    (pass a symmetrized edge list). Returns (vertex, rank)."""
+    and every seed present in the graph — both CHECKED
+    (``validate=True``): a sink vertex or an absent seed would
+    otherwise silently leak restart mass and scale every score wrong.
+    Returns (vertex, rank)."""
+    from pysparkflow.engine.cache import track
+
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    arcs = e.join(deg, "u").persist()
-    verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
+    # tracked persists: the returned lazy ranks plan still scans these;
+    # callers release via engine/cache.release_tracked after consuming
+    arcs = track(e.join(deg, "u"))
+    verts = track(arcs.select(F.col("u").alias("vertex")).distinct())
     seeds = [int(s) for s in sources]
+    if validate:
+        n_sinks = (
+            e.select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(verts, "vertex", "left_anti")
+            .count()
+        )
+        if n_sinks:
+            raise ValueError(
+                f"personalized_pagerank requires outdegree >= 1 for every "
+                f"vertex; {n_sinks} vertices appear only as destinations "
+                f"(symmetrize the graph or add self-loops)"
+            )
+        n_seeds = verts.where(F.col("vertex").isin(seeds)).count()
+        if n_seeds != len(set(seeds)):
+            raise ValueError(
+                f"{len(set(seeds)) - n_seeds} of {len(set(seeds))} seeds "
+                f"are not vertices of the graph — their restart mass "
+                f"would silently disappear"
+            )
     base = F.when(
         F.col("vertex").isin(seeds), F.lit((1.0 - damping) / len(seeds))
     ).otherwise(F.lit(0.0))

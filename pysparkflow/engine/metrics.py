@@ -23,7 +23,10 @@ class RoundMetrics:
     # that shows whether a slow run is round-count or per-round cost
     round_secs: list[float] = field(default_factory=list)
     # coarse non-round segment wall seconds (arcs build, restart meet,
-    # acceptance, flow update, repair, validate), summed across phases
+    # acceptance, flow update, repair, validate), summed across phases.
+    # Caveat: "arcs_build" times lazy plan construction only (persist()
+    # runs no job) — the arc cache actually materializes inside the
+    # first round's join, so that cost lands in round_secs[0]
     segment_secs: dict = field(default_factory=dict)
 
     def as_dict(self) -> dict:

@@ -35,14 +35,34 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    validate: bool = True,
 ) -> DataFrame:
     """Labels after ``rounds`` synchronous mode-adoption rounds over the
     directed edge list (pass both directions for an undirected graph).
-    Initial label = vertex id. Returns (vertex, label)."""
+    Initial label = vertex id; a vertex with no inbound messages keeps
+    its current label (so the output always covers every vertex).
+    The both-directions precondition is CHECKED (``validate=True``):
+    destination-only vertices would otherwise be silently absent from
+    the output — misuse raises (same discipline as algo/pagerank.py).
+    Disable for hot repeated calls on known-symmetric graphs.
+    Returns (vertex, label)."""
     # tracked persist: the returned lazy labels plan still scans arcs, so
     # release is the caller's (engine/cache.release_tracked) after consume
     arcs = track(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     verts = arcs.select(F.col("u").alias("vertex")).distinct()
+    if validate:
+        n_dst_only = (
+            arcs.select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(verts, "vertex", "left_anti")
+            .count()
+        )
+        if n_dst_only:
+            raise ValueError(
+                f"label_propagation requires every vertex to appear as a "
+                f"source; {n_dst_only} vertices appear only as destinations "
+                f"(pass both edge directions for an undirected graph)"
+            )
     labels = verts.select("vertex", F.col("vertex").alias("label"))
     w = Window.partitionBy("vertex").orderBy(
         F.col("c").desc(), F.col("label").asc()
@@ -52,10 +72,15 @@ def label_propagation(
         counts = msgs.groupBy(F.col("v").alias("vertex"), "label").agg(
             F.count("*").alias("c")
         )
-        labels = (
+        new = (
             counts.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1)
-            .select("vertex", "label")
+            .select("vertex", F.col("label").alias("_new"))
+        )
+        # message-less vertices keep their label (no silent shrink on
+        # graphs where some vertex receives nothing this round)
+        labels = labels.join(new, "vertex", "left").select(
+            "vertex", F.coalesce("_new", "label").alias("label")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint()

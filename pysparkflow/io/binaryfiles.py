@@ -40,7 +40,7 @@ def binary_files_to_table(
     spark: SparkSession,
     path: str,
     glob: str | None = None,
-    target_rows_per_partition: int = 256,
+    coalesce_to: int | None = None,
 ) -> DataFrame:
     """Media files as an analyzable table:
     (file_name, media_id, n_bytes, content).
@@ -48,12 +48,18 @@ def binary_files_to_table(
     ``media_id`` = the digits in the file name (the pipeline convention
     used by the synthetic corpus: ``img_00042.ppm`` -> 42), NULL when the
     name carries none — joinable against document/metadata tables.
-    Repartitions so media rows don't pile into scan-split-sized tasks."""
+
+    Partitioning: the binaryFile source already splits by
+    ``spark.sql.files.maxPartitionBytes`` — tune THAT for task sizing.
+    ``coalesce_to`` optionally merges partitions without a shuffle
+    (an earlier version ran a count job + a full ``repartition`` here,
+    which round-robin-shuffled every payload's bytes — the widest data
+    in the pipeline — just to set a partition count)."""
     raw = read_binary_files(spark, path, glob)
-    n_files = raw.count()
-    n_parts = max(1, n_files // target_rows_per_partition)
+    if coalesce_to is not None:
+        raw = raw.coalesce(coalesce_to)
     return (
-        raw.repartition(n_parts)
+        raw
         .select(
             F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
             F.regexp_replace(

@@ -33,27 +33,41 @@ def unigram_lm_scores(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document mean unigram log-prob under the corpus's own unigram
-    model. Returns (id_col, n_tokens, lm_score)."""
+    model. Returns (id_col, n_tokens, lm_score).
+
+    The corpus is tokenized ONCE: per-(doc, token) counts are the
+    materialized intermediate (tracked persist — doc x vocab sized, far
+    smaller than the text) that feeds BOTH the model aggregate and the
+    scoring join; without it the two consumers would each re-scan and
+    re-tokenize the full corpus, doubling the dominant cost."""
+    from pysparkflow.engine.cache import track
+
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("t"),
     ).filter(F.col("t") != "")
+    doc_tok = track(
+        toks.groupBy(id_col, "t").agg(F.count("*").alias("n"))
+    )
     # vocab-sized: the unpartitioned window runs on one executor over a
     # few thousand rows, not the corpus
     model = (
-        toks.groupBy("t")
-        .agg(F.count("*").alias("cnt"))
+        doc_tok.groupBy("t")
+        .agg(F.sum("n").alias("cnt"))
         .withColumn(
             "lp",
             F.log(F.col("cnt") / F.sum("cnt").over(Window.partitionBy())),
         )
         .select("t", "lp")
     )
+    # weighted mean over the compacted counts == plain mean over tokens
     return (
-        toks.join(F.broadcast(model), "t")
+        doc_tok.join(F.broadcast(model), "t")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("lp"), 4).alias("lm_score"),
+            F.sum("n").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * F.col("lp")) / F.sum("n"), 4
+            ).alias("lm_score"),
         )
     )

@@ -3771,14 +3771,21 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["doc_id"]
         for r in d.select("doc_id").where(F.col("doc_id") % 7 == 0).collect()
     ]
+    # content-derived fixture dir: the id count + max id key the path,
+    # so a regenerated corpus at the same sf_dir gets a FRESH directory
+    # instead of stale extra files silently diverging from the oracle;
+    # write-temp-then-rename makes a torn write invisible to the
+    # existence check (ADVICE-style hardening, round-5 review)
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    media_dir = f"/tmp/pysparkflow_media/{tag}"
+    media_dir = f"/tmp/pysparkflow_media/{tag}_{len(ids)}_{max(ids, default=0)}"
     _os.makedirs(media_dir, exist_ok=True)
     for did in ids:
         p = f"{media_dir}/img_{did:09d}.ppm"
         if not _os.path.exists(p):
-            with open(p, "wb") as fh:
+            tmp = f"{p}.tmp"
+            with open(tmp, "wb") as fh:
                 fh.write(synth_ppm(int(did)))
+            _os.replace(tmp, p)
     tbl = binary_files_to_table(spark, media_dir, "*.ppm")
     return decode_stats_from_bytes(tbl, id_col="media_id")
 
@@ -4052,7 +4059,9 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    return label_propagation(sym, rounds=_LPA_ROUNDS)
+    # symmetric by construction (both directions unioned) — skip the
+    # validation job (graph/labelprop.py checks by default)
+    return label_propagation(sym, rounds=_LPA_ROUNDS, validate=False)
 
 
 def _label_prop_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
@@ -4135,6 +4144,9 @@ def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=_PR_ITERS,
         damping=_PR_DAMPING,
         checkpoint_every=_PR_ITERS,
+        # symmetric by construction and the seeds are known lineitem
+        # fold residues — skip the two validation jobs in the bench path
+        validate=False,
     )
     # drop never-reached vertices so the graded rows are the reachable
     # neighborhood, mirrored by the oracle's rank > 0 filter

@@ -11,18 +11,19 @@ maintenance is the canonical ``foreachBatch`` pattern:
       -> atomically replace the state directory
 
 Exactly-once: the streaming checkpoint (WAL + source offsets) ensures a
-micro-batch is delivered once; the swap is write-to-temp + rename, so a
-crash mid-batch leaves the previous state intact and the restarted query
-re-applies the same batch (idempotent — apply_changelog with the same
-seq keys converges to the same table).
+micro-batch is delivered once; the swap renames the CURRENT state aside
+before renaming the new state in (never a window with no state on
+disk), so a crash at any point leaves either the previous or the new
+state present and the restarted query re-applies the same batch
+(idempotent — apply_changelog with the same seq keys converges to the
+same table).
 
 Scale notes: rewriting the whole state per batch is the portable
 lowest-common-denominator (no table format dependency); at 100 TB you'd
 partition the state by key range and rewrite only partitions the batch
-touches (the ``partition_by`` knob gives the layout), or target a
-transactional table format where MERGE is native. The dataflow —
-changelog compaction + one full-outer key join per batch — is identical
-either way (operators/merge.py).
+touches, or target a transactional table format where MERGE is native.
+The dataflow — changelog compaction + one full-outer key join per
+batch — is identical either way (operators/merge.py).
 """
 
 from __future__ import annotations
@@ -31,8 +32,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-
-from pysparkflow.operators.merge import apply_changelog
+from pyspark.sql import types as T
 
 
 def run_stream_merge_to_parquet(
@@ -49,29 +49,43 @@ def run_stream_merge_to_parquet(
     """Maintain a keyed parquet table from a changelog file stream
     (rows: key..., payload..., seq, op in {'U','D'}). Processes
     everything currently available, then returns a batch reader over
-    the final state."""
+    the final state (typed-empty if the stream delivered nothing)."""
+    from pysparkflow.operators.merge import apply_changelog
+
     work = state_dir + ".next"
+    old = state_dir + ".old"
+    stream = spark.readStream.schema(schema).parquet(changelog_path)
+    # the state table's schema comes from the PARSED stream schema (a
+    # StructType subset) — never from string-splitting the DDL, which
+    # breaks on parametrized types like decimal(10,2)
+    want = set(key_cols) | set(payload_cols)
+    state_schema = T.StructType([f for f in stream.schema.fields if f.name in want])
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
         if os.path.isdir(state_dir):
             base = sp.read.parquet(state_dir)
         else:
-            base = sp.createDataFrame([], ", ".join(
-                f"{c} {t}" for c, t in _base_fields(schema, key_cols, payload_cols)
-            ))
+            base = sp.createDataFrame([], state_schema)
         merged = apply_changelog(
             base, batch, key_cols=key_cols, payload_cols=payload_cols,
             seq_col=seq_col, op_col=op_col,
         )
-        # write-then-swap: a crash before the rename leaves the old
-        # state intact; the checkpoint replays this batch on restart
+        # atomic-enough swap: write new state aside, move the current
+        # state OUT OF THE WAY (rename, not delete), move the new state
+        # in, then drop the old. A crash at any point leaves a complete
+        # state directory on disk (state_dir or state_dir.old) and the
+        # checkpoint replays this batch on restart; a leftover .old is
+        # cleaned on the next batch.
         merged.write.mode("overwrite").parquet(work)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         if os.path.isdir(state_dir):
-            shutil.rmtree(state_dir)
+            os.rename(state_dir, old)
         os.rename(work, state_dir)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
-    stream = spark.readStream.schema(schema).parquet(changelog_path)
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -81,16 +95,10 @@ def run_stream_merge_to_parquet(
         q.processAllAvailable()
     finally:
         q.stop()
+    # crash recovery: if only the .old survives (crash between the two
+    # renames), restore it as the current state
+    if not os.path.isdir(state_dir) and os.path.isdir(old):
+        os.rename(old, state_dir)
+    if not os.path.isdir(state_dir):
+        return spark.createDataFrame([], state_schema)
     return spark.read.parquet(state_dir)
-
-
-def _base_fields(schema: str, key_cols: list[str], payload_cols: list[str]):
-    """(name, type) pairs of the state table (keys + payloads) drawn
-    from the changelog schema string."""
-    want = set(key_cols) | set(payload_cols)
-    out = []
-    for part in schema.split(","):
-        name, typ = part.strip().split(None, 1)
-        if name in want:
-            out.append((name, typ))
-    return out

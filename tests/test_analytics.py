@@ -488,3 +488,16 @@ def test_histogram_bins_degenerate_constant_column(spark, tmp_path):
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{d}/lineitem.parquet/*.parquet')"
     )
     assert con.execute(_Q_HISTOGRAM_SQL).fetchall() == [(0, 10)]
+
+
+def test_personalized_pagerank_validates_seeds_and_sinks(spark):
+    import pytest as _pytest
+
+    from pysparkflow.algo.pagerank import personalized_pagerank
+
+    sym = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="not vertices"):
+        personalized_pagerank(sym, sources=[99], iterations=2)
+    directed = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError, match="only as destinations"):
+        personalized_pagerank(directed, sources=[1], iterations=2)

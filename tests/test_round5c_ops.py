@@ -90,3 +90,18 @@ def test_unpivot_shape(spark):
         variableColumnName="metric", valueColumnName="value",
     ).collect()
     assert sorted((r["metric"], r["value"]) for r in out) == [("m1", 1.0), ("m2", 2.0)]
+
+
+def test_label_propagation_rejects_directed_input(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    with _pytest.raises(ValueError, match="only as destinations"):
+        label_propagation(df, rounds=2).collect()
+
+
+def test_label_propagation_covers_all_vertices(spark):
+    # symmetric path graph: output must label every vertex each round
+    path = [(1, 2), (2, 3), (3, 4)]
+    labels = label_propagation(_sym(spark, path), rounds=3)
+    assert labels.count() == 4

@@ -62,3 +62,16 @@ def test_stream_merge_later_seq_wins_within_batch(spark, dirs):
         schema=SCHEMA,
     )
     assert [(r["k"], r["v"]) for r in out.collect()] == [(7, 2.0)]
+
+
+def test_stream_merge_empty_stream_returns_typed_empty(spark, dirs):
+    clog, state, ckpt = dirs
+    import os
+
+    os.makedirs(clog, exist_ok=True)
+    out = run_stream_merge_to_parquet(
+        spark, clog, state, ckpt, key_cols=["k"], payload_cols=["v"],
+        schema=SCHEMA,
+    )
+    assert out.columns == ["k", "v"]
+    assert out.count() == 0
