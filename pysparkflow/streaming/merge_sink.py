@@ -54,6 +54,14 @@ def run_stream_merge_to_parquet(
 
     work = state_dir + ".next"
     old = state_dir + ".old"
+    # crash recovery FIRST (ADVICE r5): a crash between the two swap
+    # renames below leaves only the .old backup; restoring it before the
+    # query starts means the replayed batch merges against the committed
+    # state instead of an empty base. Doing this only after
+    # processAllAvailable() (the r5 bug) hit the exact window it was
+    # meant to cover.
+    if not os.path.isdir(state_dir) and os.path.isdir(old):
+        os.rename(old, state_dir)
     stream = spark.readStream.schema(schema).parquet(changelog_path)
     # the state table's schema comes from the PARSED stream schema (a
     # StructType subset) — never from string-splitting the DDL, which
@@ -65,6 +73,11 @@ def run_stream_merge_to_parquet(
         sp = batch.sparkSession
         if os.path.isdir(state_dir):
             base = sp.read.parquet(state_dir)
+        elif os.path.isdir(old):
+            # belt-and-braces beside the pre-start restore: if the crash
+            # window reopens mid-run, the backup is still the base —
+            # never an empty table while committed state exists on disk
+            base = sp.read.parquet(old)
         else:
             base = sp.createDataFrame([], state_schema)
         merged = apply_changelog(
@@ -75,12 +88,16 @@ def run_stream_merge_to_parquet(
         # state OUT OF THE WAY (rename, not delete), move the new state
         # in, then drop the old. A crash at any point leaves a complete
         # state directory on disk (state_dir or state_dir.old) and the
-        # checkpoint replays this batch on restart; a leftover .old is
-        # cleaned on the next batch.
+        # checkpoint replays this batch on restart. The .old backup is
+        # deleted ONLY after the new state rename has succeeded (ADVICE
+        # r5): it is the sole copy of committed state inside the swap
+        # window, so it must never be removed ahead of the rename.
         merged.write.mode("overwrite").parquet(work)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
         if os.path.isdir(state_dir):
+            if os.path.isdir(old):
+                # stale backup from an earlier crash whose state_dir
+                # survived — state_dir is authoritative, free the slot
+                shutil.rmtree(old)
             os.rename(state_dir, old)
         os.rename(work, state_dir)
         if os.path.isdir(old):
