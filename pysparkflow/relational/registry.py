@@ -558,6 +558,23 @@ SELECT vertex, CAST(min(d) AS INTEGER) AS distance FROM walk GROUP BY vertex
 _MAXFLOW_CACHE: dict[tuple[str, str], object] = {}
 
 
+def clear_flow_memos() -> None:
+    """Bench support: drop the session-scoped graph/flow memos (and the
+    persisted edge tables they hold) so a timed ``max_flow`` sample pays
+    the FULL computation — graph build included. Without this, bench.py's
+    min-of-2 re-sample of the flagship would record a dict lookup
+    (~0.3s) instead of the iterative run, a meaningless headline number.
+    min_cut's dual-of-the-same-run reuse is unaffected: the sample that
+    runs after the clear repopulates the memo it reads."""
+    for g in _GRAPH_CACHE.values():
+        try:
+            g.edges.unpersist(blocking=False)
+        except Exception:
+            pass
+    _GRAPH_CACHE.clear()
+    _MAXFLOW_CACHE.clear()
+
+
 def _lineitem_max_flow(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MAXFLOW_CACHE:
@@ -1927,53 +1944,45 @@ GROUP BY d.source
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (sketch family), de-pinned (VERDICT r4
-    #5): instead of pinning the sketch estimates at one scale, surface
-    the RECOMPUTED exact distinct count plus an in-query check that the
-    HLL++ estimate (rsd 0.02) lands within a 3-sigma band of it. The
-    oracle recomputes the exact counts in DuckDB and asserts the band
-    booleans — valid at ANY scale, so the entry stays green if the
-    driver ever grades a different sf. The estimate itself remains
-    pytest-bounded; at 100 TB only the HLL side would run (the exact
-    count here is the verification cost, one extra distinct shuffle)."""
+    """HLL approximate distinct (sketch family), sketch-ONLY plan
+    (VERDICT r5 #1): one pass, one 1-row aggregate of two HLL++ sketches
+    (rsd 0.02), no exact distinct anywhere — the plan you'd run at
+    100 TB, where the whole point of the sketch is never paying the
+    exact-distinct shuffle. Verification moved to the HARNESS: the
+    tolerance oracle (TOLERANCE_ORACLES, tools/oracle_check.py) computes
+    the exact counts in DuckDB and asserts each estimate lands within a
+    3-sigma (6%) band — the reference family's own approximate-answer
+    contract (mf.approx=0.95, run:138): checked against a tolerance,
+    not equality. The driver's hash gate records a rows-only check for
+    this entry (no equality oracle can exist for a sketch); the banded
+    check lives in ORACLE_CHECK_LOCAL.json."""
     li = load_table(spark, sf_dir, "lineitem")
-    # one agg per distinct column: two distinct groups in a single agg
-    # would trigger Catalyst's Expand (row multiplication by #groups);
-    # split aggs keep each a plain two-phase distinct, joined as 1-row
-    # scalars
-    agg_o = li.agg(
+    # both sketches in ONE aggregate: approx_count_distinct is a plain
+    # declarative agg (no distinct-Expand), so Catalyst runs a single
+    # two-phase pass over the scan
+    agg = li.agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("a_o"),
-        F.countDistinct("l_orderkey").alias("e_o"),
-    )
-    agg_p = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("a_p"),
-        F.countDistinct("l_partkey").alias("e_p"),
     )
-    agg = agg_o.crossJoin(F.broadcast(agg_p))
-    stacked = agg.select(
+    return agg.select(
         F.expr(
-            "stack(2, 'orders', a_o, e_o, 'parts', a_p, e_p) "
-            "AS (metric, approx, exact)"
+            "stack(2, 'orders', a_o, 'parts', a_p) AS (metric, approx_distinct)"
         )
     )
-    return stacked.select(
-        "metric",
-        F.col("exact").cast("long").alias("exact_distinct"),
-        (
-            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= F.lit(0.06)
-        ).alias("within_rsd_band"),
-    )
 
 
-_Q_APPROX_DISTINCT_SQL = """
+# tolerance oracle (harness-checked, not hash-matched): exact counts ±6%
+_Q_APPROX_DISTINCT_TOL_SQL = """
 SELECT 'orders' AS metric,
-       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
-       TRUE AS within_rsd_band
+       CAST(floor(count(DISTINCT l_orderkey) * 0.94) AS BIGINT)
+         AS approx_distinct__lo,
+       CAST(ceil(count(DISTINCT l_orderkey) * 1.06) AS BIGINT)
+         AS approx_distinct__hi
 FROM lineitem
 UNION ALL
 SELECT 'parts',
-       CAST(count(DISTINCT l_partkey) AS BIGINT),
-       TRUE
+       CAST(floor(count(DISTINCT l_partkey) * 0.94) AS BIGINT),
+       CAST(ceil(count(DISTINCT l_partkey) * 1.06) AS BIGINT)
 FROM lineitem
 """
 
@@ -2209,51 +2218,44 @@ _AQ_EPS = 1.0 / 1000  # percentile_approx accuracy 1000 -> rank error 1/1000
 
 
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-quantile sketch, de-pinned (VERDICT r4 #5): surfaces
-    the RECOMPUTED exact percentile (same linear interpolation in Spark
-    ``percentile`` and DuckDB ``quantile_cont``) plus an in-query check
-    that the sketch estimate lies inside the exact-percentile envelope
-    at p +/- 2*eps (eps = 1/accuracy; doubled so interpolation-vs-rank
-    convention differences can't flip the bound at tiny n). The oracle
-    recomputes the exact percentiles and asserts the envelope booleans —
-    scale-independent. At 100 TB only the sketch side would run; the
-    exact percentile here is the verification cost."""
+    """Approximate-quantile sketch, sketch-ONLY plan (VERDICT r5 #1):
+    one GK-sketch aggregate (accuracy 1000), no exact ``percentile``
+    anywhere — exact percentile is an object-agg that buffers every
+    value and is precisely what the sketch exists to avoid at 100 TB.
+    Verification moved to the HARNESS: the tolerance oracle
+    (TOLERANCE_ORACLES, tools/oracle_check.py) computes the exact
+    percentile envelope at p ± 2*eps (eps = 1/accuracy; doubled so
+    interpolation-vs-rank convention differences can't flip the bound
+    at tiny n — the same envelope that was in-query green in r5) in
+    DuckDB and asserts each estimate lies inside it. The driver's hash
+    gate records a rows-only check; the banded check lives in
+    ORACLE_CHECK_LOCAL.json."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = ", ".join(str(p) for p in _AQ_PS)
-    los = ", ".join(str(max(p - 2 * _AQ_EPS, 0.0)) for p in _AQ_PS)
-    his = ", ".join(str(min(p + 2 * _AQ_EPS, 1.0)) for p in _AQ_PS)
     agg = li.agg(
         F.percentile_approx("l_extendedprice", _AQ_PS, 1000)
         .cast("array<double>")
         .alias("apx"),
-        F.expr(f"percentile(l_extendedprice, array({ps}))").alias("exact"),
-        F.expr(f"percentile(l_extendedprice, array({los}))").alias("lo"),
-        F.expr(f"percentile(l_extendedprice, array({his}))").alias("hi"),
     )
-    rows = []
-    for i, p in enumerate(_AQ_PS):
-        rows.append(
-            f"'q{int(p * 100)}', round(exact[{i}], 2), "
-            f"apx[{i}] >= lo[{i}] AND apx[{i}] <= hi[{i}]"
-        )
+    rows = ", ".join(
+        f"'q{int(p * 100)}', apx[{i}]" for i, p in enumerate(_AQ_PS)
+    )
     return agg.select(
-        F.expr(
-            f"stack({len(_AQ_PS)}, {', '.join(rows)}) "
-            "AS (q, exact_pc, sketch_within_bound)"
-        )
+        F.expr(f"stack({len(_AQ_PS)}, {rows}) AS (q, approx_pc)")
     )
 
 
-_Q_APPROX_QUANTILES_SQL = """
-SELECT 'q25' AS q, round(quantile_cont(l_extendedprice, 0.25), 2) AS exact_pc,
-       TRUE AS sketch_within_bound FROM lineitem
-UNION ALL
-SELECT 'q50', round(quantile_cont(l_extendedprice, 0.50), 2), TRUE FROM lineitem
-UNION ALL
-SELECT 'q75', round(quantile_cont(l_extendedprice, 0.75), 2), TRUE FROM lineitem
-UNION ALL
-SELECT 'q99', round(quantile_cont(l_extendedprice, 0.99), 2), TRUE FROM lineitem
-"""
+def _approx_quantiles_tol_sql() -> str:
+    selects = []
+    for p in _AQ_PS:
+        lo = max(p - 2 * _AQ_EPS, 0.0)
+        hi = min(p + 2 * _AQ_EPS, 1.0)
+        selects.append(
+            f"SELECT 'q{int(p * 100)}' AS q,\n"
+            f"       quantile_cont(l_extendedprice, {lo}) AS approx_pc__lo,\n"
+            f"       quantile_cont(l_extendedprice, {hi}) AS approx_pc__hi\n"
+            f"FROM lineitem"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2845,6 +2847,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # symmetric by construction (both directions unioned above), so
         # the outdegree>=1 precondition holds — skip the validation job
         validate=False,
+        # symmetric ⇒ indegree >= 1 everywhere: elide the per-round
+        # identity left join (VERDICT r5 #5 — scheduler-floor work)
+        indegree_complete=True,
     )
     return out.select("vertex", F.round("rank", 9).alias("rank"))
 
@@ -3627,7 +3632,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    rt = orc_roundtrip(docs, f"/tmp/pysparkflow_orc/{tag}/documents")
+    # run-token scope (ADVICE r5): no cross-process overwrite-while-read
+    rt = orc_roundtrip(docs, f"/tmp/pysparkflow_orc/{_RUN_TOKEN}_{tag}/documents")
     return rt.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("sum_chars"),
@@ -3679,14 +3685,28 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile-bucket ranks of two independent predicate columns, then
     report each z-cell's min/max envelope on BOTH dimensions — the
     footer stats a z-sorted file layout would carry, i.e. proof that
-    either predicate prunes. No global sort: one percentile aggregate +
-    a map-only broadcast bucket/interleave pass + one cell-sized agg."""
+    either predicate prunes. No global sort: one percentile aggregate
+    over a deterministic ~5% hash-sample of the rows (VERDICT r5 #4 —
+    boundary cuts need balance, not exactness; exact percentile buffers
+    every value) + a map-only broadcast bucket/interleave pass + one
+    cell-sized agg. The oracle replays the identical sample via the
+    portable md5 hash, so the hash-match gate still holds."""
     from pysparkflow.operators.zorder import zorder_envelope_stats, zorder_key
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", "l_quantity"
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
     )
-    z = zorder_key(li, "l_extendedprice", "l_quantity", bits=4)
+    z = zorder_key(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        bits=4,
+        sample_key=F.concat_ws(
+            ":", F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ),
+        sample_mod=20,
+    )
     return zorder_envelope_stats(z, "l_extendedprice", "l_quantity").select(
         "z",
         "n_rows",
@@ -3701,11 +3721,15 @@ def _zorder_sql() -> str:
     from pysparkflow.operators.zorder import interleave_sql
 
     ps = ", ".join(str(i / 16.0) for i in range(1, 16))
+    # boundary CTE replays the Spark side's deterministic 5% hash-sample
+    # (portable_hash32 lockstep: md5 word 0 of "orderkey:linenumber")
     return f"""
 WITH b AS (
   SELECT quantile_cont(l_extendedprice, [{ps}]) AS ba,
          quantile_cont(l_quantity, [{ps}]) AS bb
   FROM lineitem
+  WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+                            l_linenumber::VARCHAR), 1, 8))::BIGINT % 20 = 0
 ), zt AS (
   SELECT l_extendedprice, l_quantity,
          len(list_filter(ba, x -> x <= l_extendedprice)) AS ra,
@@ -3777,8 +3801,18 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write-temp-then-rename makes a torn write invisible to the
     # existence check (ADVICE-style hardening, round-5 review)
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    media_dir = f"/tmp/pysparkflow_media/{tag}_{len(ids)}_{max(ids, default=0)}"
+    # run-token scope (ADVICE r5): concurrent runs on the same sf_dir get
+    # disjoint fixture dirs instead of racing on one shared path
+    media_dir = (
+        f"/tmp/pysparkflow_media/{_RUN_TOKEN}_{tag}"
+        f"_{len(ids)}_{max(ids, default=0)}"
+    )
     _os.makedirs(media_dir, exist_ok=True)
+    # sweep stale temps from a crashed earlier write in THIS run; the
+    # glob excludes them from the scan, but they'd otherwise accumulate
+    for stale in _os.listdir(media_dir):
+        if stale.endswith(".tmp"):
+            _os.unlink(f"{media_dir}/{stale}")
     for did in ids:
         p = f"{media_dir}/img_{did:09d}.ppm"
         if not _os.path.exists(p):
@@ -4060,8 +4094,11 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     # symmetric by construction (both directions unioned) — skip the
-    # validation job (graph/labelprop.py checks by default)
-    return label_propagation(sym, rounds=_LPA_ROUNDS, validate=False)
+    # validation job (graph/labelprop.py checks by default) and elide
+    # the per-round identity left join (VERDICT r5 #5)
+    return label_propagation(
+        sym, rounds=_LPA_ROUNDS, validate=False, indegree_complete=True
+    )
 
 
 def _label_prop_oracle_sql(rounds: int = _LPA_ROUNDS) -> str:
@@ -4147,6 +4184,8 @@ def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
         # symmetric by construction and the seeds are known lineitem
         # fold residues — skip the two validation jobs in the bench path
         validate=False,
+        # symmetric ⇒ per-round identity left join elided (VERDICT r5 #5)
+        indegree_complete=True,
     )
     # drop never-reached vertices so the graded rows are the reachable
     # neighborhood, mirrored by the oracle's rank > 0 filter
@@ -4238,6 +4277,130 @@ SELECT label, dim, round(avg(val), 6) AS centroid,
 FROM exploded GROUP BY label, dim
 """
 
+
+# ---------------------------------------------------------------------------
+# round 6: streaming MERGE sink under the DD gate
+# ---------------------------------------------------------------------------
+
+# Per-process fixture token (ADVICE r5, registry.py:3905): queries that
+# materialize /tmp fixtures (streaming changelog waves, media files, ORC
+# round-trips) scope their paths by this token so two concurrent runs on
+# the same sf_dir never race on a shared directory. One token per
+# process: within a run (bench's min-of-2, repeated gate calls) the
+# fixture is reused; across processes it is rebuilt fresh.
+import itertools as _itertools  # noqa: E402
+import uuid as _uuid  # noqa: E402
+
+_RUN_TOKEN = _uuid.uuid4().hex[:10]
+_STREAM_MERGE_CALLS = _itertools.count()
+
+
+def q_stream_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (CDC upsert) sink end-to-end
+    (streaming/merge_sink.py::run_stream_merge_to_parquet): the events
+    table replayed as a four-wave changelog FILE STREAM (maxFilesPerTrigger=1
+    → four real micro-batches), each batch full-outer-merged into a keyed
+    parquet state table via foreachBatch + apply_changelog + rename-swap.
+    'error' events delete the user's row, everything else upserts its
+    value; event_id is the total order. The returned state must equal a
+    single batch compaction of the whole changelog — which is exactly
+    what the DuckDB oracle computes straight from events — so the hash
+    match proves per-batch incremental maintenance is lossless across
+    restarts of the merge loop. Wave-partitioned fixture synthesis is
+    driver-side plumbing (four small parquet writes, run-token scoped);
+    the graded dataflow is the streamed merge. At 100 TB the state
+    rewrite becomes partition-targeted (module docstring), but the
+    per-batch dataflow — changelog compaction + one key join — is
+    identical."""
+    import os as _os
+
+    from pysparkflow.streaming.merge_sink import run_stream_merge_to_parquet
+
+    e = load_table(spark, sf_dir, "events")
+    n, max_id = e.agg(F.count("*"), F.max("event_id")).first()
+    base = f"/tmp/pysparkflow_stream_merge/{_RUN_TOKEN}_{_tag(sf_dir)}_{n}"
+    clog = f"{base}/changelog"
+    done = f"{base}/.fixture_done"
+    if not _os.path.exists(done):
+        # waves RANGE-partition the seq order (CDC delivery order): every
+        # seq in wave i is below every seq in wave i+1, so sequential
+        # per-batch merges end at the same state as one global
+        # compaction — the property the oracle checks. A modulo split
+        # would replay old seqs after new ones and corrupt the state.
+        span = (int(max_id) + 4) // 4
+        changes = e.select(
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.least(F.lit(3), F.floor(F.col("event_id") / span)).alias("wave"),
+        )
+        for wave in range(4):
+            (
+                changes.where(F.col("wave") == wave)
+                .drop("wave")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{clog}/wave={wave}.parquet")
+            )
+        # wave files must land under ONE stream-readable directory: move
+        # each part file up as wave<i>.parquet (ordered names → the file
+        # stream picks them up oldest-first by name within a listing)
+        import shutil as _shutil
+        import time as _time
+
+        now = _time.time()
+        for wave in range(4):
+            d = f"{clog}/wave={wave}.parquet"
+            part = next(
+                f for f in sorted(_os.listdir(d)) if f.endswith(".parquet")
+            )
+            dest = f"{clog}/wave{wave}.parquet"
+            _os.replace(f"{d}/{part}", dest)
+            _shutil.rmtree(d)
+            # FileStreamSource orders new files by MODIFICATION TIME, not
+            # name; files written in quick succession can tie. Strictly
+            # increasing mtimes pin the delivery order to seq order.
+            _os.utime(dest, (now - 40 + 10 * wave, now - 40 + 10 * wave))
+        with open(done, "w") as fh:
+            fh.write("ok\n")
+    # fresh checkpoint/state per CALL (the changelog fixture is reused):
+    # every invocation performs the full four-batch merge, so repeated
+    # gate/bench calls measure the real dataflow, not a committed-offsets
+    # no-op replay
+    run_id = next(_STREAM_MERGE_CALLS)
+    state = run_stream_merge_to_parquet(
+        spark,
+        clog,
+        f"{base}/state_{run_id}",
+        f"{base}/ckpt_{run_id}",
+        key_cols=["user_id"],
+        payload_cols=["value"],
+        schema="user_id bigint, value double, seq bigint, op string",
+        max_files_per_trigger=1,
+    )
+    return state.select("user_id", "value")
+
+
+_Q_STREAM_MERGE_STATE_SQL = """
+WITH last AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         round(value, 2) AS value
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY event_id DESC) = 1
+)
+SELECT user_id, value FROM last WHERE op = 'U'
+"""
+
+
+def _tag(sf_dir: str) -> str:
+    import re as _re
+
+    return _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4358,6 +4521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_percent_rank": q_quality_percent_rank,
     "ppr_related": q_ppr_related,
     "embedding_centroids": q_embedding_centroids,
+    "stream_merge_state": q_stream_merge_state,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4397,7 +4561,9 @@ ORACLE_SQL: dict[str, str] = {
     "knn_lsh": _Q_KNN_LSH_SQL,
     "multimodal_features": _Q_MULTIMODAL_SQL,
     "multimodal_decode": _Q_MULTIMODAL_DECODE_SQL,
-    "approx_distinct": _Q_APPROX_DISTINCT_SQL,
+    # approx_distinct / approx_quantiles: no equality oracle (sketch
+    # estimates can't hash-match an exact recompute) — verified by the
+    # banded TOLERANCE_ORACLES below instead (VERDICT r5 #1)
     "embedding_near_dups_lsh": _Q_EMB_ND_LSH_SQL,
     "text_quality": _Q_TEXT_QUALITY_SQL,
     "lang_id": _Q_LANG_ID_SQL,
@@ -4432,7 +4598,6 @@ ORACLE_SQL: dict[str, str] = {
     "latest_per_key": _Q_LATEST_PER_KEY_SQL,
     "incremental_near_dup": _Q_INCR_NEAR_DUP_SQL,
     "snapshot_diff": _Q_SNAPSHOT_DIFF_SQL,
-    "approx_quantiles": _Q_APPROX_QUANTILES_SQL,
     "funnel_conversion": _Q_FUNNEL_SQL,
     "cohort_retention": _Q_COHORT_SQL,
     "scd2_history": _Q_SCD2_SQL,
@@ -4480,6 +4645,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_percent_rank": _Q_PERCENT_RANK_SQL,
     "ppr_related": _ppr_oracle_sql(),
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
+    "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -4487,11 +4653,28 @@ ORACLE_SQL: dict[str, str] = {
     # NX/pytest/invariant verification
 }
 
+# Tolerance oracles (VERDICT r5 #1): entries whose graded Spark query
+# returns sketch ESTIMATES that no equality oracle can hash-match. The
+# SQL computes, per row, the matching key columns plus `<col>__lo` /
+# `<col>__hi` bounds from an EXACT DuckDB recomputation; the harness
+# (tools/oracle_check.py) joins on the key columns and asserts
+# lo <= estimate <= hi. Scale-independent — green at any sf, and the
+# graded Spark plan stays the sketch-only plan you'd run at 100 TB.
+TOLERANCE_ORACLES: dict[str, dict] = {
+    "approx_distinct": {
+        "sql": _Q_APPROX_DISTINCT_TOL_SQL,
+        "keys": ["metric"],
+    },
+    "approx_quantiles": {
+        "sql": _approx_quantiles_tol_sql(),
+        "keys": ["q"],
+    },
+}
+
 # oracle entries whose SQL pins a deterministic expectation that is only
 # valid at the driver's graded scale (the CORRECTNESS gate runs sf=0.01)
-# (approx_distinct / approx_quantiles were de-pinned in round 5: their
-# oracles now recompute exact counts/percentiles plus scale-independent
-# error-band booleans, so they hold at any sf)
+# (approx_distinct / approx_quantiles left the equality-oracle dict in
+# round 6: their sketch-only plans are checked by TOLERANCE_ORACLES)
 SF_PINNED_ORACLES = {
     "knn_ivf_recall": "sf0.01",
     "max_flow": "sf0.01",
@@ -4517,58 +4700,19 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 5 front: the round-5 additions (never driver-graded), then the
-# entries absent from CORRECTNESS_r04.json. 60 candidates now compete
-# for 50 driver slots; the tail 10 below the cut keep their committed
-# ORACLE_CHECK_LOCAL.json green row and rotate to the r6 front.
+# round 6 front (VERDICT r5 #2): first the two entries whose graded
+# dataflow is NEW or CHANGED this round (stream_merge_state is new;
+# zorder_layout's boundary computation moved to a hash-sample), then the
+# 23 entries that have never had a driver-green CORRECTNESS row (the r5
+# tail), then 19 of the 44 entries last graded in round 4 (least
+# recently driver-verified). 6 core + 44 = the full 50-slot window.
+# approx_distinct / approx_quantiles are deliberately NOT fronted: their
+# sketch-only plans have no equality oracle (driver would record a
+# rows-only row); their banded verification lives in TOLERANCE_ORACLES /
+# ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
+    "stream_merge_state",
     "zorder_layout",
-    "bpe_merge_candidates",
-    "binaryfile_ingest",
-    "mad_anomaly",
-    "weighted_sample",
-    "session_paths",
-    "url_dedup",
-    "editdist_pairs",
-    "gap_fill_hourly",
-    "rolling_30d_spend",
-    "zscore_anomaly",
-    "salted_skew_join",
-    "lm_unigram_score",
-    "doc_chunking",
-    "orc_roundtrip",
-    "mode_per_group",
-    "multimodal_decode",
-    "asof_join",
-    "range_join",
-    "pivot_events",
-    "window_suite",
-    "percentiles",
-    "multimodal_features",
-    "cube",
-    "sql_revenue",
-    "bpe_token_count",
-    "embedding_near_dups",
-    "embedding_near_dups_lsh",
-    "tfidf_terms",
-    "pii_scrub",
-    "span_dedup",
-    "temperature_mixture",
-    "curation_pipeline_v2",
-    "knn_graph",
-    "latest_per_key",
-    "incremental_near_dup",
-    "snapshot_diff",
-    "approx_quantiles",
-    "funnel_conversion",
-    "cohort_retention",
-    "scd2_history",
-    "grouping_sets",
-    "triangle_count",
-    "sssp_bounded",
-    # --- r5 driver cut falls here (6 core + 44 above = 50); the tail
-    # below keeps its ORACLE_CHECK_LOCAL green row and fronts the r6
-    # rotation ---
     "scd2_temporal_join",
     "unpivot_metrics",
     "regex_extract_table",
@@ -4592,6 +4736,33 @@ _ROUND_FRONT = [
     "token_budget_select",
     "exists_correlated",
     "correlated_avg",
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "topk_per_group",
+    "running_total",
+    "sort_limit",
+    "hash_sample",
+    "set_intersect",
+    "set_except",
+    "rollup",
+    "bitpack_edge_ids",
+    "global_counters",
+    "events_hourly",
+    "events_json_props",
+    "sessionize",
+    "max_flow_approx",
+    "connected_components",
+    "dedup_ngram_jaccard",
+    "simhash",
+    # --- r6 driver cut falls here (6 core + 44 above = 50). Still
+    # r4-graded and next in line for the r7 front: doc_fingerprints,
+    # knn_bruteforce, knn_lsh, dedup_resolution, incremental_dedup,
+    # min_cut, cluster_sample, knn_ivf, knn_ivf_recall, text_quality,
+    # lang_id, token_totals, events_stream_* (windowed/sessions/enrich/
+    # join/dedup/stateful), doc_repetition, pack_documents,
+    # decontaminate, stratified_sample, quality_quantile_filter,
+    # curation_pipeline. Everything else was graded green in r5.
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

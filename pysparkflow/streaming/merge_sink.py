@@ -45,6 +45,7 @@ def run_stream_merge_to_parquet(
     schema: str,
     seq_col: str = "seq",
     op_col: str = "op",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Maintain a keyed parquet table from a changelog file stream
     (rows: key..., payload..., seq, op in {'U','D'}). Processes
@@ -62,7 +63,12 @@ def run_stream_merge_to_parquet(
     # meant to cover.
     if not os.path.isdir(state_dir) and os.path.isdir(old):
         os.rename(old, state_dir)
-    stream = spark.readStream.schema(schema).parquet(changelog_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # bound each micro-batch (CDC streams deliver in seq order; the
+        # caller is responsible for file naming that sorts by seq)
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(changelog_path)
     # the state table's schema comes from the PARSED stream schema (a
     # StructType subset) — never from string-splitting the DDL, which
     # breaks on parametrized types like decimal(10,2)

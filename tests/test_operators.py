@@ -86,29 +86,34 @@ def test_approx_quantiles_rank_error_bound(spark, sf_dir):
         assert abs(rank - q * n) <= n / 1000 + 1, (est, rank, q * n)
 
 
-def test_approx_quantiles_query_envelope_and_exact_pc(spark, sf_dir):
-    # de-pinned registry entry: every envelope boolean true, and the
-    # surfaced exact percentile matches an independent interpolation
-    # over the collected sorted values (percentile_cont convention)
+def test_approx_quantiles_query_envelope(spark, sf_dir):
+    # sketch-only registry entry (VERDICT r5 #1): each estimate must lie
+    # inside the exact-percentile envelope at p ± 2*eps computed
+    # INDEPENDENTLY here over the collected sorted values — the same
+    # band the tolerance oracle (TOLERANCE_ORACLES) asserts via DuckDB
     from pysparkflow.relational.registry import QUERIES
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     vals = sorted(r["l_extendedprice"] for r in li.select("l_extendedprice").collect())
     n = len(vals)
-    rows = {r["q"]: r for r in QUERIES["approx_quantiles"](spark, sf_dir).collect()}
-    assert set(rows) == {"q25", "q50", "q75", "q99"}
-    for name, p in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)):
-        assert rows[name]["sketch_within_bound"] is True
+
+    def interp(p):
         idx = p * (n - 1)
         lo, frac = int(idx), idx - int(idx)
-        want = vals[lo] if frac == 0 else vals[lo] * (1 - frac) + vals[lo + 1] * frac
-        # one-cent tolerance: python's interpolation arithmetic can land
-        # on the other side of a .xx5 rounding knife-edge than Spark's
-        # (Spark and DuckDB agree with each other — oracle-checked)
-        assert abs(rows[name]["exact_pc"] - round(want, 2)) <= 0.011
+        return vals[lo] if frac == 0 else vals[lo] * (1 - frac) + vals[lo + 1] * frac
+
+    rows = {r["q"]: r for r in QUERIES["approx_quantiles"](spark, sf_dir).collect()}
+    assert set(rows) == {"q25", "q50", "q75", "q99"}
+    eps = 1.0 / 1000
+    for name, p in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q99", 0.99)):
+        est = rows[name]["approx_pc"]
+        assert interp(max(p - 2 * eps, 0.0)) <= est <= interp(min(p + 2 * eps, 1.0))
 
 
 def test_approx_distinct_query_band(spark, sf_dir):
+    # sketch-only registry entry (VERDICT r5 #1): estimates within the
+    # 3-sigma (6%) band of exact counts computed independently here —
+    # the same band the tolerance oracle asserts via DuckDB
     from pysparkflow.relational.registry import QUERIES
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -118,8 +123,7 @@ def test_approx_distinct_query_band(spark, sf_dir):
     }
     rows = {r["metric"]: r for r in QUERIES["approx_distinct"](spark, sf_dir).collect()}
     for m in ("orders", "parts"):
-        assert rows[m]["exact_distinct"] == exact[m]
-        assert rows[m]["within_rsd_band"] is True
+        assert abs(rows[m]["approx_distinct"] - exact[m]) / exact[m] <= 0.06
 
 
 def test_apply_changelog_merge_matrix(spark):
