@@ -31,6 +31,51 @@ from pysparkflow.session import get_spark
 # every registry query is benchmarked — a perf regression in any graded
 # entry shows up as a BENCH_r{N} delta, not silently
 BENCH_QUERIES = list(QUERIES)
+# the flagship runs OUT of process-first position (VERDICT r5 #3): the
+# first executed query absorbs residual JVM/codegen warmup (measured
+# ±3s at sf0.1). A dozen cheap relational entries move to the front to
+# soak that — they are all sub-3s, so min-of-2 keeps their own numbers
+# comparable — and the rest of the list keeps its registry order, so
+# max_flow still runs before the other graph entries (the r2–r5
+# cost-attribution: the flagship pays the shared graph build, bfs/
+# min_cut/approx reuse it). The flagship additionally gets an
+# unconditional, memo-cleared second sample below.
+_WARMUP_FRONT = [
+    "scd2_temporal_join",
+    "unpivot_metrics",
+    "regex_extract_table",
+    "quality_percent_rank",
+    "embedding_centroids",
+    "histogram_bins",
+    "exists_correlated",
+    "correlated_avg",
+    "broadcast_join",
+    "semi_join",
+    "anti_join",
+    "sort_limit",
+]
+for _q in _WARMUP_FRONT:
+    BENCH_QUERIES.remove(_q)
+BENCH_QUERIES = _WARMUP_FRONT + BENCH_QUERIES
+# queries re-sampled (min-of-2) regardless of the <3s rule: flagship
+# artifacts must not hinge on one cold/noisy sample
+MIN_OF_2_ALWAYS = {"max_flow"}
+
+# quiet-host calibration reference (round-5 SCALING.md recertification
+# runs): ratios of this run's probes against these pin whether the host
+# was drifted, machine-readably (VERDICT r5 #7)
+_REF_CAL = {"py_loop_sec": 0.167, "matmul_sec": 0.104}
+
+
+def _host_flag(cal_before: dict, cal_after: dict) -> tuple[str, float]:
+    """'ok' if the BEST of the two probe samples is within 30% of the
+    pinned quiet-host reference, else 'degraded' — a drifted-host bench
+    artifact then carries its own warning label instead of relying on a
+    prose footnote."""
+    worst = max(
+        min(cal_before[k], cal_after[k]) / _REF_CAL[k] for k in _REF_CAL
+    )
+    return ("ok" if worst <= 1.3 else "degraded"), round(worst, 2)
 
 # the subset whose timings ride on the compact final JSON line (the
 # driver-parseable artifact); everything else lives in the side file
@@ -131,9 +176,18 @@ def main() -> None:
     _warm_streaming(spark)
     from pysparkflow.engine.cache import release_tracked
 
+    from pysparkflow.relational.registry import clear_flow_memos
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
+        # the flagship's samples are SELF-CONTAINED: drop the session
+        # graph/flow memos so each timed run pays graph build + the full
+        # iterative computation (other graph entries sharing the memo is
+        # the documented min_cut discipline; the headline number is not
+        # allowed to be a memo lookup)
+        if name in MIN_OF_2_ALWAYS:
+            clear_flow_memos()
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -148,7 +202,9 @@ def main() -> None:
         # sink, no result cache), so min-of-2 measures the code, not the
         # host's worst moment. Expensive queries stay single-sample to
         # bound total runtime.
-        if timings[name] < 3.0:
+        if timings[name] < 3.0 or name in MIN_OF_2_ALWAYS:
+            if name in MIN_OF_2_ALWAYS:
+                clear_flow_memos()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -157,6 +213,7 @@ def main() -> None:
         print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     cal_after = _host_calibration()
+    host_flag, host_ratio = _host_flag(cal_before, cal_after)
     # full per-query map → committed side file (too big for the driver's
     # ~2KB stdout tail window; see module docstring)
     side_path = os.path.join(
@@ -170,6 +227,8 @@ def main() -> None:
                 "queries": timings,
                 "host_calibration": cal_before,
                 "host_calibration_after": cal_after,
+                "host_flag": host_flag,
+                "host_ratio_vs_quiet_ref": host_ratio,
                 # ADVICE r4 (bench.py:122): min-of-2 applies to sub-3s
                 # queries from round 4 onward; BENCH_r02 and earlier were
                 # single-sample, so cross-round ratios vs those rounds
@@ -206,6 +265,11 @@ def main() -> None:
                 # drift a given run was subject to
                 "host_calibration": cal_before,
                 "host_calibration_after": cal_after,
+                # ok | degraded vs the pinned quiet-host probes (_REF_CAL);
+                # a degraded flag means totals are NOT comparable across
+                # rounds without the calibration ratio
+                "host_flag": host_flag,
+                "host_ratio": host_ratio,
                 "queries_full": "bench_queries_latest.json",
             },
             separators=(",", ":"),
