@@ -58,10 +58,16 @@ def pagerank(
     the iterative scheduler floor). Semantics are unchanged where the
     precondition holds; leave False for general directed inputs.
     Returns (vertex, rank)."""
+    from pysparkflow.engine.partitioning import sized_partitions
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    # static side: edges with outdegree attached, cached once (schimmy)
-    arcs = e.join(deg, "u").persist()
+    # static side: edges with outdegree attached, cached once (schimmy),
+    # partitioned to the DATA size, not the session's relational-shuffle
+    # setting — the arc table's partition count is every round's map-side
+    # task count (see engine/partitioning.py; measured 2x at local sf0.1)
+    n_arcs = e.count()
+    arcs = e.join(deg, "u").repartition(sized_partitions(n_arcs, e), "u").persist()
     verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
     n = verts.count()
     if validate:
@@ -136,11 +142,17 @@ def personalized_pagerank(
 
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
+    from pysparkflow.engine.partitioning import sized_partitions
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # tracked persists: the returned lazy ranks plan still scans these;
-    # callers release via engine/cache.release_tracked after consuming
-    arcs = track(e.join(deg, "u"))
+    # callers release via engine/cache.release_tracked after consuming.
+    # Arc partitions sized to the data (engine/partitioning.py): the
+    # cached arc table's partition count is every round's map-side task
+    # count.
+    n_arcs = e.count()
+    arcs = track(e.join(deg, "u").repartition(sized_partitions(n_arcs, e), "u"))
     verts = track(arcs.select(F.col("u").alias("vertex")).distinct())
     seeds = [int(s) for s in sources]
     if validate:

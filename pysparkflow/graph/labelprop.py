@@ -56,9 +56,15 @@ def label_propagation(
     aggregate already covers every vertex, so the join is an identity
     costing one extra stage per round (VERDICT r5 #5).
     Returns (vertex, label)."""
+    from pysparkflow.engine.partitioning import sized_partitions
+
     # tracked persist: the returned lazy labels plan still scans arcs, so
-    # release is the caller's (engine/cache.release_tracked) after consume
-    arcs = track(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    # release is the caller's (engine/cache.release_tracked) after consume.
+    # Arc partitions sized to the data (engine/partitioning.py): the
+    # cached arc table's partition count is every round's map-side task
+    # count.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    arcs = track(e.repartition(sized_partitions(e.count(), e), "u"))
     verts = arcs.select(F.col("u").alias("vertex")).distinct()
     if validate:
         n_dst_only = (
