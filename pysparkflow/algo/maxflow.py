@@ -300,9 +300,19 @@ def max_flow(
     g, s_id, t_id = graph.with_super_nodes(sources, sinks)
     spark = g.spark
 
+    from pysparkflow.engine.partitioning import sized_partitions
+
     _t_init = _time.time()
-    edges = g.edges.persist()
-    edges.count()  # materialize once; the static graph is never shuffled again
+    # materialize once; the static graph is never shuffled again. The
+    # cached copy is repartitioned to the DATA size (engine/
+    # partitioning.py): its partition count is the map-side task count
+    # of every round's extension join — the session shuffle setting is
+    # tuned for relational scale, not a per-round frontier loop. A
+    # separate persisted copy also leaves any caller-held cache of
+    # g.edges intact when this one is released at the end.
+    n_edges = g.edges.count()
+    edges = g.edges.repartition(sized_partitions(n_edges, g.edges), "u").persist()
+    edges.count()
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     flows = _empty_flows(spark)
     flow_edge_count = 0
