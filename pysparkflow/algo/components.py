@@ -29,11 +29,15 @@ from pysparkflow.graph.graph import FlowGraph
 def connected_components(graph: FlowGraph, max_iter: int = 50) -> DataFrame:
     """Returns (vertex BIGINT, component BIGINT) where component is the
     minimum vertex id in the component."""
-    arcs = (
-        graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionAll(graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .persist()
+    from pysparkflow.engine.partitioning import sized_partitions
+
+    # arc partitions sized to the data (engine/partitioning.py): the
+    # cached arc table's partition count is every iteration's map-side
+    # task count
+    a2 = graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
+    arcs = a2.repartition(sized_partitions(a2.count(), a2), "b").persist()
     labels = (
         arcs.groupBy("a")
         .agg(F.min("b").alias("nb_min"))
