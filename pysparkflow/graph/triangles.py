@@ -67,7 +67,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     closed against it: triangle {x,y,z} is counted exactly once, at its
     unique orientation-ordered form. Returns a 1-row DataFrame
     ``(n_triangles BIGINT)``."""
-    o = oriented_edges(canonical_edges(edges, src, dst))
+    from pysparkflow.engine.cache import track
+
+    # the oriented list feeds BOTH wedge sides and the closing probe —
+    # tracked persist, or the canonicalize+orient subtree (two shuffles)
+    # recomputes three times; release is the caller's (release_tracked)
+    o = track(oriented_edges(canonical_edges(edges, src, dst)))
     e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "y")
