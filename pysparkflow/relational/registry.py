@@ -4278,6 +4278,92 @@ FROM exploded GROUP BY label, dim
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 4
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embeddings table
+    (llmops/kmeans.py::kmeans_assignments): k=8, 4 synchronous rounds,
+    deterministic smallest-k-ids init. Per round: a MAP-ONLY assignment
+    (centroids travel as literal double arrays, distance = sequential
+    zip_with/aggregate fold, first-argmin cluster) and one
+    (cluster, dim)-keyed combiner aggregation whose k x dim output rows
+    are the only driver traffic — the vocab-sized-shuffle discipline.
+    The oracle unrolls the identical rounds as MATERIALIZED CTEs; the
+    centroid state is rounded to 6 decimals at every round boundary in
+    BOTH engines, so assignments replay exactly (see the module
+    docstring for the cross-engine determinism argument)."""
+    from pysparkflow.llmops.kmeans import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
+
+
+def _kmeans_oracle_sql(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """Unrolled Lloyd rounds (MATERIALIZED per the DuckDB CTE-inlining
+    gotcha): same init, same sequential-fold distance (list_aggregate
+    'sum' is a left fold — verified bit-identical to python/Spark's
+    sequential aggregate), same first-argmin tie-break, same rounded
+    centroid state, same keep-old-on-empty-cluster rule."""
+    dist = (
+        "list_aggregate(list_transform(list_zip(e.v, c.c), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+    )
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT id, CAST(i - 1 AS INTEGER) AS dim, v[CAST(i AS INTEGER)] AS val
+  FROM e, unnest(generate_series(1, len(v))) AS g(i)
+),
+c0 AS MATERIALIZED (
+  SELECT cid, CAST(i - 1 AS INTEGER) AS dim,
+         round(v[CAST(i AS INTEGER)], 6) AS cval
+  FROM (
+    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid, v
+    FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})
+  ), unnest(generate_series(1, len(v))) AS g(i)
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+cl{r} AS MATERIALIZED (
+  SELECT cid, list(cval ORDER BY dim) AS c FROM c{r - 1} GROUP BY cid
+),
+a{r} AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+    FROM (SELECT e.id, c.cid, {dist} AS dist FROM e CROSS JOIN cl{r} c)
+  ) WHERE rn = 1
+),
+c{r} AS MATERIALIZED (
+  SELECT p.cid, p.dim, COALESCE(u.cval, p.cval) AS cval
+  FROM c{r - 1} p LEFT JOIN (
+    SELECT a.cid, x.dim, round(avg(x.val), 6) AS cval
+    FROM a{r} a JOIN ex x ON x.id = a.id
+    GROUP BY a.cid, x.dim
+  ) u ON u.cid = p.cid AND u.dim = p.dim
+)"""
+        )
+    parts.append(
+        f""",
+clF AS MATERIALIZED (
+  SELECT cid, list(cval ORDER BY dim) AS c FROM c{rounds} GROUP BY cid
+)
+SELECT id, CAST(cid AS INTEGER) AS cluster, round(dist, 6) AS dist FROM (
+  SELECT id, cid, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+  FROM (SELECT e.id, c.cid, {dist} AS dist FROM e CROSS JOIN clF c)
+) WHERE rn = 1"""
+    )
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # round 6: streaming MERGE sink under the DD gate
 # ---------------------------------------------------------------------------
@@ -4522,6 +4608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_related": q_ppr_related,
     "embedding_centroids": q_embedding_centroids,
     "stream_merge_state": q_stream_merge_state,
+    "kmeans_embeddings": q_kmeans_embeddings,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4646,6 +4733,7 @@ ORACLE_SQL: dict[str, str] = {
     "ppr_related": _ppr_oracle_sql(),
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
     "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
+    "kmeans_embeddings": _kmeans_oracle_sql(),
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -4713,6 +4801,7 @@ _ALWAYS_IN_CORE = [
 _ROUND_FRONT = [
     "stream_merge_state",
     "zorder_layout",
+    "kmeans_embeddings",
     "scd2_temporal_join",
     "unpivot_metrics",
     "regex_extract_table",
@@ -4754,9 +4843,9 @@ _ROUND_FRONT = [
     "max_flow_approx",
     "connected_components",
     "dedup_ngram_jaccard",
-    "simhash",
     # --- r6 driver cut falls here (6 core + 44 above = 50). Still
-    # r4-graded and next in line for the r7 front: doc_fingerprints,
+    # r4-graded and next in line for the r7 front: simhash,
+    # doc_fingerprints,
     # knn_bruteforce, knn_lsh, dedup_resolution, incremental_dedup,
     # min_cut, cluster_sample, knn_ivf, knn_ivf_recall, text_quality,
     # lang_id, token_totals, events_stream_* (windowed/sessions/enrich/
