@@ -69,13 +69,21 @@ _REF_CAL = {"py_loop_sec": 0.167, "matmul_sec": 0.104}
 
 def _host_flag(cal_before: dict, cal_after: dict) -> tuple[str, float]:
     """'ok' if the BEST of the two probe samples is within 30% of the
-    pinned quiet-host reference, else 'degraded' — a drifted-host bench
-    artifact then carries its own warning label instead of relying on a
-    prose footnote."""
+    pinned quiet-host reference; 'degraded' when slower, 'fast' when
+    MORE than 30% faster — a host change in either direction makes
+    totals incomparable across rounds, and the r3->r4 incident was
+    exactly a silent machine swap. The artifact carries its own label
+    instead of relying on a prose footnote."""
     worst = max(
         min(cal_before[k], cal_after[k]) / _REF_CAL[k] for k in _REF_CAL
     )
-    return ("ok" if worst <= 1.3 else "degraded"), round(worst, 2)
+    if worst > 1.3:
+        flag = "degraded"
+    elif worst < 0.7:
+        flag = "fast"
+    else:
+        flag = "ok"
+    return flag, round(worst, 2)
 
 # the subset whose timings ride on the compact final JSON line (the
 # driver-parseable artifact); everything else lives in the side file
@@ -202,7 +210,15 @@ def main() -> None:
         # sink, no result cache), so min-of-2 measures the code, not the
         # host's worst moment. Expensive queries stay single-sample to
         # bound total runtime.
-        if timings[name] < 3.0 or name in MIN_OF_2_ALWAYS:
+        # warmup-front entries ALSO always re-sample: their first sample
+        # absorbs the residual JVM warmup they were placed to soak, so
+        # the <3s gate judged on it would skip the re-sample exactly
+        # when the number is most contaminated
+        if (
+            timings[name] < 3.0
+            or name in MIN_OF_2_ALWAYS
+            or name in _WARMUP_FRONT
+        ):
             if name in MIN_OF_2_ALWAYS:
                 clear_flow_memos()
             t0 = time.time()
@@ -235,8 +251,16 @@ def main() -> None:
                 # carry a sampling-policy asymmetry in the newer round's
                 # favor (bounded by the host-drift the policy removes).
                 "sampling": {
-                    "policy": "min-of-2 for <3s queries, single-sample above",
-                    "baseline_note": "BENCH_r02 and earlier were single-sample",
+                    "policy": (
+                        "min-of-2 for <3s queries, warmup-front entries, "
+                        "and the flagship (memo-cleared, full recompute "
+                        "each sample); single-sample above 3s otherwise"
+                    ),
+                    "baseline_note": (
+                        "BENCH_r02 and earlier were single-sample; "
+                        "flagship min-of-2 starts in round 6 (r2-r5 "
+                        "max_flow numbers are single-sample)"
+                    ),
                 },
             },
             fh,

@@ -89,6 +89,13 @@ def kmeans_fit(
     deterministic smallest-k-ids init. Returns k lists of dim floats
     (every value rounded to 6 decimals — the cross-engine state
     contract above)."""
+    from pysparkflow.engine.cache import track
+
+    # one tracked persist of the (id, vec) projection: every round's
+    # assign + update jobs (and the init collect) re-scan it from cache
+    # instead of re-reading the source per round; release is the
+    # caller's (engine/cache.release_tracked) after consuming
+    emb = track(emb.select(id_col, vec_col))
     init_rows = (
         emb.orderBy(id_col)
         .limit(k)

@@ -109,6 +109,23 @@ def zorder_key(
         F.percentile(col_a, F.array([F.lit(p) for p in ps])).alias("ba"),
         F.percentile(col_b, F.array([F.lit(p) for p in ps])).alias("bb"),
     )
+    if sample_key is not None:
+        # an EMPTY hash sample (tiny table or unlucky modulus) yields
+        # NULL boundary arrays, which would silently make every z NULL.
+        # Fail loudly instead — the caller should lower sample_mod or
+        # pass sample_key=None; a silent full-table fallback would
+        # desync any oracle that replays the sample.
+        ok = F.assert_true(
+            F.col("ba").isNotNull() & F.col("bb").isNotNull(),
+            F.lit(
+                "zorder_key: hash sample selected no rows — lower "
+                "sample_mod or pass sample_key=None"
+            ),
+        )
+        bounds = bounds.select(
+            F.when(ok.isNull(), F.col("ba")).alias("ba"),
+            F.when(ok.isNull(), F.col("bb")).alias("bb"),
+        )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(

@@ -3631,7 +3631,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkflow.io.orc import orc_roundtrip
 
     docs = load_table(spark, sf_dir, "documents")
-    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    tag = _tag(sf_dir)
     # run-token scope (ADVICE r5): no cross-process overwrite-while-read
     rt = orc_roundtrip(docs, f"/tmp/pysparkflow_orc/{_RUN_TOKEN}_{tag}/documents")
     return rt.groupBy("lang", "source").agg(
@@ -3800,7 +3800,7 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of stale extra files silently diverging from the oracle;
     # write-temp-then-rename makes a torn write invisible to the
     # existence check (ADVICE-style hardening, round-5 review)
-    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    tag = _tag(sf_dir)
     # run-token scope (ADVICE r5): concurrent runs on the same sf_dir get
     # disjoint fixture dirs instead of racing on one shared path
     media_dir = (

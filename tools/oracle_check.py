@@ -93,8 +93,14 @@ def main() -> int:
                 continue
             viol = []
             for c in bound_cols:
+                # NaN/null estimates must FAIL, not slip through: pandas
+                # comparisons against NaN are all False, which would
+                # read as "inside the band" for a broken sketch query
                 m = merged[
-                    (merged[c] < merged[f"{c}__lo"])
+                    merged[c].isna()
+                    | merged[f"{c}__lo"].isna()
+                    | merged[f"{c}__hi"].isna()
+                    | (merged[c] < merged[f"{c}__lo"])
                     | (merged[c] > merged[f"{c}__hi"])
                 ]
                 if len(m):
