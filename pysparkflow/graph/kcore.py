@@ -43,11 +43,18 @@ def kcore_vertices(
     if ``max_rounds`` is hit while still unstable (callers choosing a
     replay horizon need the guarantee, not a silent partial peel).
     Returns (vertex,). Deterministic — pure function of the graph."""
-    e = canonical_edges(edges, src, dst).persist()
+    from pysparkflow.engine.partitioning import sized_partitions
+
+    # edge partitions sized to the data (engine/partitioning.py): the
+    # cached edge table's partition count is every peel round's map-side
+    # task count. Count first (one extra job at start), then cache the
+    # right-sized copy.
+    canon = canonical_edges(edges, src, dst)
+    n_before = canon.count()
+    e = canon.repartition(sized_partitions(n_before, canon), "a").persist()
     rounds = 0
     # carried across rounds: this round's n_before IS last round's
     # n_after — recounting e would spend an extra job per peeling round
-    n_before = e.count()
     while True:
         deg = (
             e.select(F.col("a").alias("v"))
