@@ -29,15 +29,17 @@ from pysparkflow.graph.graph import FlowGraph
 def connected_components(graph: FlowGraph, max_iter: int = 50) -> DataFrame:
     """Returns (vertex BIGINT, component BIGINT) where component is the
     minimum vertex id in the component."""
-    from pysparkflow.engine.partitioning import sized_partitions
+    from pysparkflow.engine.partitioning import sized_cache
 
-    # arc partitions sized to the data (engine/partitioning.py): the
-    # cached arc table's partition count is every iteration's map-side
-    # task count
-    a2 = graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-        graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    # arc table cached once at the data-sized partition count
+    # (engine/partitioning.py): the partition count is every iteration's
+    # map-side task count; keyed by the hot join side (b == vertex)
+    arcs, _ = sized_cache(
+        graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+            graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        ),
+        "b",
     )
-    arcs = a2.repartition(sized_partitions(a2.count(), a2), "b").persist()
     labels = (
         arcs.groupBy("a")
         .agg(F.min("b").alias("nb_min"))

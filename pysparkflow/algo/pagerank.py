@@ -58,18 +58,22 @@ def pagerank(
     the iterative scheduler floor). Semantics are unchanged where the
     precondition holds; leave False for general directed inputs.
     Returns (vertex, rank)."""
-    from pysparkflow.engine.partitioning import sized_partitions
+    from pysparkflow.engine.partitioning import sized_cache
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # edge plan cached ONCE at the data-sized partition count (see
+    # engine/partitioning.py; the arc table's partition count is every
+    # round's map-side task count, measured 2x at local sf0.1) — the
+    # outdegree agg and the arc join both read the cache, and since e is
+    # hash-partitioned on u, neither needs a further exchange
+    e, _ = sized_cache(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
+    )
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    # static side: edges with outdegree attached, cached once (schimmy),
-    # partitioned to the DATA size, not the session's relational-shuffle
-    # setting — the arc table's partition count is every round's map-side
-    # task count (see engine/partitioning.py; measured 2x at local sf0.1)
-    n_arcs = e.count()
-    arcs = e.join(deg, "u").repartition(sized_partitions(n_arcs, e), "u").persist()
+    # static side: edges with outdegree attached, cached once (schimmy)
+    arcs = e.join(deg, "u").persist()
     verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
-    n = verts.count()
+    n = verts.count()  # materializes arcs/verts from e's cache
+    e.unpersist()  # rounds scan arcs; the raw edge cache is done
     if validate:
         n_sinks = (
             e.select(F.col("v").alias("vertex"))
@@ -142,17 +146,19 @@ def personalized_pagerank(
 
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
-    from pysparkflow.engine.partitioning import sized_partitions
+    from pysparkflow.engine.partitioning import sized_cache
 
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # edge plan cached once at the data-sized partition count (see
+    # pagerank above); tracked so the caller's release_tracked frees it
+    # — the returned lazy ranks plan still scans arcs, which scans e
+    e, _ = sized_cache(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
+    )
+    track(e)  # register the persisted copy for the caller's release
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # tracked persists: the returned lazy ranks plan still scans these;
-    # callers release via engine/cache.release_tracked after consuming.
-    # Arc partitions sized to the data (engine/partitioning.py): the
-    # cached arc table's partition count is every round's map-side task
-    # count.
-    n_arcs = e.count()
-    arcs = track(e.join(deg, "u").repartition(sized_partitions(n_arcs, e), "u"))
+    # callers release via engine/cache.release_tracked after consuming
+    arcs = track(e.join(deg, "u"))
     verts = track(arcs.select(F.col("u").alias("vertex")).distinct())
     seeds = [int(s) for s in sources]
     if validate:

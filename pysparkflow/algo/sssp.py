@@ -45,15 +45,18 @@ def bounded_sssp(
     """Cheapest path cost from any of ``sources`` using at most
     ``max_hops`` edges; unreached vertices are absent. Weights must be
     non-negative. Returns (vertex, dist)."""
-    from pysparkflow.engine.partitioning import sized_partitions
+    from pysparkflow.engine.partitioning import sized_cache
 
-    # arc partitions sized to the data (engine/partitioning.py): the
-    # cached arc table's partition count is every round's map-side task
-    # count
-    a = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    # arc table cached once at the data-sized partition count
+    # (engine/partitioning.py): the partition count is every round's
+    # map-side task count; sized_cache avoids computing the edge plan
+    # twice for count + cache
+    arcs, _ = sized_cache(
+        edges.select(
+            F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+        ),
+        "u",
     )
-    arcs = a.repartition(sized_partitions(a.count(), a), "u").persist()
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(s), 0.0) for s in sources], "vertex long, dist double"

@@ -33,3 +33,27 @@ def sized_partitions(
     session's ``spark.sql.shuffle.partitions`` (the cluster-tuned cap)."""
     sess = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return max(1, min(sess, n_rows // rows_per_partition + 1))
+
+
+def sized_cache(
+    df: DataFrame,
+    *key_cols: str,
+    rows_per_partition: int = ROWS_PER_PARTITION,
+) -> tuple[DataFrame, int]:
+    """(cached right-sized copy, row count) of ``df`` without computing
+    its plan twice: cache the raw plan, count it (one compute), build
+    the repartitioned copy FROM the cache, materialize it, release the
+    raw cache. The naive count-then-repartition-then-persist order
+    recomputes the source plan (often a distinct/symmetrize shuffle)
+    once per step. The caller owns the returned cache's release."""
+    base = df.persist()
+    n = base.count()
+    out = (
+        base.repartition(sized_partitions(n, df, rows_per_partition), *key_cols)
+        if key_cols
+        else base.repartition(sized_partitions(n, df, rows_per_partition))
+    )
+    out = out.persist()
+    out.count()  # materialize from the cached base (cheap columnar read)
+    base.unpersist()
+    return out, n

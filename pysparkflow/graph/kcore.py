@@ -37,24 +37,24 @@ def kcore_vertices(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Vertices of the k-core. Converges in at most |V| rounds; raises
     if ``max_rounds`` is hit while still unstable (callers choosing a
     replay horizon need the guarantee, not a silent partial peel).
-    Returns (vertex,). Deterministic — pure function of the graph."""
-    from pysparkflow.engine.partitioning import sized_partitions
+    Returns (vertex,). Deterministic — pure function of the graph.
+    Lineage truncates every round (see the loop comment — a peel
+    round's plan references the edge table three times, so anything
+    less than per-round truncation grows the plan tree 3^rounds)."""
+    from pysparkflow.engine.partitioning import sized_cache
 
-    # edge partitions sized to the data (engine/partitioning.py): the
-    # cached edge table's partition count is every peel round's map-side
-    # task count. Count first (one extra job at start), then cache the
-    # right-sized copy.
-    canon = canonical_edges(edges, src, dst)
-    n_before = canon.count()
-    e = canon.repartition(sized_partitions(n_before, canon), "a").persist()
+    # edge table cached once at the data-sized partition count
+    # (engine/partitioning.py): the partition count is every peel
+    # round's map-side task count; sized_cache avoids computing the
+    # canonicalize shuffle twice for count + cache. The returned count
+    # is carried across rounds: this round's n_before IS last round's
+    # n_after, so no per-round recount.
+    e, n_before = sized_cache(canonical_edges(edges, src, dst), "a")
     rounds = 0
-    # carried across rounds: this round's n_before IS last round's
-    # n_after — recounting e would spend an extra job per peeling round
     while True:
         deg = (
             e.select(F.col("a").alias("v"))
@@ -65,14 +65,19 @@ def kcore_vertices(
         keep = deg.where(F.col("deg") >= k).select("v").persist()
         ka = keep.select(F.col("v").alias("a"))
         kb = keep.select(F.col("v").alias("b"))
-        e2 = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi").persist()
+        # localCheckpoint EVERY round, not persist + an occasional cut:
+        # each round's plan references e THREE times (deg + both semi
+        # joins), so the lineage tree grows 3^rounds — persist bounds
+        # re-execution but not plan-tree size, and AQE's plan-string
+        # rendering of a deep peel OOM'd the driver (seen at round ~4
+        # on a loaded heap). The round materializes anyway for the
+        # convergence count, so truncation here is nearly free.
+        e2 = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi").localCheckpoint()
         # stable iff no edge was dropped (vertex counts can't change
         # without edge counts changing)
         n_after = e2.count()
         e.unpersist()
         rounds += 1
-        if rounds % checkpoint_every == 0:
-            e2 = e2.localCheckpoint()
         e = e2
         if n_after == n_before:
             keep.unpersist()

@@ -56,15 +56,18 @@ def label_propagation(
     aggregate already covers every vertex, so the join is an identity
     costing one extra stage per round (VERDICT r5 #5).
     Returns (vertex, label)."""
-    from pysparkflow.engine.partitioning import sized_partitions
+    from pysparkflow.engine.partitioning import sized_cache
 
     # tracked persist: the returned lazy labels plan still scans arcs, so
-    # release is the caller's (engine/cache.release_tracked) after consume.
-    # Arc partitions sized to the data (engine/partitioning.py): the
-    # cached arc table's partition count is every round's map-side task
-    # count.
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    arcs = track(e.repartition(sized_partitions(e.count(), e), "u"))
+    # release is the caller's (engine/cache.release_tracked) after
+    # consume. Cached ONCE at the data-sized partition count
+    # (engine/partitioning.py — the partition count is every round's
+    # map-side task count; sized_cache avoids computing the edge plan
+    # twice for count + cache).
+    arcs, _ = sized_cache(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
+    )
+    arcs = track(arcs)
     verts = arcs.select(F.col("u").alias("vertex")).distinct()
     if validate:
         n_dst_only = (
