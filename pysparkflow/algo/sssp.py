@@ -40,11 +40,18 @@ def bounded_sssp(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
-    checkpoint_every: int = 8,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Cheapest path cost from any of ``sources`` using at most
     ``max_hops`` edges; unreached vertices are absent. Weights must be
-    non-negative. Returns (vertex, dist)."""
+    non-negative. Returns (vertex, dist).
+
+    The whole relaxation is one lazy plan; ``checkpoint_every`` bounds
+    how many rounds of join+agg (and their runtime broadcasts) are live
+    at once. Deep bounds (hypercube-diameter runs, tools/iter_scale.py)
+    exhausted the driver at cadence 8 — 4 keeps plan depth and
+    broadcast lifetime bounded and leaves short runs (max_hops <= 4,
+    the registry entry) checkpoint-free."""
     from pysparkflow.engine.partitioning import sized_cache
 
     # arc table cached once at the data-sized partition count
