@@ -20,9 +20,70 @@ costs is amortized over every round of the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 
 ROWS_PER_PARTITION = 150_000
+
+# streaming state stores are created per shuffle partition (a
+# stream-stream join opens FOUR per partition); at local sf0.1 the
+# 32-partition session default costs ~3.5s of store setup/commit per
+# micro-batch against ~600k events. Size the state partitioning to the
+# stream volume instead, with the same session-cap clamp as the
+# iterative family: a cluster-tuned 400-partition session keeps its
+# parallelism when the volume warrants it.
+STREAM_ROWS_PER_PARTITION = 75_000
+
+
+def stream_state_partitions(
+    spark: SparkSession,
+    source_path: str,
+    rows_per_partition: int = STREAM_ROWS_PER_PARTITION,
+    glob: str | None = None,
+) -> int:
+    """State-partition count for a streaming query over a parquet-backed
+    source (single file, or a directory whose ``glob``-matching files are
+    summed): footer row count (no Spark job) / ``rows_per_partition``,
+    floored at 4 (parallelism headroom for the memory sink collect),
+    capped at the session ``spark.sql.shuffle.partitions``. Non-parquet
+    or unreadable sources fall back to the session value unchanged."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        import fnmatch
+        import os
+
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(source_path):
+            pat = glob or "*.parquet"
+            n = sum(
+                pq.ParquetFile(os.path.join(source_path, f)).metadata.num_rows
+                for f in os.listdir(source_path)
+                if fnmatch.fnmatch(f, pat)
+            )
+        else:
+            n = pq.ParquetFile(source_path).metadata.num_rows
+    except Exception:
+        return sess
+    return max(4, min(sess, n // rows_per_partition + 1))
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a
+    synchronously-driven streaming query runs (the stateful operators
+    read the conf at query start; restoring it after ``stop()`` leaves
+    the session's batch tuning untouched). ``None`` is a no-op."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def sized_partitions(

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..engine.partitioning import stream_state_partitions
+
 def events_schema(ts_type: T.DataType) -> T.StructType:
     """Physical read schema for the events table; ``ts_type`` depends on how
     the parquet file encodes timestamps (see
@@ -101,21 +103,33 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     return finish(raw)
 
 
-def _run_to_memory(df: DataFrame, query_name: str, output_mode: str) -> DataFrame:
+def _run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Drive a streaming plan over the static source to completion
     (memory sink, processAllAvailable) — the local-smoke harness; the
-    same plan runs continuously against kafka by swapping source+sink."""
+    same plan runs continuously against kafka by swapping source+sink.
+    ``state_partitions`` (from :func:`...engine.partitioning.
+    stream_state_partitions`) sizes the stateful operators' shuffle to
+    the stream volume for the query's lifetime — state stores are
+    per-partition, so an oversized count is pure setup/commit overhead."""
+    from ..engine.partitioning import scoped_shuffle_partitions
+
     spark = df.sparkSession
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(query_name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
@@ -141,7 +155,12 @@ def run_windowed_counts_batchlike(
     agg = windowed_event_counts(
         events_stream(spark, events_path), window=window, watermark=watermark
     )
-    return _run_to_memory(agg, query_name, output_mode)
+    return _run_to_memory(
+        agg,
+        query_name,
+        output_mode,
+        state_partitions=stream_state_partitions(spark, events_path),
+    )
 
 
 def stream_stream_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
@@ -174,7 +193,10 @@ def run_stream_join_batchlike(
         F.round("value", 2).alias("p_value"),
     )
     return _run_to_memory(
-        stream_stream_purchase_join(clicks, purchases), query_name, "append"
+        stream_stream_purchase_join(clicks, purchases),
+        query_name,
+        "append",
+        state_partitions=stream_state_partitions(spark, events_path),
     )
 
 
@@ -218,7 +240,10 @@ def run_stream_left_join_batchlike(
         F.round("value", 2).alias("p_value"),
     )
     return _run_to_memory(
-        stream_stream_purchase_left_join(clicks, purchases), query_name, "append"
+        stream_stream_purchase_left_join(clicks, purchases),
+        query_name,
+        "append",
+        state_partitions=stream_state_partitions(spark, events_path),
     )
 
 
@@ -265,7 +290,12 @@ def run_session_windows_batchlike(
     agg = sessionized_event_counts(
         events_stream(spark, events_path), gap=gap, watermark=watermark
     )
-    return _run_to_memory(agg, query_name, "append")
+    return _run_to_memory(
+        agg,
+        query_name,
+        "append",
+        state_partitions=stream_state_partitions(spark, events_path),
+    )
 
 
 def run_stream_enrich_batchlike(
@@ -373,4 +403,9 @@ def run_stream_dedup_batchlike(
             .dropDuplicatesWithinWatermark(["user_id", "event_type"])
             .select("user_id", "event_type")
         )
-    return _run_to_memory(dedup, query_name, "append")
+    return _run_to_memory(
+        dedup,
+        query_name,
+        "append",
+        state_partitions=stream_state_partitions(spark, events_path),
+    )

@@ -109,15 +109,26 @@ def run_stream_merge_to_parquet(
         if os.path.isdir(old):
             shutil.rmtree(old)
 
-    q = (
-        stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    from ..engine.partitioning import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    # each merge_batch runs a batch dedup+join against the state table;
+    # size its shuffle to the changelog volume (the state table is the
+    # same order of magnitude), not the session's big-relational tuning
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, changelog_path)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     # crash recovery: if only the .old survives (crash between the two
     # renames), restore it as the current state
     if not os.path.isdir(state_dir) and os.path.isdir(old):

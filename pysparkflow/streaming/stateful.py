@@ -154,14 +154,22 @@ def run_running_counts_batchlike(
     out = running_event_counts(
         stream, state_horizon=state_horizon, watermark_delay=watermark_delay
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(query_name)
-        .start()
+    from ..engine.partitioning import (
+        scoped_shuffle_partitions,
+        stream_state_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    with scoped_shuffle_partitions(
+        spark, stream_state_partitions(spark, events_dir, glob=path_glob)
+    ):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(query_name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
