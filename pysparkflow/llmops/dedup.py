@@ -51,6 +51,55 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh_arr, h_arr): one row per doc with its DISTINCT shingle set
+    as an array plus the per-shingle ``portable_hash32 mod p`` values —
+    the map-side representation of the inverted index. Docs with no
+    shingles (< n tokens) are dropped, matching the exploded form where
+    they simply contribute no rows. Callers should persist the result:
+    ``h_arr`` holds 1 md5 per shingle and must not be recomputed per
+    signature column."""
+    from pysparkflow.functions.text import portable_hash32
+
+    sh_arr = F.array_distinct(shingles(text_col, n))
+    return (
+        df.select(F.col(id_col).alias("id"), sh_arr.alias("sh_arr"))
+        .where(F.size("sh_arr") > 0)
+        .select(
+            "id",
+            "sh_arr",
+            F.transform(
+                "sh_arr", lambda s: F.pmod(portable_hash32(s), F.lit(_MH_PRIME))
+            ).alias("h_arr"),
+        )
+    )
+
+
+def _minhash_sig_from_arrays(
+    docs_arr: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """MinHash signatures computed ENTIRELY map-side from the per-doc
+    hash arrays: hash i is ``array_min(transform(h_arr, x -> (a_i*x+b_i)
+    mod p))``. Identical values to the exploded groupBy formulation (min
+    over the same distinct-shingle hash set) with zero shuffle — at
+    corpus scale the signature stage costs one scan of the cached doc
+    arrays instead of shuffling |docs| x |shingles| rows."""
+    a, b = _affine_params(num_hashes, seed)
+
+    # NB: a one-arg lambda is required — F.transform treats a second
+    # parameter as the element index, so closing over i via a default
+    # argument would receive that index Column instead
+    def perm(i: int):
+        return F.array_min(
+            F.transform(
+                "h_arr",
+                lambda x: F.pmod(x * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME)),
+            )
+        ).alias(f"m{i}")
+
+    return docs_arr.select("id", *[perm(i) for i in range(num_hashes)])
+
+
 def _jaccard_verify(
     sh: DataFrame, threshold: float, cands: DataFrame | None = None
 ) -> DataFrame:
@@ -208,21 +257,36 @@ def minhash_lsh_pairs(
     Verification touches only bucket-colliding pairs."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    # shingle ONCE: the same persisted inverted index feeds both the
-    # signature aggregation and the exact-Jaccard verification join
-    sh = track(_shingle_sets(df, id_col, text_col, shingle_n))
-    sig = minhash_signatures_from_shingles(sh, num_hashes, seed)
-    banded = _minhash_band_rows(sig, bands, r)
+    # shingle ONCE, as per-doc ARRAYS: signatures then cost a map-side
+    # scan of the cached arrays (no |docs| x |shingles| shuffle), and the
+    # inverted index is exploded only for docs that actually appear in a
+    # candidate pair — at corpus scale that is the handful of colliding
+    # docs, not the whole corpus
+    docs_arr = track(_shingle_arrays(df, id_col, text_col, shingle_n))
+    sig = _minhash_sig_from_arrays(docs_arr, num_hashes, seed)
+    # materialize the banded index once: the map-side signature plan has
+    # no shuffle for the self-join to reuse, so without this both join
+    # sides (and the verify below) would recompute every permutation —
+    # at scale this table IS the stored LSH index
+    banded = track(_minhash_band_rows(sig, bands, r))
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    cands = (
+    cands = track(
         left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify candidates with exact shingle Jaccard (join pruned to
-    # candidates; reuses the persisted inverted index built above)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # verify candidates with exact shingle Jaccard over the PRUNED
+    # inverted index (AQE broadcasts the candidate-id side when small)
+    sh = docs_arr.join(cand_ids, "id", "semi").select(
+        "id", F.explode("sh_arr").alias("sh")
+    )
     return _jaccard_verify(sh, threshold, cands=cands)
 
 
@@ -347,22 +411,35 @@ def incremental_minhash_flags(
     identical from the bucket join onward."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sh_new = track(_shingle_sets(new_docs, id_col, text_col, shingle_n))
-    sh_old = track(_shingle_sets(corpus, id_col, text_col, shingle_n))
+    arr_new = track(_shingle_arrays(new_docs, id_col, text_col, shingle_n))
+    arr_old = track(_shingle_arrays(corpus, id_col, text_col, shingle_n))
     b_new = _minhash_band_rows(
-        minhash_signatures_from_shingles(sh_new, num_hashes, seed), bands, r
+        _minhash_sig_from_arrays(arr_new, num_hashes, seed), bands, r
     )
     b_old = _minhash_band_rows(
-        minhash_signatures_from_shingles(sh_old, num_hashes, seed), bands, r
+        _minhash_sig_from_arrays(arr_old, num_hashes, seed), bands, r
     )
-    cands = (
+    # cands feeds both the id pruning and the final verify join; without
+    # materializing it the whole bipartite band join would run twice
+    cands = track(
         b_new.select(F.col("id").alias("id_a"), "band", "bucket")
         .join(b_old.select(F.col("id").alias("id_b"), "band", "bucket"),
               ["band", "bucket"])
         .select("id_a", "id_b")
         .distinct()
     )
-    scored = _jaccard_verify(sh_new.unionByName(sh_old), threshold, cands=cands)
+    # explode the inverted index only for docs inside a candidate pair
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        arr_new.unionByName(arr_old)
+        .join(cand_ids, "id", "semi")
+        .select("id", F.explode("sh_arr").alias("sh"))
+    )
+    scored = _jaccard_verify(sh, threshold, cands=cands)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id_a").orderBy(
