@@ -63,3 +63,39 @@ def decontaminate(
     return corpus.join(
         hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def contamination_score(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """GRADED contamination instead of the boolean flag: for every
+    overlapping corpus document, the fraction of its distinct word
+    ``n``-grams that appear in the eval set — the quantity pretraining
+    pipelines threshold on ("drop above 80% overlap, audit above 10%")
+    rather than the any-hit flag ``decontaminate`` enforces.
+
+    Same scale shape as ``contamination_hits``: eval shingles are
+    distinct'd + broadcast, the corpus probe is map-only, and only hit
+    docs reach aggregation. The per-doc distinct-shingle denominator is
+    computed map-side from the shingle array (no corpus shuffle).
+    Returns (id, n_shingles, n_hits, contamination) for docs with >= 1
+    hit; contamination is a plain int/int division — an exact double,
+    bit-identical across engines."""
+    hits = contamination_hits(corpus, eval_df, n, id_col, text_col)
+    denom = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(F.array_distinct(shingles(F.col(text_col), n))).alias("n_shingles"),
+    )
+    return (
+        hits.join(denom, "id")
+        .select(
+            "id",
+            "n_shingles",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_shingles")).alias("contamination"),
+        )
+    )

@@ -299,3 +299,71 @@ def weighted_sample_wor(
         .limit(k)
         .withColumn("ares_key", F.round("ares_key", 8))
     )
+
+
+def nucleus_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    p_pct: int = 20,
+) -> DataFrame:
+    """Top-p (nucleus) selection over a VALUE mass: within each group,
+    rank rows by value (descending, id ties ascending) and keep the
+    smallest prefix holding at least ``p_pct`` percent of the group's
+    total value — the distribution-truncation primitive (top-p token
+    sampling's batch analogue; also "which SKUs carry 20% of revenue").
+    ``token_budget_select`` is the token-count cousin; this one cuts on
+    an arbitrary additive mass.
+
+    Values are rounded to 2 decimals and summed as DECIMAL(18,2), so
+    the cumulative sums and the boundary comparison are EXACT — no
+    float fold-order drift between engines. The kept prefix is every
+    row whose cumulative mass BEFORE it is below the target (so the
+    crossing row is included). Two window passes over one group-keyed
+    exchange. Returns (group, id, value, cum_value)."""
+    from pyspark.sql import Window
+
+    v = F.round(F.col(value_col), 2).cast("decimal(18,2)")
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        v.alias("value"),
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("value").desc(), F.col("id").asc()
+    )
+    wt = Window.partitionBy("group")
+    return (
+        base.withColumn("cum_value", F.sum("value").over(w))
+        .withColumn("_tot", F.sum("value").over(wt))
+        .where(
+            (F.col("cum_value") - F.col("value")) * 100
+            < F.col("_tot") * F.lit(p_pct)
+        )
+        .drop("_tot")
+    )
+
+
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of the id
+    — the split every training pipeline needs to be REPRODUCIBLE and
+    JOIN-FREE: any worker, any engine, any day assigns a document to the
+    same split from its id alone (no membership table to ship). Buckets
+    come from the portable md5 hash quantized to 1/10000, so the DuckDB
+    oracle replays assignments exactly and rates are honest to 0.01%.
+    Returns one row per document: (id, split)."""
+    b = _bucket(id_col, seed)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.when(b < _BUCKETS * train_pct // 100, F.lit("train"))
+        .when(b < _BUCKETS * (train_pct + val_pct) // 100, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -151,3 +151,93 @@ def mad_outliers(
         )
         .drop("_med", "_mad")
     )
+
+
+def activity_islands(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    min_days: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per key
+    (an "island" ends at the first day with no events). The classic
+    sequential-streak primitive (retention streaks, uptime runs,
+    consecutive-login badges) — and a shape naive row-loops get wrong at
+    scale.
+
+    Dataflow: distinct (key, day) -> one window ``row_number`` per key
+    -> island anchor = day - row_number DAYS (constant within a
+    consecutive run, strictly decreasing across gaps) -> one group-by.
+    Two exchanges total, both on the series key; the window sort is per
+    key over its active DAYS (<= horizon, not event rows), so the plan
+    survives any event volume — the explode-to-days reduction happens
+    in the first aggregate.
+    Returns (key, island_start, island_end, n_days) for islands of at
+    least ``min_days`` days."""
+    days = events.select(
+        F.col(key), F.to_date(ts).alias("day")
+    ).distinct()
+    w = Window.partitionBy(key).orderBy("day")
+    anchored = days.select(
+        key,
+        "day",
+        F.date_sub("day", F.row_number().over(w)).alias("anchor"),
+    )
+    return (
+        anchored.groupBy(key, "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count("*").alias("n_days"),
+        )
+        .where(F.col("n_days") >= min_days)
+        .drop("anchor")
+    )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key: str = "user_id",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching [start, end] intervals per key into
+    maximal covered spans — the interval-union sweep (machine busy
+    windows, session coverage, on-call coalescing).
+
+    Dataflow: one window per key ordered by (start, end): a new span
+    begins where ``start`` exceeds the running max of all PRECEDING
+    ends; the span id is the running count of such breaks; then one
+    group-by over (key, span). Both exchanges hash on the key; the sort
+    is per key over its own intervals. No self-join — the O(n^2)
+    formulation pairs every interval with every other per key.
+    Returns (key, span_start, span_end, n_intervals)."""
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    breaks = intervals.select(
+        key,
+        start,
+        end,
+        F.when(
+            F.col(start) > prev_max_end, F.lit(1)
+        ).otherwise(F.lit(0)).alias("_brk"),
+    )
+    spans = breaks.select(
+        key,
+        start,
+        end,
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_span"),
+    )
+    return (
+        spans.groupBy(key, "_span")
+        .agg(
+            F.min(start).alias("span_start"),
+            F.max(end).alias("span_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .drop("_span")
+    )

@@ -4489,6 +4489,228 @@ def _tag(sf_dir: str) -> str:
     return _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
 
 
+# ---------------------------------------------------------------------------
+# round-6b additions: sequence/interval analytics, graded contamination,
+# co-occurrence similarity, split/selection primitives
+# ---------------------------------------------------------------------------
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, maximal runs of consecutive active
+    days (operators/timeseries.py::activity_islands) — distinct days,
+    one row_number window, day - row_number anchor, one group-by. Two
+    key-hashed exchanges; the window sorts each user's DAYS (<= horizon),
+    never raw events."""
+    from pysparkflow.operators.timeseries import activity_islands
+
+    e = load_table(spark, sf_dir, "events")
+    out = activity_islands(e, key="user_id", ts="ts", min_days=2)
+    # DATE crosses engines as object-vs-datetime64; TIMESTAMP is the
+    # proven-stable compare type (gap_fill_hourly)
+    return out.select(
+        "user_id",
+        F.col("island_start").cast("timestamp").alias("island_start"),
+        F.col("island_end").cast("timestamp").alias("island_end"),
+        "n_days",
+    )
+
+
+_Q_ACTIVITY_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+)
+SELECT user_id, CAST(min(day) AS TIMESTAMP) AS island_start,
+       CAST(max(day) AS TIMESTAMP) AS island_end,
+       count(*) AS n_days
+FROM anchored GROUP BY user_id, anchor HAVING count(*) >= 2
+"""
+
+
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union sweep (operators/timeseries.py::merge_intervals):
+    each event claims [ts, ts+45min]; overlapping claims per user merge
+    into maximal busy spans via a running max-of-preceding-ends window —
+    no O(n^2) self-join. Output bounded by spans, not events."""
+    from pysparkflow.operators.timeseries import merge_intervals
+
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end"),
+    )
+    return merge_intervals(iv, key="user_id", start="start", end="end")
+
+
+_Q_INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 45 MINUTE AS e FROM events
+), brk AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS b
+  FROM iv
+), spans AS (
+  SELECT user_id, s, e,
+         sum(b) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS span
+  FROM brk
+)
+SELECT user_id, min(s) AS span_start, max(e) AS span_end,
+       count(*) AS n_intervals
+FROM spans GROUP BY user_id, span
+"""
+
+
+def q_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval-set contamination (llmops/decontam.py::
+    contamination_score): docs 0-9 stand in for the benchmark; every
+    other doc with >= 1 shared word 4-gram gets its overlap FRACTION
+    (distinct hit shingles / distinct own shingles) — the quantity
+    pipelines threshold on, vs decontaminate's boolean. Broadcast eval
+    shingles, map-only probe, map-side denominator."""
+    from pysparkflow.llmops.decontam import contamination_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return contamination_score(corpus, ev, n=4).select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_hits", "contamination"
+    )
+
+
+_Q_CONTAMINATION_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 2),
+         i -> array_to_string(t[i:i+3], ' '))) AS sh
+  FROM toks WHERE len(t) >= 4
+), ev AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id < 10
+), den AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh WHERE doc_id >= 10
+  GROUP BY doc_id
+), hits AS (
+  SELECT s.doc_id, count(*) AS n_hits
+  FROM sh s JOIN ev USING (sh) WHERE s.doc_id >= 10 GROUP BY s.doc_id
+)
+SELECT h.doc_id, d.n_shingles, h.n_hits,
+       h.n_hits / CAST(d.n_shingles AS DOUBLE) AS contamination
+FROM hits h JOIN den d USING (doc_id)
+"""
+
+
+def q_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor Jaccard on the part<->order bipartite graph
+    (operators/cooccurrence.py): parts sharing >= 2 orders, scored by
+    |orders with both| / |orders with either|. Pair generation is per
+    ORDER (width <= 17 here), so the quadratic stage is bounded by
+    basket width, never item popularity."""
+    from pysparkflow.operators.cooccurrence import cooccurrence_similarity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return cooccurrence_similarity(
+        li, basket_col="l_orderkey", item_col="l_partkey", min_count=2
+    ).withColumnsRenamed({"item_a": "part_a", "item_b": "part_b"})
+
+
+_Q_COPURCHASE_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), ok AS (
+  SELECT b FROM bi GROUP BY b HAVING count(*) <= 64
+), f AS (
+  SELECT bi.b, bi.i FROM bi JOIN ok USING (b)
+), deg AS (
+  SELECT i, count(*) AS n FROM f GROUP BY i
+), pairs AS (
+  SELECT x.i AS part_a, y.i AS part_b, count(*) AS co_count
+  FROM f x JOIN f y ON x.b = y.b AND x.i < y.i
+  GROUP BY x.i, y.i HAVING count(*) >= 2
+)
+SELECT part_a, part_b, co_count,
+       co_count / CAST(da.n + db.n - co_count AS DOUBLE) AS jaccard
+FROM pairs JOIN deg da ON da.i = part_a JOIN deg db ON db.i = part_b
+"""
+
+
+def q_nucleus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) selection (llmops/sampling.py::nucleus_select):
+    per event_type, the smallest value-descending prefix of purchase
+    events holding >= 20% of the type's value mass. DECIMAL(18,2)
+    arithmetic end-to-end — cumulative sums and the boundary test are
+    exact, no float fold-order drift. Final values cast to double for
+    the cross-engine compare."""
+    from pysparkflow.llmops.sampling import nucleus_select
+
+    e = load_table(spark, sf_dir, "events")
+    out = nucleus_select(
+        e, group_col="event_type", id_col="event_id", value_col="value",
+        p_pct=20,
+    )
+    return out.select(
+        F.col("group").alias("event_type"),
+        F.col("id").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        F.col("cum_value").cast("double").alias("cum_value"),
+    )
+
+
+_Q_NUCLEUS_SELECT_SQL = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM events
+), c AS (
+  SELECT event_type, event_id, v,
+         sum(v) OVER (PARTITION BY event_type
+                      ORDER BY v DESC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(v) OVER (PARTITION BY event_type) AS tot
+  FROM base
+)
+SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
+       CAST(cum AS DOUBLE) AS cum_value
+FROM c WHERE (cum - v) * 100 < tot * 20
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llmops/sampling.py::
+    hash_split): 80/10/10 by md5 bucket of doc_id — reproducible,
+    join-free, replayed bucket-exact by the oracle."""
+    from pysparkflow.llmops.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, id_col="doc_id", train_pct=80, val_pct=10).select(
+        F.col("id").alias("doc_id"), "split"
+    )
+
+
+_Q_HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+           % 10000 AS bkt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -4609,6 +4831,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "stream_merge_state": q_stream_merge_state,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "activity_islands": q_activity_islands,
+    "interval_merge": q_interval_merge,
+    "contamination_score": q_contamination_score,
+    "copurchase_similarity": q_copurchase_similarity,
+    "nucleus_select": q_nucleus_select,
+    "hash_split": q_hash_split,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4734,6 +4962,12 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
     "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
+    "activity_islands": _Q_ACTIVITY_ISLANDS_SQL,
+    "interval_merge": _Q_INTERVAL_MERGE_SQL,
+    "contamination_score": _Q_CONTAMINATION_SCORE_SQL,
+    "copurchase_similarity": _Q_COPURCHASE_SQL,
+    "nucleus_select": _Q_NUCLEUS_SELECT_SQL,
+    "hash_split": _Q_HASH_SPLIT_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -4852,6 +5086,10 @@ _ROUND_FRONT = [
     # join/dedup/stateful), doc_repetition, pack_documents,
     # decontaminate, stratified_sample, quality_quantile_filter,
     # curation_pipeline. Everything else was graded green in r5.
+    # The six round-6b additions (activity_islands, interval_merge,
+    # contamination_score, copurchase_similarity, nucleus_select,
+    # hash_split) also front r7: never driver-graded, DD-local green at
+    # sf0.01 + sf0.001.
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))
