@@ -58,8 +58,12 @@ for _q in _WARMUP_FRONT:
     BENCH_QUERIES.remove(_q)
 BENCH_QUERIES = _WARMUP_FRONT + BENCH_QUERIES
 # queries re-sampled (min-of-2) regardless of the <3s rule: flagship
-# artifacts must not hinge on one cold/noisy sample
-MIN_OF_2_ALWAYS = {"max_flow"}
+# artifacts must not hinge on one cold/noisy sample. max_flow_approx
+# joined in round 7 (VERDICT r6 #5: its r6 artifact number was a
+# single sample on the drifted segment of the run, reading 1.4x its
+# quiet-host cost) — both iterative headlines get the memo-cleared
+# min-of-2 treatment
+MIN_OF_2_ALWAYS = {"max_flow", "max_flow_approx"}
 
 # quiet-host calibration reference (round-5 SCALING.md recertification
 # runs): ratios of this run's probes against these pin whether the host
@@ -155,6 +159,41 @@ def _warm_streaming(spark) -> None:
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def _regression_check(
+    timings: dict[str, float], sf_val: float | None
+) -> list[tuple[str, float, float]]:
+    """Compare this run's per-query timings against the newest committed
+    ``bench_queries_r*.json`` snapshot; return (name, old, new) for
+    entries slower by >1.5x AND >1s. Missing/unreadable snapshot, a
+    snapshot at a DIFFERENT scale factor (an sf0.01 canary vs an sf0.1
+    snapshot is not a regression signal), or new queries are skipped
+    silently."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    snaps = sorted(
+        glob.glob(os.path.join(here, "bench_queries_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    if not snaps:
+        return []
+    try:
+        with open(snaps[-1]) as fh:
+            snap = json.load(fh)
+        if snap.get("sf") != sf_val:
+            return []
+        old = snap.get("queries", {})
+    except Exception:
+        return []
+    out = [
+        (name, old[name], new)
+        for name, new in timings.items()
+        if name in old and new > 1.5 * old[name] and new - old[name] > 1.0
+    ]
+    return sorted(out, key=lambda t: t[2] - t[1], reverse=True)
 
 
 def main() -> None:
@@ -267,6 +306,21 @@ def main() -> None:
             indent=1,
         )
         fh.write("\n")
+    # regression tripwire (VERDICT r6 #7): diff this run against the
+    # newest committed per-round snapshot so the artifact itself surfaces
+    # per-query regressions — round 6's dedup regression sat in two
+    # committed files that nobody diffed. Flagged when BOTH >1.5x the
+    # snapshot AND >1s absolute (sub-second entries whipsaw on host
+    # noise); host drift moves every query together, so a handful of
+    # flags means code, not host.
+    regressed = _regression_check(timings, sf_val)
+    for name, old, new in regressed:
+        print(
+            f"[bench] REGRESSED >1.5x: {name} {old:.2f}s -> {new:.2f}s",
+            file=sys.stderr,
+        )
+    if not regressed:
+        print("[bench] regression check vs last snapshot: clean", file=sys.stderr)
     # stop Spark BEFORE the final print: intermittent JVM shutdown-race
     # stack traces otherwise land on the merged stream AFTER the JSON
     # line and can displace it from a tail-capture artifact
@@ -294,6 +348,12 @@ def main() -> None:
                 # rounds without the calibration ratio
                 "host_flag": host_flag,
                 "host_ratio": host_ratio,
+                # per-query diff vs the newest committed bench_queries_r*
+                # snapshot (>1.5x and >1s): the artifact carries its own
+                # regression flags (VERDICT r6 #7). Worst 4 by delta.
+                "regressed": [
+                    f"{n}:{o}->{v}" for n, o, v in regressed[:4]
+                ],
                 "queries_full": "bench_queries_latest.json",
             },
             separators=(",", ":"),

@@ -57,14 +57,22 @@ def stream_state_partitions(
 
         if os.path.isdir(source_path):
             pat = glob or "*.parquet"
+            # os.walk, not listdir: partitioned/nested layouts keep their
+            # data files in subdirectories
             n = sum(
-                pq.ParquetFile(os.path.join(source_path, f)).metadata.num_rows
-                for f in os.listdir(source_path)
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for root, _dirs, files in os.walk(source_path)
+                for f in files
                 if fnmatch.fnmatch(f, pat)
             )
         else:
             n = pq.ParquetFile(source_path).metadata.num_rows
     except Exception:
+        return sess
+    if n == 0:
+        # zero matching files = a layout/naming this probe can't read
+        # (ADVICE r6): treat like the unreadable-source case rather than
+        # silently clamping a possibly-large stream to the floor of 4
         return sess
     return max(4, min(sess, n // rows_per_partition + 1))
 
@@ -74,7 +82,17 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
     """Temporarily pin ``spark.sql.shuffle.partitions`` while a
     synchronously-driven streaming query runs (the stateful operators
     read the conf at query start; restoring it after ``stop()`` leaves
-    the session's batch tuning untouched). ``None`` is a no-op."""
+    the session's batch tuning untouched). ``None`` is a no-op.
+
+    SEQUENTIAL-DRIVER ASSUMPTION (ADVICE r6): the conf is session-global,
+    so a concurrent batch query planned inside this scope would inherit
+    the stream-sized (usually smaller) shuffle parallelism, and nested
+    concurrent scopes would restore out of order. Every caller in this
+    repo drives its stream synchronously (start -> processAllAvailable
+    -> stop) with no concurrent batch work; a multi-tenant driver should
+    instead plan the stream on ``spark.newSession()`` (same shared
+    SparkContext and cache, independent per-session conf) and set the
+    value there."""
     if n is None:
         yield
         return

@@ -28,15 +28,28 @@ def token_count(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; empty array when the
-    document has fewer than n tokens."""
+    document has fewer than n tokens.
+
+    The token array is BOUND as a lambda variable of a one-element outer
+    ``transform`` before the per-index slice loop runs. Interpreted
+    higher-order functions re-evaluate every non-lambda-variable
+    subexpression of the body once PER ELEMENT — inlining ``tokens(col)``
+    directly re-ran the regex split once per shingle (~L times per doc),
+    which alone was >60% of the MinHash pipeline's cost at sf0.1. With
+    the bind, the split happens exactly once per row no matter how the
+    optimizer collapses the caller's projections."""
     toks = tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def build(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), build), 1)
 
 
 def portable_hash32(col: Column | str, word: int = 0) -> Column:

@@ -43,61 +43,54 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) distinct pairs — the exploded shingle inverted index."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh"))
-        .distinct()
-    )
+def _shingle_pairs_hashed(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh, h): the per-doc DISTINCT shingle inverted index with the
+    shingle's ``portable_hash32 mod p`` value — distinct BY CONSTRUCTION
+    (``array_distinct`` runs inside the per-doc array, before the
+    explode), so unlike an exploded ``.distinct()`` no corpus-wide
+    |docs| x |shingles| DISTINCT shuffle ever happens: the whole thing is
+    one map-only pass. The shingle array is built exactly once per doc
+    (the generator's input expression), every exploded row's md5 runs
+    inside WholeStageCodegen, and downstream consumers (signature agg,
+    candidate-pruned verify) read these narrow rows.
 
-
-def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh_arr, h_arr): one row per doc with its DISTINCT shingle set
-    as an array plus the per-shingle ``portable_hash32 mod p`` values —
-    the map-side representation of the inverted index. Docs with no
-    shingles (< n tokens) are dropped, matching the exploded form where
-    they simply contribute no rows. Callers should persist the result:
-    ``h_arr`` holds 1 md5 per shingle and must not be recomputed per
-    signature column."""
+    Two prior shapes both lost at the measured workload: the exploded
+    ``.distinct()`` form shuffled the full inverted index (the real
+    100 TB hazard), and a per-doc ARRAY form (sh_arr + h_arr columns,
+    signatures via array_min(transform(...))) avoided all shuffles but
+    paid k interpreted higher-order-function traversals per doc — HOF
+    lambdas never enter codegen — measuring 2.2x slower end-to-end at
+    sf0.1 (BENCH_r06 postmortem, VERDICT r6 #1). This form keeps the
+    map-side dedup and the codegen path."""
     from pysparkflow.functions.text import portable_hash32
 
     sh_arr = F.array_distinct(shingles(text_col, n))
     return (
-        df.select(F.col(id_col).alias("id"), sh_arr.alias("sh_arr"))
-        .where(F.size("sh_arr") > 0)
-        .select(
-            "id",
-            "sh_arr",
-            F.transform(
-                "sh_arr", lambda s: F.pmod(portable_hash32(s), F.lit(_MH_PRIME))
-            ).alias("h_arr"),
-        )
+        df.select(F.col(id_col).alias("id"), F.explode(sh_arr).alias("sh"))
+        .select("id", "sh", F.pmod(portable_hash32("sh"), F.lit(_MH_PRIME)).alias("h"))
     )
 
 
-def _minhash_sig_from_arrays(
-    docs_arr: DataFrame, num_hashes: int, seed: int
-) -> DataFrame:
-    """MinHash signatures computed ENTIRELY map-side from the per-doc
-    hash arrays: hash i is ``array_min(transform(h_arr, x -> (a_i*x+b_i)
-    mod p))``. Identical values to the exploded groupBy formulation (min
-    over the same distinct-shingle hash set) with zero shuffle — at
-    corpus scale the signature stage costs one scan of the cached doc
-    arrays instead of shuffling |docs| x |shingles| rows."""
+def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    """MinHash signatures (id, m0..m{k-1}) from (id, sh, h) rows.
+
+    One-hash + k affine permutations: each shingle hashes once
+    (``portable_hash32`` -> [0, p), md5-derived so the DuckDB oracle
+    recomputes it exactly), then hash i is min over shingles of
+    (a_i*h + b_i) mod p — ONE hash-aggregate with k cheap integer
+    min()s. Partial aggregation (map-side combine) collapses the shuffle
+    to one k+1-value row per doc per map partition, and the k mins run
+    codegen'd. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
     a, b = _affine_params(num_hashes, seed)
-
-    # NB: a one-arg lambda is required — F.transform treats a second
-    # parameter as the element index, so closing over i via a default
-    # argument would receive that index Column instead
-    def perm(i: int):
-        return F.array_min(
-            F.transform(
-                "h_arr",
-                lambda x: F.pmod(x * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME)),
-            )
-        ).alias(f"m{i}")
-
-    return docs_arr.select("id", *[perm(i) for i in range(num_hashes)])
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
+            f"m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def _jaccard_verify(
@@ -152,7 +145,9 @@ def ngram_jaccard_pairs(
     Candidate pairs come from the shingle inverted index self-join (only
     docs sharing >= 1 shingle meet), then J = |A∩B| / (|A|+|B|-|A∩B|).
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold."""
-    sh = track(_shingle_sets(df, id_col, text_col, n))
+    # per-doc distinct happens map-side (array_distinct before the
+    # explode) — no corpus-wide DISTINCT shuffle
+    sh = track(_shingle_pairs_hashed(df, id_col, text_col, n).select("id", "sh"))
     return _jaccard_verify(sh, threshold)
 
 
@@ -169,34 +164,6 @@ def _affine_params(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
-def minhash_signatures_from_shingles(
-    sh: DataFrame, num_hashes: int = 32, seed: int = 42
-) -> DataFrame:
-    """MinHash signatures (id, m0..m{k-1}) from an (id, sh) inverted
-    index — factored out so LSH candidate generation and exact-Jaccard
-    verification share one shingle explosion (the corpus is shingled
-    once, not twice).
-
-    One-hash + k affine permutations: each shingle hashes once
-    (``portable_hash32`` -> [0, p), md5-derived so the DuckDB oracle
-    recomputes it exactly), then hash i is min over shingles of
-    (a_i*h + b_i) mod p. One hash-aggregate with k cheap integer min()s —
-    a single shuffle of (id, shingle-hash) pairs, no per-seed string
-    hashing. a_i*h < p^2 stays inside int64 (ANSI-safe)."""
-    from pysparkflow.functions.text import portable_hash32
-
-    a, b = _affine_params(num_hashes, seed)
-    h = F.pmod(portable_hash32("sh"), F.lit(_MH_PRIME))
-    hashed = sh.select("id", h.alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
-            f"m{i}"
-        )
-        for i in range(num_hashes)
-    ]
-    return hashed.groupBy("id").agg(*aggs)
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,8 +173,8 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures as one column per hash (id, m0..m{k-1})."""
-    return minhash_signatures_from_shingles(
-        _shingle_sets(df, id_col, text_col, shingle_n), num_hashes, seed
+    return _minhash_sig_from_hashed(
+        _shingle_pairs_hashed(df, id_col, text_col, shingle_n), num_hashes, seed
     )
 
 
@@ -257,17 +224,15 @@ def minhash_lsh_pairs(
     Verification touches only bucket-colliding pairs."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    # shingle ONCE, as per-doc ARRAYS: signatures then cost a map-side
-    # scan of the cached arrays (no |docs| x |shingles| shuffle), and the
-    # inverted index is exploded only for docs that actually appear in a
-    # candidate pair — at corpus scale that is the handful of colliding
-    # docs, not the whole corpus
-    docs_arr = track(_shingle_arrays(df, id_col, text_col, shingle_n))
-    sig = _minhash_sig_from_arrays(docs_arr, num_hashes, seed)
-    # materialize the banded index once: the map-side signature plan has
-    # no shuffle for the self-join to reuse, so without this both join
-    # sides (and the verify below) would recompute every permutation —
-    # at scale this table IS the stored LSH index
+    # shingle + hash ONCE (map-only, per-doc distinct — no corpus-wide
+    # DISTINCT shuffle); the cached narrow rows feed both the signature
+    # aggregate and the candidate-pruned verify, so text is shingled and
+    # md5'd exactly once per run
+    hashed = track(_shingle_pairs_hashed(df, id_col, text_col, shingle_n))
+    sig = _minhash_sig_from_hashed(hashed, num_hashes, seed)
+    # materialize the banded index once so the bucket self-join (and the
+    # verify below) reads it instead of recomputing the signature agg per
+    # branch — at scale this table IS the stored LSH index
     banded = track(_minhash_band_rows(sig, bands, r))
     left = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -284,9 +249,7 @@ def minhash_lsh_pairs(
     )
     # verify candidates with exact shingle Jaccard over the PRUNED
     # inverted index (AQE broadcasts the candidate-id side when small)
-    sh = docs_arr.join(cand_ids, "id", "semi").select(
-        "id", F.explode("sh_arr").alias("sh")
-    )
+    sh = hashed.join(cand_ids, "id", "semi").select("id", "sh")
     return _jaccard_verify(sh, threshold, cands=cands)
 
 
@@ -411,13 +374,13 @@ def incremental_minhash_flags(
     identical from the bucket join onward."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    arr_new = track(_shingle_arrays(new_docs, id_col, text_col, shingle_n))
-    arr_old = track(_shingle_arrays(corpus, id_col, text_col, shingle_n))
+    sh_new = track(_shingle_pairs_hashed(new_docs, id_col, text_col, shingle_n))
+    sh_old = track(_shingle_pairs_hashed(corpus, id_col, text_col, shingle_n))
     b_new = _minhash_band_rows(
-        _minhash_sig_from_arrays(arr_new, num_hashes, seed), bands, r
+        _minhash_sig_from_hashed(sh_new, num_hashes, seed), bands, r
     )
     b_old = _minhash_band_rows(
-        _minhash_sig_from_arrays(arr_old, num_hashes, seed), bands, r
+        _minhash_sig_from_hashed(sh_old, num_hashes, seed), bands, r
     )
     # cands feeds both the id pruning and the final verify join; without
     # materializing it the whole bipartite band join would run twice
@@ -435,9 +398,9 @@ def incremental_minhash_flags(
         .distinct()
     )
     sh = (
-        arr_new.unionByName(arr_old)
+        sh_new.unionByName(sh_old)
         .join(cand_ids, "id", "semi")
-        .select("id", F.explode("sh_arr").alias("sh"))
+        .select("id", "sh")
     )
     scored = _jaccard_verify(sh, threshold, cands=cands)
     from pyspark.sql.window import Window

@@ -5022,74 +5022,72 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 6 front (VERDICT r5 #2): first the two entries whose graded
-# dataflow is NEW or CHANGED this round (stream_merge_state is new;
-# zorder_layout's boundary computation moved to a hash-sample), then the
-# 23 entries that have never had a driver-green CORRECTNESS row (the r5
-# tail), then 19 of the 44 entries last graded in round 4 (least
-# recently driver-verified). 6 core + 44 = the full 50-slot window.
+# round 7 front (VERDICT r6 #2): first the six round-6b additions that
+# have NEVER had a driver-green CORRECTNESS row (added after the r6
+# driver window ran; DD-local green at sf0.01 + sf0.001), then the two
+# entries whose graded dataflow CHANGED this round (the whole minhash
+# family moved to the map-side-distinct explode pipeline — dedup.py
+# _shingle_pairs_hashed — and dedup_minhash_lsh/dedup_resolution are
+# already in core / the r4 backlog below), then the full 25-entry
+# last-graded-in-r4 backlog, then 11 of the 42 r5-graded entries
+# (preferring the dedup/similarity family that shares the changed
+# shingle/hash helpers). 6 core + 44 = the full 50-slot window; the
+# remaining r5- and r6-graded entries rotate into round 8.
 # approx_distinct / approx_quantiles are deliberately NOT fronted: their
 # sketch-only plans have no equality oracle (driver would record a
 # rows-only row); their banded verification lives in TOLERANCE_ORACLES /
 # ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
-    "stream_merge_state",
-    "zorder_layout",
-    "kmeans_embeddings",
-    "scd2_temporal_join",
-    "unpivot_metrics",
-    "regex_extract_table",
-    "label_prop_communities",
-    "quality_percent_rank",
-    "ppr_related",
-    "embedding_centroids",
-    "simhash_near_dups",
-    "pagerank",
-    "kcore",
-    "events_stream_topk",
-    "apply_changelog",
-    "events_stream_join_outer",
-    "sliding_window_avg",
-    "incremental_rollup",
-    "histogram_bins",
-    "event_transitions",
-    "data_quality_report",
-    "epoch_shuffle",
-    "importance_sample",
-    "token_budget_select",
-    "exists_correlated",
-    "correlated_avg",
-    "broadcast_join",
-    "semi_join",
-    "anti_join",
-    "topk_per_group",
-    "running_total",
-    "sort_limit",
-    "hash_sample",
-    "set_intersect",
-    "set_except",
-    "rollup",
-    "bitpack_edge_ids",
-    "global_counters",
-    "events_hourly",
-    "events_json_props",
-    "sessionize",
-    "max_flow_approx",
-    "connected_components",
+    # never driver-graded (round-6b additions)
+    "activity_islands",
+    "interval_merge",
+    "contamination_score",
+    "copurchase_similarity",
+    "nucleus_select",
+    "hash_split",
+    # dataflow changed in round 7 (minhash/shingle pipeline refactor)
     "dedup_ngram_jaccard",
-    # --- r6 driver cut falls here (6 core + 44 above = 50). Still
-    # r4-graded and next in line for the r7 front: simhash,
-    # doc_fingerprints,
-    # knn_bruteforce, knn_lsh, dedup_resolution, incremental_dedup,
-    # min_cut, cluster_sample, knn_ivf, knn_ivf_recall, text_quality,
-    # lang_id, token_totals, events_stream_* (windowed/sessions/enrich/
-    # join/dedup/stateful), doc_repetition, pack_documents,
-    # decontaminate, stratified_sample, quality_quantile_filter,
-    # curation_pipeline. Everything else was graded green in r5.
-    # The six round-6b additions (activity_islands, interval_merge,
-    # contamination_score, copurchase_similarity, nucleus_select,
-    # hash_split) also front r7: never driver-graded, DD-local green at
-    # sf0.01 + sf0.001.
+    "incremental_near_dup",
+    # last graded in round 4 (the complete backlog, approx_distinct
+    # excluded as a tolerance entry)
+    "cluster_sample",
+    "curation_pipeline",
+    "decontaminate",
+    "dedup_resolution",
+    "doc_fingerprints",
+    "doc_repetition",
+    "events_stream_dedup",
+    "events_stream_enrich",
+    "events_stream_join",
+    "events_stream_sessions",
+    "events_stream_stateful",
+    "events_stream_windowed",
+    "incremental_dedup",
+    "knn_bruteforce",
+    "knn_ivf",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "lang_id",
+    "min_cut",
+    "pack_documents",
+    "quality_quantile_filter",
+    "simhash",
+    "stratified_sample",
+    "text_quality",
+    "token_totals",
+    # r5-graded fill — dedup/similarity/text entries sharing the changed
+    # helpers first
+    "span_dedup",
+    "url_dedup",
+    "embedding_near_dups",
+    "embedding_near_dups_lsh",
+    "knn_graph",
+    "editdist_pairs",
+    "bpe_token_count",
+    "bpe_merge_candidates",
+    "tfidf_terms",
+    "lm_unigram_score",
+    "pii_scrub",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -171,7 +171,12 @@ def main() -> int:
     # inside the heavy block: p% of total < 10*heavy
     total = 10.0 * heavy + 0.01 * (n_events - heavy)
     p = 10
-    expected = int(total * p / 100 / 10.0) + 1  # crossing row included
+    # kept rows are those with cum_before < target; when the target lands
+    # EXACTLY on a heavy-row boundary the crossing row is the one that
+    # reaches it, so no extra row is included (ADVICE r6: the former
+    # unconditional +1 false-failed when total*p/100 was a multiple of 10)
+    target = total * p / 100
+    expected = int(target // 10) + (1 if target % 10 else 0)
     kept = nucleus_select(vals, "t", "i", "v", p_pct=p).persist()
     n_kept = kept.count()
     max_id = kept.agg(F.max("id")).first()[0]
