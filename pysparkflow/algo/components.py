@@ -26,20 +26,30 @@ from pyspark.sql import functions as F
 from pysparkflow.graph.graph import FlowGraph
 
 
-def connected_components(graph: FlowGraph, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    graph: FlowGraph, max_iter: int = 50, rows_hint: int | None = None
+) -> DataFrame:
     """Returns (vertex BIGINT, component BIGINT) where component is the
-    minimum vertex id in the component."""
-    from pysparkflow.engine.partitioning import sized_cache
+    minimum vertex id in the component.
+
+    ``rows_hint``: approximate arc count when the caller already knows it
+    (e.g. dedup resolution counted its pair table materializing the memo
+    — arcs = 2x pairs). Skips ``sized_cache``'s count + pre-materialize
+    jobs; on small component graphs those two driver jobs are a
+    measurable share of the whole resolution query, and partition sizing
+    only needs the order of magnitude."""
+    from pysparkflow.engine.partitioning import sized_cache, sized_partitions
 
     # arc table cached once at the data-sized partition count
     # (engine/partitioning.py): the partition count is every iteration's
     # map-side task count; keyed by the hot join side (b == vertex)
-    arcs, _ = sized_cache(
-        graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
-            graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-        ),
-        "b",
+    sym = graph.edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
+    if rows_hint is not None:
+        arcs = sym.repartition(sized_partitions(rows_hint, sym), "b").persist()
+    else:
+        arcs, _ = sized_cache(sym, "b")
     labels = (
         arcs.groupBy("a")
         .agg(F.min("b").alias("nb_min"))

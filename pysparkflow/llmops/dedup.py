@@ -299,7 +299,10 @@ def simhash_signatures(
 
 
 def dedup_resolution(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_pairs: int | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into clusters and elect a canonical
     survivor per cluster: (doc_id, keep_id) where keep_id is the minimum
@@ -312,13 +315,19 @@ def dedup_resolution(
     embedding near-dups): label propagation over the pair graph
     (algo/components — min-id convergence, O(diameter) rounds), with
     chain diameters in practice tiny (duplicate families, not social
-    graphs). Rows not in any pair are absent — they keep themselves."""
+    graphs). Rows not in any pair are absent — they keep themselves.
+
+    ``n_pairs``: pass the pair count when already known (a memoized pair
+    table was counted on materialization) — skips the arc-sizing count
+    job inside connected_components."""
     from pysparkflow.algo.components import connected_components
     from pysparkflow.graph.graph import FlowGraph
 
     edge_pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     g = FlowGraph.from_edge_pairs(pairs.sparkSession, edge_pairs)
-    cc = connected_components(g)
+    cc = connected_components(
+        g, rows_hint=2 * n_pairs if n_pairs is not None else None
+    )
     return cc.select(F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id"))
 
 

@@ -717,17 +717,19 @@ WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.8
 # second full shingle+band pass (session memo, same discipline as
 # _GRAPH_CACHE / _MAXFLOW_CACHE; persisted outside the per-query
 # release_tracked scratch caches)
-_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """(pairs DataFrame, pair count) — the count falls out of the memo's
+    materialization and lets downstream consumers (dedup_resolution's
+    arc sizing) skip their own count job."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
         p = minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), threshold=0.5
         ).persist()
-        p.count()
-        _MINHASH_PAIRS_CACHE[key] = p
+        _MINHASH_PAIRS_CACHE[key] = (p, p.count())
     return _MINHASH_PAIRS_CACHE[key]
 
 
@@ -736,7 +738,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, affine permutations, band buckets, exact-Jaccard verify) is
     ANSI-reproducible, so the oracle below recomputes it verbatim —
     a full hash-match check, not rows-only."""
-    return _minhash_pairs(spark, sf_dir).select(
+    return _minhash_pairs(spark, sf_dir)[0].select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
@@ -930,7 +932,8 @@ def q_dedup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator."""
     from pysparkflow.llmops.dedup import dedup_resolution, minhash_lsh_pairs
 
-    return dedup_resolution(_minhash_pairs(spark, sf_dir))
+    pairs, n_pairs = _minhash_pairs(spark, sf_dir)
+    return dedup_resolution(pairs, n_pairs=n_pairs)
 
 
 # transitive closure of the SAME pair set the dedup_minhash_lsh oracle

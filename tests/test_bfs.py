@@ -55,6 +55,20 @@ def test_connected_components(spark):
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
 
 
+def test_connected_components_rows_hint_identical(spark):
+    # rows_hint only changes the arc-cache sizing path (skips the count
+    # job); the labels must be identical, even with a wildly wrong hint
+    pairs = [(10, 11), (11, 12), (20, 21), (30, 31), (31, 32), (32, 30)]
+    g = _build(spark, pairs)
+    base = {r["vertex"]: r["component"] for r in connected_components(g).collect()}
+    for hint in (1, 12, 10_000_000):
+        hinted = {
+            r["vertex"]: r["component"]
+            for r in connected_components(g, rows_hint=hint).collect()
+        }
+        assert hinted == base
+
+
 def test_bfs_high_diameter_path_graph(spark):
     # 200-vertex path: 200 BFS rounds exercises the level-fold guard
     # (plans would otherwise deepen with diameter); distances are exact
