@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 from pysparkflow.engine.cache import track
 from pysparkflow.functions.text import shingles
 
+# below this pair count, dedup resolution closes the pair graph with a
+# driver-side union-find instead of distributed label propagation (the
+# size-gated driver/distributed split used throughout — e.g. max-flow's
+# repair path). 200k pairs ~ a few MB collected.
+DRIVER_UNION_FIND_LIMIT = 200_000
+
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact-content duplicate groups: (text_hash, n_docs, keep_id) for
@@ -319,9 +325,43 @@ def dedup_resolution(
 
     ``n_pairs``: pass the pair count when already known (a memoized pair
     table was counted on materialization) — skips the arc-sizing count
-    job inside connected_components."""
+    job inside connected_components, and when the pair set is small
+    enough (<= ``DRIVER_UNION_FIND_LIMIT``) switches to a driver-side
+    union-find: the pair graph is the OUTPUT of dedup, orders of
+    magnitude smaller than the corpus, and a known-tiny closure is
+    cheaper as one collect + one createDataFrame than as O(log diameter)
+    distributed join rounds (the same size-gated driver/distributed
+    split as max-flow's repair path, algo/maxflow.py). Above the limit —
+    or when the count is unknown — the distributed label-propagation
+    path runs unchanged, so a 100 TB corpus whose pair table is large
+    never collects."""
     from pysparkflow.algo.components import connected_components
     from pysparkflow.graph.graph import FlowGraph
+
+    if n_pairs is not None and n_pairs <= DRIVER_UNION_FIND_LIMIT:
+        rows = pairs.select(
+            F.col(id_a).cast("long"), F.col(id_b).cast("long")
+        ).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min id keeps the invariant root = component min
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        out = [(v, find(v)) for v in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc_id long, keep_id long"
+        ).repartition(1)
 
     edge_pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     g = FlowGraph.from_edge_pairs(pairs.sparkSession, edge_pairs)

@@ -30,10 +30,12 @@ from pysparkflow.functions.text import portable_hash32
 _BUCKETS = 10_000
 
 
-def _bucket(id_col: str, seed: int):
-    """Stable per-row bucket in [0, _BUCKETS): md5 word of "{id}:{seed}"."""
+def _bucket(id_col, seed: int):
+    """Stable per-row bucket in [0, _BUCKETS): md5 word of "{id}:{seed}".
+    ``id_col`` is a column name or a Column expression."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.pmod(
-        portable_hash32(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+        portable_hash32(F.concat_ws(":", col.cast("string"), F.lit(str(seed)))),
         F.lit(_BUCKETS),
     )
 
@@ -342,6 +344,47 @@ def nucleus_select(
             < F.col("_tot") * F.lit(p_pct)
         )
         .drop("_tot")
+    )
+
+
+def cluster_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_doc_col: str = "doc_id",
+    keep_col: str = "keep_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: assign each document by the
+    hash of its DEDUP-CLUSTER SURVIVOR id, not its own id — so two
+    near-duplicate documents can never land in different splits (the
+    classic eval-contamination leak: a test document whose near-copy sits
+    in train). ``clusters`` is a resolution mapping (doc_id, keep_id)
+    from ``dedup.dedup_resolution`` — the OUTPUT of dedup, orders of
+    magnitude smaller than the corpus, so it broadcasts; unclustered
+    documents (absent from the mapping) key off their own id, which
+    keeps this a superset-compatible extension of ``hash_split`` (same
+    bucketing, same rates — identical assignment wherever no near-dup
+    exists). One broadcast hash join + a map — no corpus shuffle.
+
+    Returns one row per document: (id, split_key, split)."""
+    m = clusters.select(
+        F.col(cluster_doc_col).alias("_cs_doc"), F.col(keep_col).alias("_cs_keep")
+    )
+    key = F.coalesce(F.col("_cs_keep"), F.col(id_col))
+    b = _bucket(key, seed)
+    return (
+        docs.join(F.broadcast(m), docs[id_col] == F.col("_cs_doc"), "left")
+        .select(
+            F.col(id_col).alias("id"),
+            key.alias("split_key"),
+            F.when(b < _BUCKETS * train_pct // 100, F.lit("train"))
+            .when(b < _BUCKETS * (train_pct + val_pct) // 100, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
     )
 
 

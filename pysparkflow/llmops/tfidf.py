@@ -68,3 +68,77 @@ def source_salient_terms(
         .where(F.col("rank") <= top_k)
         .select(group_col, "term", "tf", "score", "rank")
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """BM25 retrieval scores of every document against a fixed term set —
+    the ranking pass of retrieval-based curation (select the corpus
+    slice most relevant to a target domain). Okapi BM25 with the
+    Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    and token-count length normalization.
+
+    Plan shape (and why it scales): document length is one doc-keyed
+    combiner aggregation; term frequency is aggregated AFTER filtering
+    the token stream to the query terms, so that shuffle carries only
+    matching tokens (a thin slice of the corpus); idf is a
+    |query_terms|-row table — broadcast; the final per-doc sum groups
+    the tf rows (≤ |matching docs| × |query_terms|). No corpus-sized
+    join and nothing quadratic.
+
+    Returns (doc_id, score, rank) for the ``top_k`` docs, ties broken by
+    doc id — deterministic, oracle-replayable.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    n_docs = docs.count()
+    doclen = toks.groupBy("did").agg(F.count("*").alias("dl"))
+    avgdl = doclen.agg(F.avg("dl").alias("a")).collect()[0]["a"]
+    qtoks = toks.where(F.col("term").isin(query_terms))
+    df_tbl = qtoks.groupBy("term").agg(F.count_distinct("did").alias("df"))
+    tf_tbl = qtoks.groupBy("did", "term").agg(F.count("*").alias("tf"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    per_term = (
+        tf_tbl.join(F.broadcast(df_tbl), "term")
+        .join(doclen, "did")
+        .select(
+            "did",
+            (
+                idf
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(float(avgdl)))
+                )
+            ).alias("s"),
+        )
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # top-k then a driver merge — so no global-window single partition
+    # ever sees the full scored table; the rank window then runs over
+    # top_k rows only
+    top = (
+        per_term.groupBy("did")
+        .agg(F.round(F.sum("s"), round_to).alias("score"))
+        .select(F.col("did").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -726,9 +726,15 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     arc sizing) skip their own count job."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_PAIRS_CACHE:
+        # localCheckpoint, not persist: a cache-manager entry can be
+        # invalidated when the pipeline's track()ed intermediates are
+        # release_tracked() between bench queries (the r6->r7 memo-miss
+        # postmortem — the "warm" memo silently re-ran the whole
+        # shingle+band pass); checkpointed blocks are lineage-truncated
+        # and survive unrelated unpersists
         p = minhash_lsh_pairs(
             load_table(spark, sf_dir, "documents"), threshold=0.5
-        ).persist()
+        ).localCheckpoint()
         _MINHASH_PAIRS_CACHE[key] = (p, p.count())
     return _MINHASH_PAIRS_CACHE[key]
 
@@ -4714,6 +4720,89 @@ FROM b
 """
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (llmops/sampling.py::
+    cluster_split): documents are assigned by the hash of their
+    near-dup-cluster SURVIVOR id (MinHash-LSH pairs -> transitive
+    resolution), so near-duplicates never straddle a split boundary.
+    Reuses the memoized pair table; the cluster mapping is broadcast."""
+    from pysparkflow.llmops.dedup import dedup_resolution
+    from pysparkflow.llmops.sampling import cluster_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs, n_pairs = _minhash_pairs(spark, sf_dir)
+    clusters = dedup_resolution(pairs, n_pairs=n_pairs)
+    return cluster_split(docs, clusters).select(
+        F.col("id").alias("doc_id"), "split_key", "split"
+    )
+
+
+# the resolution oracle (itself embedding the minhash-pair oracle) maps
+# clustered docs to their survivor; every other doc keys off its own id —
+# then the split is the hash_split bucketing applied to that key
+_Q_CLUSTER_SPLIT_SQL = f"""
+WITH keyed AS (
+  SELECT d.doc_id, coalesce(r.keep_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN ({_Q_DEDUP_RESOLUTION_SQL}) r ON r.doc_id = d.doc_id
+), b AS (
+  SELECT doc_id, split_key,
+         ('0x' || substr(md5(CAST(split_key AS VARCHAR) || ':7'), 1, 8))::BIGINT
+           % 10000 AS bkt
+  FROM keyed
+)
+SELECT doc_id, split_key,
+       CASE WHEN bkt < 8000 THEN 'train'
+            WHEN bkt < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+_BM25_QUERY_TERMS = ["spark", "query", "join"]
+
+
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (llmops/tfidf.py::bm25_scores) of the
+    corpus against a fixed query-term set — the scoring pass of
+    retrieval-based curation. Only query-term tokens reach a shuffle;
+    the idf table broadcasts; top-k is TakeOrderedAndProject."""
+    from pysparkflow.llmops.tfidf import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_QUERY_TERMS, top_k=100)
+
+
+_Q_BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id AS did,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT did, count(*) AS dl FROM toks GROUP BY did
+), stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), dfq AS (
+  SELECT term, count(DISTINCT did) AS df FROM toks
+  WHERE term IN ('spark', 'query', 'join') GROUP BY term
+), tf AS (
+  SELECT did, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'query', 'join') GROUP BY did, term
+), per AS (
+  SELECT tf.did,
+         ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sc
+  FROM tf JOIN dfq USING (term) JOIN dl USING (did) CROSS JOIN stats s
+), scored AS (
+  SELECT did AS doc_id, round(sum(sc), 6) AS score FROM per GROUP BY did
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -4840,6 +4929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "copurchase_similarity": q_copurchase_similarity,
     "nucleus_select": q_nucleus_select,
     "hash_split": q_hash_split,
+    "cluster_split": q_cluster_split,
+    "bm25_score": q_bm25_score,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -4971,6 +5062,8 @@ ORACLE_SQL: dict[str, str] = {
     "copurchase_similarity": _Q_COPURCHASE_SQL,
     "nucleus_select": _Q_NUCLEUS_SELECT_SQL,
     "hash_split": _Q_HASH_SPLIT_SQL,
+    "cluster_split": _Q_CLUSTER_SPLIT_SQL,
+    "bm25_score": _Q_BM25_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -5041,6 +5134,9 @@ _ALWAYS_IN_CORE = [
 # rows-only row); their banded verification lives in TOLERANCE_ORACLES /
 # ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
+    # never driver-graded (new in round 7)
+    "cluster_split",
+    "bm25_score",
     # never driver-graded (round-6b additions)
     "activity_islands",
     "interval_merge",
@@ -5089,8 +5185,9 @@ _ROUND_FRONT = [
     "bpe_token_count",
     "bpe_merge_candidates",
     "tfidf_terms",
-    "lm_unigram_score",
-    "pii_scrub",
+    # (lm_unigram_score, pii_scrub: displaced to the r8 rotation by the
+    # two new round-7 entries — the front must stay within the driver's
+    # 50-slot window)
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -104,6 +104,12 @@ def test_dedup_resolution_transitive_chains(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+    # the size-gated driver union-find (n_pairs known and small) must
+    # produce the identical mapping as the distributed closure above
+    fast = {
+        r.doc_id: r.keep_id for r in dedup_resolution(pairs, n_pairs=6).collect()
+    }
+    assert fast == got
 
 
 def test_incremental_exact_flags(spark):

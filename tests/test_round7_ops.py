@@ -1,0 +1,100 @@
+"""Round-7 operators: leakage-safe cluster_split and BM25 ranking."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.sampling import cluster_split, hash_split
+from pysparkflow.llmops.tfidf import bm25_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_split_near_dups_never_straddle(spark):
+    """Every member of a near-dup cluster lands in the SAME split —
+    including transitively-linked members — keyed by the survivor id."""
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(100)])
+    # clusters: {1,2,3} -> keep 1; {40,41} -> keep 40
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (40, 40), (41, 40)], "doc_id long, keep_id long"
+    )
+    got = {r.id: (r.split_key, r.split) for r in cluster_split(docs, clusters).collect()}
+    assert len(got) == 100
+    assert got[1] == got[2] == got[3]  # one cluster, one split
+    assert got[40] == got[41]
+    assert got[1][0] == 1 and got[40][0] == 40  # keyed by survivor
+
+
+def test_cluster_split_matches_hash_split_outside_clusters(spark):
+    """Unclustered documents get EXACTLY the hash_split assignment —
+    cluster_split is a superset-compatible extension, not a new split."""
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    clusters = spark.createDataFrame([(7, 3)], "doc_id long, keep_id long")
+    cs = {r.id: r.split for r in cluster_split(docs, clusters).collect()}
+    hs = {r.id: r.split for r in hash_split(docs).collect()}
+    assert all(cs[i] == hs[i] for i in range(200) if i != 7)
+    assert cs[7] == hs[3]  # the clustered doc follows its survivor
+
+
+def test_cluster_split_partition_invariant(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(100)])
+    clusters = spark.createDataFrame([(5, 2), (9, 2)], "doc_id long, keep_id long")
+    a = sorted(map(tuple, cluster_split(docs, clusters).collect()))
+    b = sorted(map(tuple, cluster_split(docs.repartition(13), clusters).collect()))
+    assert a == b
+
+
+def test_bm25_scores_match_handrolled(spark):
+    """BM25 on a 4-doc corpus matches the formula computed in Python."""
+    rows = [
+        (0, "spark join join"),
+        (1, "spark spark spark filter"),
+        (2, "filter scan scan"),
+        (3, "join"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r.doc_id: r.score for r in bm25_scores(docs, ["spark", "join"]).collect()}
+
+    # hand-rolled reference
+    toks = {d: t.split() for d, t in rows}
+    n = len(rows)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+
+    def idf(term):
+        df = sum(1 for t in toks.values() if term in t)
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def bm25(d):
+        s = 0.0
+        for term in ("spark", "join"):
+            tf = toks[d].count(term)
+            if tf:
+                s += idf(term) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        return round(s, 6)
+
+    expect = {d: bm25(d) for d in toks if bm25(d) > 0}
+    assert got == expect
+
+
+def test_bm25_rank_deterministic_and_bounded(spark):
+    docs = _docs(spark, [(i, "spark " * (i % 5 + 1)) for i in range(50)])
+    out = bm25_scores(docs, ["spark"], top_k=10).collect()
+    assert len(out) == 10
+    ranks = [r.rank for r in out]
+    assert ranks == list(range(1, 11))
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_plan_has_no_corpus_window(spark):
+    """The top-k must be TakeOrderedAndProject (distributed top-k), not a
+    single-partition global window over the scored corpus."""
+    docs = _docs(spark, [(i, "spark scan") for i in range(20)])
+    plan = bm25_scores(docs, ["spark"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
