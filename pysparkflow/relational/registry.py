@@ -4758,6 +4758,32 @@ FROM b
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated EXACT heavy hitters (operators/heavyhitters.py):
+    users producing >= 0.085% of all events. The KPS candidate pass
+    (freqItems, no shuffle) bounds the exact pass to candidate-matching
+    rows, so the long tail never shuffles — but the OUTPUT is exact and
+    layout-independent (superset guarantee + exact verify), so unlike
+    the banded sketch entries this takes the full hash-match oracle."""
+    import math
+
+    from pysparkflow.operators.heavyhitters import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    return heavy_hitters(
+        ev, "user_id", min_count=math.ceil(0.00085 * n), total_rows=n
+    ).select(F.col("key").alias("user_id"), "n_rows")
+
+
+_Q_HEAVY_HITTERS_SQL = """
+WITH t AS (SELECT count(*) AS n FROM events)
+SELECT user_id, count(*) AS n_rows
+FROM events GROUP BY user_id
+HAVING count(*) >= ceil(0.00085 * (SELECT n FROM t))
+"""
+
+
 _BM25_QUERY_TERMS = ["spark", "query", "join"]
 
 
@@ -4931,6 +4957,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split": q_hash_split,
     "cluster_split": q_cluster_split,
     "bm25_score": q_bm25_score,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5064,6 +5091,7 @@ ORACLE_SQL: dict[str, str] = {
     "hash_split": _Q_HASH_SPLIT_SQL,
     "cluster_split": _Q_CLUSTER_SPLIT_SQL,
     "bm25_score": _Q_BM25_SQL,
+    "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -5137,6 +5165,7 @@ _ROUND_FRONT = [
     # never driver-graded (new in round 7)
     "cluster_split",
     "bm25_score",
+    "heavy_hitters",
     # never driver-graded (round-6b additions)
     "activity_islands",
     "interval_merge",
@@ -5184,10 +5213,9 @@ _ROUND_FRONT = [
     "editdist_pairs",
     "bpe_token_count",
     "bpe_merge_candidates",
-    "tfidf_terms",
-    # (lm_unigram_score, pii_scrub: displaced to the r8 rotation by the
-    # two new round-7 entries — the front must stay within the driver's
-    # 50-slot window)
+    # (tfidf_terms, lm_unigram_score, pii_scrub: displaced to the r8
+    # rotation by the three new round-7 entries — the front must stay
+    # within the driver's 50-slot window)
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

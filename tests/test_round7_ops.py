@@ -98,3 +98,41 @@ def test_bm25_plan_has_no_corpus_window(spark):
     docs = _docs(spark, [(i, "spark scan") for i in range(20)])
     plan = bm25_scores(docs, ["spark"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_exact_with_planted_skew(spark):
+    """Planted heavy keys recovered exactly; tail keys excluded even
+    when they sneak into the KPS candidate superset."""
+    from pysparkflow.operators.heavyhitters import heavy_hitters
+
+    # key 0 -> 50 rows, key 1 -> 20 rows, keys 2..101 -> 3 rows each
+    df = spark.range(50).select(F.lit(0).alias("k")).unionAll(
+        spark.range(20).select(F.lit(1).alias("k"))
+    ).unionAll(
+        spark.range(300).select((F.col("id") % 100 + 2).alias("k"))
+    )
+    got = {r.key: r.n_rows for r in heavy_hitters(df, "k", min_count=20).collect()}
+    assert got == {0: 50, 1: 20}  # boundary count (exactly 20) included
+
+
+def test_heavy_hitters_low_threshold_falls_back_exact(spark):
+    """Below freqItems' support floor, pruning would be unsound — the
+    operator must take the plain exact plan and stay complete."""
+    from pysparkflow.operators.heavyhitters import heavy_hitters
+
+    # n=200k, min_count=5 -> support 2.25e-5 < 1e-4 floor
+    df = spark.range(200_000).select((F.col("id") % 40_000).alias("k"))
+    out = heavy_hitters(df, "k", min_count=5, total_rows=200_000)
+    assert out.count() == 40_000  # every key has exactly 5 rows
+    assert "freqItems" not in out._jdf.queryExecution().toString()
+
+
+def test_heavy_hitters_partition_invariant(spark):
+    from pysparkflow.operators.heavyhitters import heavy_hitters
+
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    a = sorted(map(tuple, heavy_hitters(df, "k", min_count=27).collect()))
+    b = sorted(
+        map(tuple, heavy_hitters(df.repartition(17), "k", min_count=27).collect())
+    )
+    assert a == b and len(a) > 0

@@ -155,6 +155,23 @@ def main() -> int:
     assert not bad, bad[:3]
     out["bm25"] = {"sec": sec, "top_score": expect(2)}
 
+    # --- heavy hitters: planted skew over a long tail --------------------
+    # tail: n_docs*4 rows over n_docs distinct keys (4 each, never
+    # qualifying); planted: 20 keys x 5000 rows. min_count=1000 ->
+    # support ~1.25e-4 stays above the freqItems floor (pruned path),
+    # and the exact answer is precisely the 20 planted keys.
+    from pysparkflow.operators.heavyhitters import heavy_hitters
+
+    tail = spark.range(n_docs * 4).select((F.col("id") % n_docs + 1000).alias("k"))
+    heavy = spark.range(20 * 5000).select((F.col("id") % 20).alias("k"))
+    skewed = tail.unionAll(heavy)
+    n_total = n_docs * 4 + 100_000
+    t0 = time.time()
+    hh = {r.key: r.n_rows for r in heavy_hitters(skewed, "k", 1000, n_total).collect()}
+    sec = round(time.time() - t0, 2)
+    assert hh == {k: 5000 for k in range(20)}, dict(list(hh.items())[:5])
+    out["heavy_hitters"] = {"n_rows": n_total, "n_keys": n_docs + 20, "sec": sec}
+
     print(json.dumps(out))
     spark.stop()
     return 0
