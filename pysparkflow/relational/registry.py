@@ -4784,6 +4784,48 @@ HAVING count(*) >= ceil(0.00085 * (SELECT n FROM t))
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate (llmops/drift.py): PSI of the event value
+    distribution per event_type between two deterministic snapshot
+    halves (even/odd event_id). One corpus pass — a single conditional-
+    count aggregation keyed (group, bin); everything after runs on the
+    |groups| x n_bins table."""
+    from pysparkflow.llmops.drift import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(ev, snapshot_col=F.col("event_id") % 2 == 1)
+
+
+_Q_PSI_DRIFT_SQL = """
+WITH binned AS (
+  SELECT event_type AS grp,
+         least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+         count(*) FILTER (WHERE event_id % 2 = 0) AS ref_n,
+         count(*) FILTER (WHERE event_id % 2 = 1) AS cur_n
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT grp, sum(ref_n) AS ref_total, sum(cur_n) AS cur_total
+  FROM binned GROUP BY 1
+), scaffold AS (
+  SELECT t.grp, t.ref_total, t.cur_total, gs.bin
+  FROM totals t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) gs
+), filled AS (
+  SELECT s.grp, s.ref_total, s.cur_total,
+         coalesce(b.ref_n, 0) AS ref_n, coalesce(b.cur_n, 0) AS cur_n
+  FROM scaffold s LEFT JOIN binned b ON b.grp = s.grp AND b.bin = s.bin
+)
+SELECT grp AS event_type,
+       CAST(max(ref_total) AS BIGINT) AS n_ref,
+       CAST(max(cur_total) AS BIGINT) AS n_cur,
+       round(sum(
+         ((cur_n + 0.5) / (cur_total + 5.0) - (ref_n + 0.5) / (ref_total + 5.0))
+         * ln(((cur_n + 0.5) / (cur_total + 5.0))
+              / ((ref_n + 0.5) / (ref_total + 5.0)))
+       ), 6) AS psi
+FROM filled GROUP BY grp
+"""
+
+
 _BM25_QUERY_TERMS = ["spark", "query", "join"]
 
 
@@ -4958,6 +5000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": q_cluster_split,
     "bm25_score": q_bm25_score,
     "heavy_hitters": q_heavy_hitters,
+    "psi_drift": q_psi_drift,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5092,6 +5135,7 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_split": _Q_CLUSTER_SPLIT_SQL,
     "bm25_score": _Q_BM25_SQL,
     "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+    "psi_drift": _Q_PSI_DRIFT_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
     # knn_ivf_recall, approx_distinct) pin their deterministic
@@ -5166,6 +5210,7 @@ _ROUND_FRONT = [
     "cluster_split",
     "bm25_score",
     "heavy_hitters",
+    "psi_drift",
     # never driver-graded (round-6b additions)
     "activity_islands",
     "interval_merge",
@@ -5212,10 +5257,9 @@ _ROUND_FRONT = [
     "knn_graph",
     "editdist_pairs",
     "bpe_token_count",
-    "bpe_merge_candidates",
-    # (tfidf_terms, lm_unigram_score, pii_scrub: displaced to the r8
-    # rotation by the three new round-7 entries — the front must stay
-    # within the driver's 50-slot window)
+    # (bpe_merge_candidates, tfidf_terms, lm_unigram_score, pii_scrub:
+    # displaced to the r8 rotation by the four new round-7 entries — the
+    # front must stay within the driver's 50-slot window)
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -136,3 +136,64 @@ def test_heavy_hitters_partition_invariant(spark):
         map(tuple, heavy_hitters(df.repartition(17), "k", min_count=27).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_psi_drift_identical_snapshots_near_zero(spark):
+    """Identical distributions -> PSI ~ 0 (smoothing keeps it tiny but
+    finite when the two halves differ only by sampling)."""
+    from pysparkflow.llmops.drift import psi_drift
+
+    rows = [(i, "a", float(i % 500)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = psi_drift(df, snapshot_col=F.col("event_id") % 2 == 1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_ref == 1000 and r.n_cur == 1000
+    # i%2 alternates with i%500 uniformly: both halves see every bin
+    # equally -> exactly zero up to rounding
+    assert abs(r.psi) < 1e-6
+
+
+def test_psi_drift_planted_shift_matches_handrolled(spark):
+    """A planted location shift produces the exact hand-computed PSI."""
+    import math
+
+    from pysparkflow.llmops.drift import psi_drift
+
+    # ref: all values in bin 0; cur: all values in bin 9
+    rows = [(i, "g", 1.0) for i in range(0, 100, 2)] + [
+        (i, "g", 499.0) for i in range(1, 100, 2)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = psi_drift(df, snapshot_col=F.col("event_id") % 2 == 1).collect()[0]
+
+    def term(cur_n, ref_n):
+        p = (cur_n + 0.5) / (50 + 5.0)
+        q = (ref_n + 0.5) / (50 + 5.0)
+        return (p - q) * math.log(p / q)
+
+    expect = round(term(0, 50) + term(50, 0) + 8 * term(0, 0), 6)
+    assert r.psi == expect and r.psi > 0.25  # "shifted" by the usual read
+
+
+def test_psi_drift_empty_bins_both_sides_contribute_zero(spark):
+    """Bins empty on BOTH sides cancel exactly even when the snapshot
+    totals differ (the scaffold materializes them; p != q only from the
+    totals, handled by the smoothed formula)."""
+    from pysparkflow.llmops.drift import psi_drift
+
+    # unbalanced halves: 60 ref rows, 40 cur rows, same single bin
+    rows = [(i, "g", 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = psi_drift(df, snapshot_col=F.col("event_id") >= 60).collect()[0]
+    assert r.n_ref == 60 and r.n_cur == 40
+    # hand-rolled: 10 bins, bin0 holds everything
+    import math
+
+    def term(cur_n, ref_n):
+        p = (cur_n + 0.5) / (40 + 5.0)
+        q = (ref_n + 0.5) / (60 + 5.0)
+        return (p - q) * math.log(p / q)
+
+    expect = round(term(40, 60) + 9 * term(0, 0), 6)
+    assert r.psi == expect
