@@ -196,6 +196,43 @@ def _regression_check(
     return sorted(out, key=lambda t: t[2] - t[1], reverse=True)
 
 
+def _adjudicate_flags(
+    spark,
+    sf_dir: str,
+    timings: dict[str, float],
+    flags: list[tuple[str, float, float]],
+    run_query=None,
+) -> list[tuple[str, float, float, float]]:
+    """Re-sample every tripwire flag in-run (memo-cleared, full
+    recompute, noop sink) and commit min(first, resample) into
+    ``timings``. Returns (name, snapshot, first, resample) per flag.
+    ``run_query`` overrides the query runner for tests."""
+    from pysparkflow.engine.cache import release_tracked
+    from pysparkflow.relational.registry import clear_flow_memos
+
+    adjudicated: list[tuple[str, float, float, float]] = []
+    for name, old, first in flags:
+        if run_query is None:
+            if name in MIN_OF_2_ALWAYS:
+                clear_flow_memos()
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            resample = round(time.time() - t0, 3)
+            release_tracked()
+        else:
+            resample = run_query(name)
+        timings[name] = min(first, resample)
+        adjudicated.append((name, old, first, resample))
+        print(
+            f"[bench] adjudicate {name}: snapshot {old:.2f}s -> first "
+            f"{first:.2f}s (resample: {resample:.2f}s, kept "
+            f"{timings[name]:.2f}s)",
+            file=sys.stderr,
+        )
+    return adjudicated
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -266,6 +303,15 @@ def main() -> None:
             timings[name] = min(timings[name], round(time.time() - t0, 3))
             release_tracked()
         print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+    # self-adjudicating tripwire (VERDICT r7 #2): a query tripping the
+    # >1.5x flag is immediately re-sampled (memo-cleared, full recompute)
+    # within the SAME run — a host-drift spike caught once must not
+    # become the committed number, and a flag that SURVIVES its own
+    # re-sample is evidence of code, not host. Runs before the closing
+    # calibration probe so the probe brackets every timed sample.
+    adjudicated = _adjudicate_flags(
+        spark, sf_dir, timings, _regression_check(timings, sf_val)
+    )
     total = round(sum(timings.values()), 3)
     cal_after = _host_calibration()
     host_flag, host_ratio = _host_flag(cal_before, cal_after)
@@ -289,6 +335,13 @@ def main() -> None:
                 # single-sample, so cross-round ratios vs those rounds
                 # carry a sampling-policy asymmetry in the newer round's
                 # favor (bounded by the host-drift the policy removes).
+                # tripwire adjudications this run (name, snapshot, first
+                # sample, in-run re-sample; min(first, resample) is the
+                # committed number)
+                "adjudicated": [
+                    {"query": n, "snapshot": o, "first": f0, "resample": r}
+                    for n, o, f0, r in adjudicated
+                ],
                 "sampling": {
                     "policy": (
                         "min-of-2 for <3s queries, warmup-front entries, "
@@ -311,12 +364,15 @@ def main() -> None:
     # per-query regressions — round 6's dedup regression sat in two
     # committed files that nobody diffed. Flagged when BOTH >1.5x the
     # snapshot AND >1s absolute (sub-second entries whipsaw on host
-    # noise); host drift moves every query together, so a handful of
-    # flags means code, not host.
+    # noise). Since round 8 the timings here are POST-adjudication
+    # (min over the first sample and the in-run re-sample), so a flag
+    # that still prints survived its own memo-cleared re-sample — code,
+    # not a one-off host spike.
     regressed = _regression_check(timings, sf_val)
     for name, old, new in regressed:
         print(
-            f"[bench] REGRESSED >1.5x: {name} {old:.2f}s -> {new:.2f}s",
+            f"[bench] REGRESSED >1.5x (survived re-sample): "
+            f"{name} {old:.2f}s -> {new:.2f}s",
             file=sys.stderr,
         )
     if not regressed:
@@ -354,6 +410,9 @@ def main() -> None:
                 "regressed": [
                     f"{n}:{o}->{v}" for n, o, v in regressed[:4]
                 ],
+                # tripwire flags re-sampled in-run (detail in the side
+                # file); "regressed" above lists only survivors
+                "n_adjudicated": len(adjudicated),
                 "queries_full": "bench_queries_latest.json",
             },
             separators=(",", ":"),

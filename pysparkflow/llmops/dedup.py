@@ -339,9 +339,15 @@ def dedup_resolution(
     from pysparkflow.graph.graph import FlowGraph
 
     if n_pairs is not None and n_pairs <= DRIVER_UNION_FIND_LIMIT:
-        rows = pairs.select(
-            F.col(id_a).cast("long"), F.col(id_b).cast("long")
-        ).collect()
+        # a null id cannot participate in a cluster: drop it BEFORE the
+        # collect so None never reaches the `ra < rb` ordering (ADVICE
+        # r7) — the distributed path filters null endpoints identically,
+        # so behavior agrees across the n_pairs gate
+        rows = (
+            pairs.where(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
+            .select(F.col(id_a).cast("long"), F.col(id_b).cast("long"))
+            .collect()
+        )
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -363,7 +369,9 @@ def dedup_resolution(
             out, "doc_id long, keep_id long"
         ).repartition(1)
 
-    edge_pairs = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edge_pairs = pairs.where(
+        F.col(id_a).isNotNull() & F.col(id_b).isNotNull()
+    ).select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     g = FlowGraph.from_edge_pairs(pairs.sparkSession, edge_pairs)
     cc = connected_components(
         g, rows_hint=2 * n_pairs if n_pairs is not None else None

@@ -45,10 +45,18 @@ def psi_drift(
 
     Fixed-width bins, not quantile bins, keep the statistic exactly
     replayable cross-engine and the plan one-pass; pass a wider
-    ``bin_width`` for heavy-tailed features."""
-    b = F.least(
-        F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
-        F.lit(n_bins - 1),
+    ``bin_width`` for heavy-tailed features.
+
+    Bin 0 catches the underflow tail (negative values clamp up, ADVICE
+    r7) and bin ``n_bins - 1`` the overflow tail, so every row's mass —
+    including centered / z-scored features — lands in the scaffold and
+    contributes to the PSI sum."""
+    b = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("int"),
+            F.lit(n_bins - 1),
+        ),
     )
     cur = snapshot_col
     binned = (

@@ -106,6 +106,16 @@ def bm25_scores(
     n_docs = docs.count()
     doclen = toks.groupBy("did").agg(F.count("*").alias("dl"))
     avgdl = doclen.agg(F.avg("dl").alias("a")).collect()[0]["a"]
+    if n_docs == 0 or avgdl is None:
+        # empty corpus (or all-null text): avg() collects as None and
+        # float(avgdl) would raise (ADVICE r7) — the well-defined answer
+        # is an empty ranking with the contract schema
+        empty = docs.limit(0).select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(0).alias("rank"),
+        )
+        return empty
     qtoks = toks.where(F.col("term").isin(query_terms))
     df_tbl = qtoks.groupBy("term").agg(F.count_distinct("did").alias("df"))
     tf_tbl = qtoks.groupBy("did", "term").agg(F.count("*").alias("tf"))

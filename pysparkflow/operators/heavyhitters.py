@@ -45,7 +45,13 @@ def heavy_hitters(
     times, via KPS candidate pruning + exact verification.
 
     ``total_rows``: pass the row count when already known to skip the
-    count job (the support fraction needs it)."""
+    count job (the support fraction needs it).
+
+    Null keys are excluded up front on BOTH plans (the pruned path's
+    left_semi join would drop a null-key group the exact path kept —
+    ADVICE r7), matching the SQL-oracle convention that GROUP BY keys
+    of interest are non-null."""
+    df = df.where(F.col(key_col).isNotNull())
     exact = (
         df.select(F.col(key_col).alias("key"))
         .groupBy("key")
@@ -58,9 +64,10 @@ def heavy_hitters(
     # sits below freqItems' documented support floor, pruning would be
     # UNSOUND (a qualifying key could be missed): take the plain exact
     # plan instead — correctness gates the optimization, never the
-    # reverse.
+    # reverse. Above 1.0 (min_count > n) freqItems would raise; the
+    # exact plan correctly returns no rows (ADVICE r7).
     support = (min_count - 0.5) / n if n else 0.0
-    if support < _MIN_SUPPORT:
+    if support < _MIN_SUPPORT or support > 1.0:
         return exact
     cands = df.stat.freqItems([key_col], support).collect()[0][0]
     spark = df.sparkSession

@@ -4777,9 +4777,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q_HEAVY_HITTERS_SQL = """
-WITH t AS (SELECT count(*) AS n FROM events)
+WITH t AS (SELECT count(*) AS n FROM events WHERE user_id IS NOT NULL)
 SELECT user_id, count(*) AS n_rows
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 HAVING count(*) >= ceil(0.00085 * (SELECT n FROM t))
 """
 
@@ -4799,7 +4799,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_PSI_DRIFT_SQL = """
 WITH binned AS (
   SELECT event_type AS grp,
-         least(CAST(floor(value / 50.0) AS INT), 9) AS bin,
+         greatest(0, least(CAST(floor(value / 50.0) AS INT), 9)) AS bin,
          count(*) FILTER (WHERE event_id % 2 = 0) AS ref_n,
          count(*) FILTER (WHERE event_id % 2 = 1) AS cur_n
   FROM events GROUP BY 1, 2
@@ -5190,76 +5190,64 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 7 front (VERDICT r6 #2): first the six round-6b additions that
-# have NEVER had a driver-green CORRECTNESS row (added after the r6
-# driver window ran; DD-local green at sf0.01 + sf0.001), then the two
-# entries whose graded dataflow CHANGED this round (the whole minhash
-# family moved to the map-side-distinct explode pipeline — dedup.py
-# _shingle_pairs_hashed — and dedup_minhash_lsh/dedup_resolution are
-# already in core / the r4 backlog below), then the full 25-entry
-# last-graded-in-r4 backlog, then 11 of the 42 r5-graded entries
-# (preferring the dedup/similarity family that shares the changed
-# shingle/hash helpers). 6 core + 44 = the full 50-slot window; the
-# remaining r5- and r6-graded entries rotate into round 8.
+# round 8 front (VERDICT r7 #1): the complete last-graded-in-r5 backlog
+# (34 entries — every registry entry whose most recent driver-green
+# CORRECTNESS row is r5), then the round-7-graded entries whose DATAFLOW
+# changed in round 8 (psi_drift gained the underflow-bin clamp,
+# heavy_hitters the null-key filter + over-unity support gate,
+# dedup_resolution the null-endpoint filter on both gate paths — all
+# ADVICE r7; events_stream_stateful's micro-batch grouping lever,
+# VERDICT r7 #3), then the new never-driver-graded round-8 entries.
+# 6 core + 44 = the full 50-slot window; everything else (r6/r7-graded,
+# all <= 2 rounds old) rotates into round 9.
 # approx_distinct / approx_quantiles are deliberately NOT fronted: their
 # sketch-only plans have no equality oracle (driver would record a
 # rows-only row); their banded verification lives in TOLERANCE_ORACLES /
 # ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
-    # never driver-graded (new in round 7)
-    "cluster_split",
-    "bm25_score",
-    "heavy_hitters",
+    # last graded in round 5 (the complete backlog)
+    "asof_join",
+    "binaryfile_ingest",
+    "bpe_merge_candidates",
+    "cohort_retention",
+    "cube",
+    "curation_pipeline_v2",
+    "doc_chunking",
+    "funnel_conversion",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "latest_per_key",
+    "lm_unigram_score",
+    "mad_anomaly",
+    "mode_per_group",
+    "multimodal_decode",
+    "multimodal_features",
+    "orc_roundtrip",
+    "percentiles",
+    "pii_scrub",
+    "pivot_events",
+    "range_join",
+    "rolling_30d_spend",
+    "salted_skew_join",
+    "scd2_history",
+    "session_paths",
+    "snapshot_diff",
+    "sql_revenue",
+    "sssp_bounded",
+    "temperature_mixture",
+    "tfidf_terms",
+    "triangle_count",
+    "weighted_sample",
+    "window_suite",
+    "zscore_anomaly",
+    # r7-graded, dataflow changed in round 8 (ADVICE r7 fixes / VERDICT
+    # r7 #3)
     "psi_drift",
-    # never driver-graded (round-6b additions)
-    "activity_islands",
-    "interval_merge",
-    "contamination_score",
-    "copurchase_similarity",
-    "nucleus_select",
-    "hash_split",
-    # dataflow changed in round 7 (minhash/shingle pipeline refactor)
-    "dedup_ngram_jaccard",
-    "incremental_near_dup",
-    # last graded in round 4 (the complete backlog, approx_distinct
-    # excluded as a tolerance entry)
-    "cluster_sample",
-    "curation_pipeline",
-    "decontaminate",
+    "heavy_hitters",
     "dedup_resolution",
-    "doc_fingerprints",
-    "doc_repetition",
-    "events_stream_dedup",
-    "events_stream_enrich",
-    "events_stream_join",
-    "events_stream_sessions",
     "events_stream_stateful",
-    "events_stream_windowed",
-    "incremental_dedup",
-    "knn_bruteforce",
-    "knn_ivf",
-    "knn_ivf_recall",
-    "knn_lsh",
-    "lang_id",
-    "min_cut",
-    "pack_documents",
-    "quality_quantile_filter",
-    "simhash",
-    "stratified_sample",
-    "text_quality",
-    "token_totals",
-    # r5-graded fill — dedup/similarity/text entries sharing the changed
-    # helpers first
-    "span_dedup",
-    "url_dedup",
-    "embedding_near_dups",
-    "embedding_near_dups_lsh",
-    "knn_graph",
-    "editdist_pairs",
-    "bpe_token_count",
-    # (bpe_merge_candidates, tfidf_terms, lm_unigram_score, pii_scrub:
-    # displaced to the r8 rotation by the four new round-7 entries — the
-    # front must stay within the driver's 50-slot window)
+    # never driver-graded (new in round 8) — appended as they land; the
+    # assert below catches a name that never got registered
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -1,0 +1,55 @@
+"""bench.py self-adjudicating tripwire (VERDICT r7 #2).
+
+The tripwire's contract: a flagged query is re-sampled in-run, the
+committed number is min(first, resample), and only flags that SURVIVE
+their own re-sample remain in a post-adjudication regression check.
+Exercised with a stubbed runner — no Spark work needed.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_adjudicate_commits_min_and_clears_host_spikes():
+    bench = _load_bench()
+    timings = {"q_host_spike": 6.0, "q_real_regression": 6.0, "q_fine": 1.0}
+    flags = [("q_host_spike", 2.0, 6.0), ("q_real_regression", 2.0, 6.0)]
+    resamples = {"q_host_spike": 1.8, "q_real_regression": 5.9}
+    adjudicated = bench._adjudicate_flags(
+        None, "", timings, flags, run_query=lambda n: resamples[n]
+    )
+    # min(first, resample) is committed
+    assert timings["q_host_spike"] == 1.8
+    assert timings["q_real_regression"] == 5.9
+    assert timings["q_fine"] == 1.0
+    # every flag re-sampled, tuple carries the full evidence
+    assert adjudicated == [
+        ("q_host_spike", 2.0, 6.0, 1.8),
+        ("q_real_regression", 2.0, 6.0, 5.9),
+    ]
+    # a post-adjudication >1.5x/-1s check keeps only the survivor
+    survivors = [
+        n
+        for n, new in timings.items()
+        if n in dict((f[0], f[1]) for f in flags)
+        and new > 1.5 * 2.0
+        and new - 2.0 > 1.0
+    ]
+    assert survivors == ["q_real_regression"]
+
+
+def test_adjudicate_no_flags_is_noop():
+    bench = _load_bench()
+    timings = {"q": 1.0}
+    assert bench._adjudicate_flags(None, "", timings, [], run_query=None) == []
+    assert timings == {"q": 1.0}
