@@ -1,0 +1,85 @@
+"""Deterministic quality-classifier scoring — the fasttext-style curation
+gate of a pretraining pipeline (score every document, threshold, mix).
+
+Production pipelines gate web text with a tiny supervised classifier
+(fasttext / logistic regression over cheap surface features) long before
+any expensive model sees the data. This module is that gate with the
+model weights as LITERAL constants: a linear score over the
+``textstats.quality_features`` surface features, sigmoid-calibrated to
+(0, 1). Literal weights make the operator fully oracle-replayable — the
+DuckDB oracle recomputes the identical arithmetic — while keeping the
+exact production plan shape: the real thing swaps the constants for
+learned ones, nothing else changes.
+
+Plan shape (and why it scales to 100 TB): the features are built-in
+column arithmetic fused into the scan (codegen, no Python), the score is
+one more projected expression, and the keep decision is a map-only
+filter — zero shuffles, zero joins, nothing collected. Scoring 100 TB
+is embarrassingly parallel; the only data movement is whatever the
+DOWNSTREAM consumer (mixture sampling, packing) needs.
+
+Feature transforms are computed on the ROUNDED (4 dp) feature values
+exactly as ``quality_features`` emits them, so classifier output is
+bit-reproducible from the published feature table — score-from-features
+equals score-from-text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.textstats import quality_features
+
+# Literal model weights (intercept + per-feature). Hand-calibrated on the
+# synthetic corpus to spread scores across (0, 1): fluent prose (high
+# stopword ratio, moderate token length, low digit/punct load) scores
+# high; listy/numeric/fragmented text scores low. Swap for learned
+# weights in production — the plan is identical.
+QUALITY_WEIGHTS: dict[str, float] = {
+    "intercept": -3.58,
+    "log_tokens": 1.0,        # ln(1 + n_tokens): length prior
+    "avg_token_len": -0.15,   # very long "tokens" = markup/URLs
+    "punct_ratio": -4.0,      # punctuation walls
+    "digit_ratio": -6.0,      # tables / serial numbers
+    "stopword_ratio": 15.0,   # English-fluency proxy
+}
+
+
+def quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, n_tokens, q_score): sigmoid(w . features) per document,
+    rounded to ``round_to`` for cross-engine hash stability."""
+    w = QUALITY_WEIGHTS
+    feats = quality_features(df, id_col=id_col, text_col=text_col)
+    z = (
+        F.lit(w["intercept"])
+        + F.lit(w["log_tokens"]) * F.log(F.lit(1.0) + F.col("n_tokens"))
+        + F.lit(w["avg_token_len"]) * F.col("avg_token_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "id", "n_tokens", F.round(score, round_to).alias("q_score")
+    )
+
+
+def quality_classify(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, n_tokens, q_score, keep): the curation gate — score plus the
+    boolean threshold decision. ``keep`` compares the ROUNDED score so
+    the decision is replayable from the published score column alone."""
+    return quality_scores(
+        df, id_col=id_col, text_col=text_col, round_to=round_to
+    ).withColumn("keep", F.col("q_score") >= F.lit(threshold))

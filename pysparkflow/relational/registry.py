@@ -4871,6 +4871,162 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec decode end-to-end (VERDICT r7 #5): the same
+    gradient raster as multimodal_decode, but zlib-compressed into a
+    real PNG whose scanline filter cycles through all five types
+    (llmops/multimodal.py synth_png), then decoded by the stdlib-zlib +
+    numpy PNG parser (_parse_png: chunk walk, inflate, unfilter). The
+    oracle replays the raster formula — no decoder involved — so
+    deflate -> filter -> unfilter -> inflate must invert exactly.
+    n_bytes is dropped: a zlib stream's length is codec-dependent, not
+    closed-form (the PPM entry keeps that check). Map-only plan."""
+    from pysparkflow.llmops.multimodal import decode_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id").where(F.col("doc_id") % 7 == 0)
+    return decode_stats(ids, codec="png").drop("n_bytes")
+
+
+_Q_PNG_DECODE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS id,
+         CAST(16 + doc_id % 8 AS INTEGER) AS w,
+         CAST(8 + doc_id % 5 AS INTEGER) AS h
+  FROM documents WHERE doc_id % 7 = 0
+), xs AS (
+  SELECT id, w, h, unnest(range(0, w)) AS x FROM dims
+), ys AS (
+  SELECT id, w, h, x, unnest(range(0, h)) AS y FROM xs
+), px AS (
+  SELECT id, w, h, x, y, unnest([0, 1, 2]) AS c FROM ys
+), v AS (
+  SELECT id, w, h, x, y, c, (id*7 + x*3 + y*5 + c*11) % 256 AS v FROM px
+)
+SELECT id AS media_id, w AS width, h AS height, CAST(3 AS INTEGER) AS channels,
+       round(avg(v), 6) AS mean_px,
+       CAST(min(v) AS INTEGER) AS min_px,
+       CAST(max(v) AS INTEGER) AS max_px,
+       CAST(min(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN v END)
+            AS INTEGER) AS tl_px,
+       CAST(min(CASE WHEN x = w-1 AND y = h-1 AND c = 2 THEN v END)
+            AS INTEGER) AS br_px,
+       CAST(sum(v * (x + 7*y + 13*c)) AS BIGINT) AS wsum
+FROM v
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-classifier gate (llmops/quality_model.py):
+    sigmoid(w . surface features) with literal weights, map-only — the
+    fasttext-style curation gate scored without a single shuffle. The
+    oracle replays the identical arithmetic on the rounded features."""
+    from pysparkflow.llmops.quality_model import quality_classify
+
+    return quality_classify(load_table(spark, sf_dir, "documents"))
+
+
+# the linear score replays textually: same rounded (4 dp) features as
+# _Q_TEXT_QUALITY_SQL, same literal weights as QUALITY_WEIGHTS, same
+# round(, 6) on the sigmoid. Keep the three in lockstep.
+_Q_QUALITY_CLASSIFY_SQL = r"""
+WITH f AS (
+  SELECT doc_id AS id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER)
+           AS n_tokens,
+         round(length(text) / len(regexp_split_to_array(trim(text), '\s+')), 4)
+           AS avg_token_len,
+         round((length(text)
+                - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / length(text), 4) AS punct_ratio,
+         round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / length(text), 4) AS digit_ratio,
+         round((
+             (length(text) - length(replace(text, ' the ', ''))) / 5
+           + (length(text) - length(replace(text, ' and ', ''))) / 5
+           + (length(text) - length(replace(text, ' of ', ''))) / 4
+         ) / len(regexp_split_to_array(trim(text), '\s+')), 4)
+           AS stopword_ratio
+  FROM documents
+), scored AS (
+  SELECT id, n_tokens,
+         round(1.0 / (1.0 + exp(-(
+             -3.58
+             + 1.0 * ln(1.0 + n_tokens)
+             + (-0.15) * avg_token_len
+             + (-4.0) * punct_ratio
+             + (-6.0) * digit_ratio
+             + 15.0 * stopword_ratio
+         ))), 6) AS q_score
+  FROM f
+)
+SELECT id, n_tokens, q_score, q_score >= 0.5 AS keep FROM scored
+"""
+
+
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation pipeline (VERDICT r7 #6): classifier
+    gate -> threshold -> temperature mixture -> per-source summary. The
+    classifier score is map-only; the only aggregation cost is the
+    mixture's per-source counts and the final summary — so the pipeline
+    adds a quality gate to v2's shape without adding a shuffle."""
+    from pysparkflow.llmops.quality_model import quality_classify
+    from pysparkflow.llmops.sampling import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_classify(docs).where(F.col("keep"))
+    kept = scored.select(F.col("id").alias("doc_id"), "n_tokens", "q_score").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    # the mixture reads its input three times (totals, thresholds,
+    # selection) — persist the scored prefix (released by the caller via
+    # engine.cache, same discipline as curation_pipeline_v2)
+    from pysparkflow.engine.cache import track
+
+    kept = track(kept)
+    mixed = temperature_mixture(
+        kept, group_col="source", target_frac=0.6, seed=11
+    )
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("q_score"), 4).alias("avg_q"),
+    )
+
+
+_Q_CURATION_V3_SQL = rf"""
+WITH q AS ({_Q_QUALITY_CLASSIFY_SQL}),
+kept AS (
+  SELECT q.id AS doc_id, q.n_tokens, q.q_score, d.source
+  FROM q JOIN documents d ON d.doc_id = q.id
+  WHERE q.keep
+), c AS (
+  SELECT source, count(*) AS _c,
+         CAST(floor(sqrt(count(*)) * 1000000.0) AS BIGINT) AS _w
+  FROM kept GROUP BY source
+), s2 AS (
+  SELECT sum(_c) AS t, sum(_w) AS d FROM c
+), thr AS (
+  SELECT source,
+         CAST(floor(least(1.0,
+             (floor(t * 0.6) * CAST(_w AS DOUBLE))
+             / (CAST(d AS DOUBLE) * CAST(_c AS DOUBLE))) * 10000)
+           AS INTEGER) AS thr
+  FROM c, s2
+), sel AS (
+  SELECT k.doc_id, k.source, k.n_tokens, k.q_score
+  FROM kept k JOIN thr USING (source)
+  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR || ':11'), 1, 8))::BIGINT % 10000
+        < thr
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(q_score), 4) AS avg_q
+FROM sel GROUP BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5001,6 +5157,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_score": q_bm25_score,
     "heavy_hitters": q_heavy_hitters,
     "psi_drift": q_psi_drift,
+    "quality_classify": q_quality_classify,
+    "curation_pipeline_v3": q_curation_pipeline_v3,
+    "png_decode": q_png_decode,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -5135,6 +5294,9 @@ ORACLE_SQL: dict[str, str] = {
     "cluster_split": _Q_CLUSTER_SPLIT_SQL,
     "bm25_score": _Q_BM25_SQL,
     "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
+    "quality_classify": _Q_QUALITY_CLASSIFY_SQL,
+    "curation_pipeline_v3": _Q_CURATION_V3_SQL,
+    "png_decode": _Q_PNG_DECODE_SQL,
     "psi_drift": _Q_PSI_DRIFT_SQL,
     # every entry has an oracle: most are replayed-computation SQL; the
     # iterative/sketch/runtime-fitted ones (max_flow, knn_ivf,
@@ -5248,6 +5410,9 @@ _ROUND_FRONT = [
     "events_stream_stateful",
     # never driver-graded (new in round 8) — appended as they land; the
     # assert below catches a name that never got registered
+    "quality_classify",
+    "curation_pipeline_v3",
+    "png_decode",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -1,0 +1,151 @@
+"""Round-8 operator scale evidence with planted truth (SCALING.md):
+the quality-classifier curation gate and the v3 pipeline.
+
+Everything is generated IN SPARK (map-only, deterministic, no driver
+data), and the checks are closed-form exact:
+
+* quality_classify on a 6-class planted corpus: text depends only on
+  (id % 2, id % 3) — three lengths of a fluent template (stopword-rich,
+  no digits) and three lengths of a junk template (digit-heavy, no
+  stopwords) — so there are exactly 6 distinct (class, score) values,
+  each computable in closed form from the literal QUALITY_WEIGHTS.
+  EVERY row's score must equal its class value to 1e-9 (checked
+  distributively: count of mismatching rows == 0), every fluent doc
+  must pass the 0.5 gate and every junk doc must fail it (planted
+  separation, zero tolerance).
+* curation_pipeline_v3 shape on the same corpus with 8 planted
+  sources: the mixture runs on the kept (fluent) half only — zero junk
+  docs may survive — and with equal-sized sources the temperature
+  allocation is exactly target_frac per source (thr = 6000/10000), so
+  each source's selected count must land within 3% of 0.6 * kept.
+
+Usage: python tools/r8_scale.py [n_docs] (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.quality_model import QUALITY_WEIGHTS, quality_classify
+from pysparkflow.llmops.sampling import temperature_mixture
+from pysparkflow.session import get_spark
+
+GOOD = "the story of the day and the life of it all "
+BAD = "tbl 99 x4 17 zz 42 "
+
+
+def _hand_score(text: str) -> float:
+    toks = text.strip().split()
+    n_tokens = len(toks)
+    n_chars = len(text)
+    w = QUALITY_WEIGHTS
+    punct = sum(text.count(c) for c in ".,;:!?")
+    digit = sum(text.count(c) for c in "0123456789")
+    stop = text.count(" the ") + text.count(" and ") + text.count(" of ")
+    z = (
+        w["intercept"]
+        + w["log_tokens"] * math.log(1.0 + n_tokens)
+        + w["avg_token_len"] * round(n_chars / n_tokens, 4)
+        + w["punct_ratio"] * round(punct / n_chars, 4)
+        + w["digit_ratio"] * round(digit / n_chars, 4)
+        + w["stopword_ratio"] * round(stop / n_tokens, 4)
+    )
+    return round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    spark = get_spark(
+        app_name="r8-scale", master="local[32]", shuffle_partitions=32
+    )
+    t_all = time.time()
+    reps = (F.col("id") % 3 + 2).cast("int")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # floor(id/2) % 8: sources stay equal-sized WITHIN the kept
+        # (even-id) half — id % 8 would alias parity onto the source
+        (F.floor(F.col("id") / 2) % 8).cast("string").alias("source"),
+        F.when(F.col("id") % 2 == 0, F.repeat(F.lit(GOOD), reps))
+        .otherwise(F.repeat(F.lit(BAD), reps))
+        .alias("text"),
+    )
+
+    # closed-form per-class scores from the same literal weights
+    expect = {}
+    for par in (0, 1):
+        for r3 in (0, 1, 2):
+            text = (GOOD if par == 0 else BAD) * (r3 + 2)
+            expect[(par, r3)] = _hand_score(text)
+    fluent = [expect[(0, r)] for r in (0, 1, 2)]
+    junk = [expect[(1, r)] for r in (0, 1, 2)]
+    assert min(fluent) >= 0.5 and max(junk) < 0.5, (fluent, junk)
+
+    t0 = time.time()
+    scored = quality_classify(docs)
+    expect_col = F.element_at(
+        F.array(*[F.lit(expect[(p, r)]) for p in (0, 1) for r in (0, 1, 2)]),
+        ((F.col("id") % 2) * 3 + F.col("id") % 3 + 1).cast("int"),
+    )
+    bad = (
+        scored.withColumn(
+            "expected", expect_col
+        )
+        .where(
+            (F.abs(F.col("q_score") - F.col("expected")) > 1e-9)
+            | (F.col("keep") != (F.col("id") % 2 == 0))
+        )
+        .count()
+    )
+    classify_sec = round(time.time() - t0, 2)
+    print(
+        f"quality_classify: {n_docs} docs, {bad} score/gate mismatches "
+        f"({classify_sec}s)"
+    )
+    assert bad == 0
+
+    # pipeline shape: gate -> mixture; equal sources => exact 0.6 rate
+    t0 = time.time()
+    kept = scored.where(F.col("keep")).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    mixed = temperature_mixture(
+        kept, group_col="source", id_col="id", target_frac=0.6, seed=11
+    )
+    per_source = {
+        r.source: r.n for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_junk = mixed.where(F.col("id") % 2 == 1).count()
+    mixture_sec = round(time.time() - t0, 2)
+    kept_per_source = n_docs / 2 / 8
+    worst = max(
+        abs(per_source.get(str(s), 0) / kept_per_source - 0.6) for s in range(8)
+    )
+    print(
+        f"curation_v3 shape: junk survivors={n_junk}, worst source rate "
+        f"deviation from 0.6: {worst:.4f} ({mixture_sec}s)"
+    )
+    assert n_junk == 0
+    assert worst <= 0.03 * 1.0, worst
+
+    out = {
+        "n_docs": n_docs,
+        "classify_sec": classify_sec,
+        "mixture_sec": mixture_sec,
+        "total_sec": round(time.time() - t_all, 2),
+        "mismatches": bad,
+        "junk_survivors": n_junk,
+        "worst_rate_dev": round(worst, 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
