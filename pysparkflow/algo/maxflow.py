@@ -554,7 +554,13 @@ def max_flow(
             and total > 0
             and accepted_this_phase < (1 - cfg.approx) * total
         ):
-            break  # diminishing returns: approx-mode early stop
+            # diminishing returns: approx-mode early stop. Recorded in
+            # metrics so a run can prove whether the knob actually
+            # saved phases or the graph converged naturally first
+            # (VERDICT r7 #4).
+            metrics.early_stop = True
+            metrics.early_stop_phase = metrics.phases
+            break
 
     for df in phase_cache:
         df.unpersist()

@@ -28,6 +28,11 @@ class RoundMetrics:
     # runs no job) — the arc cache actually materializes inside the
     # first round's join, so that cost lands in round_secs[0]
     segment_secs: dict = field(default_factory=dict)
+    # approx-mode diminishing-returns stop (MaxFlowConfig.approx): did
+    # it fire, and at which phase (VERDICT r7 #4 — proves whether the
+    # knob ever saves work before natural convergence on a given graph)
+    early_stop: bool = False
+    early_stop_phase: int | None = None
 
     def as_dict(self) -> dict:
         return {
@@ -40,4 +45,6 @@ class RoundMetrics:
             "frontier_rows_max": self.frontier_rows_max,
             "round_secs": [round(t, 3) for t in self.round_secs],
             "segment_secs": {k: round(v, 3) for k, v in self.segment_secs.items()},
+            "early_stop": self.early_stop,
+            "early_stop_phase": self.early_stop_phase,
         }

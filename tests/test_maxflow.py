@@ -213,3 +213,31 @@ def test_graded_lineitem_value_vs_networkx(spark):
         MaxFlowConfig(meet_extra_rounds=0, validate=True),
     )
     assert res.value == expected
+
+
+def test_approx_early_stop_strictly_earlier_than_exact(spark):
+    """VERDICT r7 #4: prove the mf.approx knob actually stops work.
+    One fat direct path (cap 100, meet vertex = the sink, lowest id so
+    it is accepted first) plus unit paths through high-id vertices;
+    max_candidates=1 forces one acceptance per phase, so unit gains
+    trickle. With approx=0.9 the first post-fat phase gains 1 < 0.1 *
+    100 and the loop must stop, leaving flow on the table; exact keeps
+    going to optimality. Early-stop firing is recorded in metrics."""
+    edges = [(0, 200, 100)]
+    for i in range(300, 304):
+        edges += [(0, i, 1), (i, 200, 1)]
+    exact = max_flow(
+        _build(spark, edges), [0], [200],
+        MaxFlowConfig(max_candidates=1, validate=True),
+    )
+    assert exact.value == _oracle(edges, [0], [200]) == 104
+    assert not exact.metrics.early_stop
+
+    approx = max_flow(
+        _build(spark, edges), [0], [200],
+        MaxFlowConfig(max_candidates=1, approx=0.9),
+    )
+    assert approx.metrics.early_stop
+    assert approx.metrics.early_stop_phase == approx.metrics.phases
+    assert approx.metrics.phases < exact.metrics.phases
+    assert 100 <= approx.value < exact.value
