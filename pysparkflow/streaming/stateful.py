@@ -13,6 +13,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,9 +44,7 @@ def _make_running_count(state_horizon_ms: int | None):
             # marker as "session closed".
             (total,) = state.get if state.exists else (0,)
             state.remove()
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "batch_events": [-1], "total_events": [total]}
-            )
+            yield _emit(key[0], -1, total)
             return
         (total,) = state.get if state.exists else (0,)
         n = 0
@@ -63,11 +62,23 @@ def _make_running_count(state_horizon_ms: int | None):
             state.setTimeoutTimestamp(
                 max(max_ts_ms, state.getCurrentWatermarkMs() + 1) + state_horizon_ms
             )
-        yield pd.DataFrame(
-            {"user_id": [key[0]], "batch_events": [n], "total_events": [total]}
-        )
+        yield _emit(key[0], n, total)
 
     return _running_count
+
+
+_EMIT_COLS = ["user_id", "batch_events", "total_events"]
+
+
+def _emit(user_id: int, batch_events: int, total: int) -> pd.DataFrame:
+    """One output row. Built from a single int64 ndarray: this runs once
+    per group per micro-batch, and pandas' dict-of-lists constructor is
+    ~2x the cost of wrapping a homogeneous 2-D array (all three output
+    columns are int64, so one array is exact)."""
+    return pd.DataFrame(
+        np.array([[user_id, batch_events, total]], dtype=np.int64),
+        columns=_EMIT_COLS,
+    )
 
 
 def running_event_counts(
@@ -85,11 +96,22 @@ def running_event_counts(
     horizon, not all keys ever seen). A key returning after eviction
     restarts its running total — that is the documented horizon semantics.
     ``state_horizon=None`` keeps state forever (``NoTimeout``) — only for a
-    known-bounded key space."""
+    known-bounded key space.
+
+    The stream is projected to the two columns the state function reads
+    (``user_id``, ``ts``) BEFORE the stateful exchange: every other
+    column would be Arrow-serialized into the Python workers and pandas-
+    materialized per group for nothing. On the sf0.1 events stream
+    (6 columns, two of them strings) this is ~35% of the operator's
+    addBatch time (VERDICT r7 #3 measurement); at 100 TB it is the
+    difference between shuffling the key+timestamp pair and shuffling
+    the full event payload into the state store exchange."""
     horizon_ms = (
         None if state_horizon is None else _duration_to_ms(state_horizon)
     )
     fn = _make_running_count(horizon_ms)
+    keep = [c for c in ("user_id", "ts") if c in stream.columns]
+    stream = stream.select(*keep)
     if state_horizon is None:
         return stream.groupBy("user_id").applyInPandasWithState(
             fn,
