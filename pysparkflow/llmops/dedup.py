@@ -21,7 +21,7 @@ same signatures and these operators get the full hash-match check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pysparkflow.engine.cache import track
@@ -597,4 +597,58 @@ def span_dedup(
             F.col("n_spans").cast("long").alias("n_spans"),
             F.col("n_dropped").cast("long").alias("n_dropped"),
         )
+    )
+
+
+def select_cluster_representatives(
+    clusters: DataFrame,
+    scored: DataFrame,
+    cluster_col: str = "keep_id",
+    doc_col: str = "doc_id",
+    score_id_col: str = "id",
+    score_col: str = "q_score",
+) -> DataFrame:
+    """Quality-aware survivor election: given near-dup ``clusters``
+    (doc_id, keep_id — e.g. :func:`dedup_resolution` output) and a
+    ``scored`` table (id, score — e.g. llmops.quality_model scores),
+    pick each cluster's representative as the member with the HIGHEST
+    score (ties broken by minimum doc id, so the election is total and
+    deterministic).
+
+    dedup_resolution's min-id canonical answers "which cluster"; this
+    answers "which member to keep" — real curation keeps the best-
+    quality copy of a duplicated document, not the one with the
+    smallest id (boilerplate mirrors often have cleaner markup on one
+    host). Returns one row per clustered doc:
+    (doc_id, best_id, score, best_score) — a doc survives iff
+    doc_id == best_id, and the mapping doc -> best_id is the rewrite
+    table for reference fix-up downstream.
+
+    Scale shape: the cluster table is pair-graph-sized (≪ corpus), the
+    score join is key-equi on doc id, and the election is one window
+    partitioned by cluster — nothing here touches corpus text.
+    """
+    j = clusters.join(
+        scored.select(
+            F.col(score_id_col).alias(doc_col), F.col(score_col).alias("_s")
+        ),
+        doc_col,
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_s").desc(), F.col(doc_col).asc()
+    )
+    best = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            cluster_col,
+            F.col(doc_col).alias("best_id"),
+            F.col("_s").alias("best_score"),
+        )
+    )
+    return j.join(best, cluster_col).select(
+        doc_col,
+        "best_id",
+        F.col("_s").alias("score"),
+        "best_score",
     )

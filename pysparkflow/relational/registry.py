@@ -5027,6 +5027,115 @@ FROM sel GROUP BY source
 """
 
 
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-dependence audit (operators/infotheory.py): mutual
+    information between event_type and hour-of-day — the 'is this
+    column a safe split/stratification key' check. One conditional-
+    count pass over events; every log term runs on the |types| x 24
+    contingency table."""
+    from pysparkflow.operators.infotheory import mutual_information
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hod")
+    )
+    return mutual_information(e, "event_type", "hod")
+
+
+# lockstep with operators/infotheory.py: natural ln, CAST to DOUBLE
+# before any multiply (c_xy * n overflows BIGINT at real scale),
+# round(, 6) only on the final per-x sum
+_Q_MUTUAL_INFORMATION_SQL = """
+WITH cells AS (
+  SELECT event_type AS x, hour(ts) AS y, count(*) AS c_xy
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT x, c_xy,
+         sum(c_xy) OVER (PARTITION BY x) AS c_x,
+         sum(c_xy) OVER (PARTITION BY y) AS c_y,
+         sum(c_xy) OVER () AS n
+  FROM cells
+)
+SELECT x AS event_type, CAST(max(c_x) AS BIGINT) AS n_x,
+       round(sum((CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))), 6)
+         AS mi_contrib
+FROM m GROUP BY x
+"""
+
+
+def q_bloom_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered fact⋈dim join (operators/bloomjoin.py): orders
+    rows are gated through a 2-probe Bloom filter of the BUILDING-
+    segment customer keys before the join exchange — the explicit form
+    of the runtime-bloom pushdown, for the regime where the dim is too
+    big to broadcast but its key set's bloom is not. The result is
+    byte-identical to the plain join (the oracle replays the plain
+    join), which is the operator's correctness contract."""
+    from pysparkflow.operators.bloomjoin import bloom_prefiltered_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    j = bloom_prefiltered_join(o, c, "o_custkey", "c_custkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+_Q_BLOOM_JOIN_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor election (llmops/dedup.py
+    select_cluster_representatives): MinHash-LSH near-dup clusters
+    (dedup_resolution) joined with the deterministic quality-classifier
+    scores (llmops/quality_model.py); each cluster keeps its highest-
+    quality member (ties -> min doc id). One row per clustered doc with
+    the doc -> best_id rewrite mapping — the curation policy 'keep the
+    best copy', not 'keep the smallest id'."""
+    from pysparkflow.llmops.dedup import (
+        dedup_resolution,
+        select_cluster_representatives,
+    )
+    from pysparkflow.llmops.quality_model import quality_classify
+
+    pairs, n_pairs = _minhash_pairs(spark, sf_dir)
+    clusters = dedup_resolution(pairs, n_pairs=n_pairs)
+    scored = quality_classify(load_table(spark, sf_dir, "documents"))
+    return select_cluster_representatives(clusters, scored)
+
+
+# composition of two existing oracle bodies (resolution clusters +
+# classifier scores) + a deterministic argmax window — one definition
+# of each semantics, reused
+_Q_DEDUP_KEEP_BEST_SQL = f"""
+WITH r AS ({_Q_DEDUP_RESOLUTION_SQL}),
+q AS ({_Q_QUALITY_CLASSIFY_SQL}),
+j AS (
+  SELECT r.doc_id, r.keep_id, q.q_score
+  FROM r JOIN q ON q.id = r.doc_id
+), best AS (
+  SELECT keep_id, doc_id AS best_id, q_score AS best_score,
+         row_number() OVER (
+           PARTITION BY keep_id ORDER BY q_score DESC, doc_id ASC
+         ) AS rn
+  FROM j
+)
+SELECT j.doc_id, b.best_id, j.q_score AS score, b.best_score
+FROM j JOIN (SELECT keep_id, best_id, best_score FROM best WHERE rn = 1) b
+  USING (keep_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5158,6 +5267,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "psi_drift": q_psi_drift,
     "quality_classify": q_quality_classify,
+    "mutual_information": q_mutual_information,
+    "bloom_prefiltered_join": q_bloom_prefiltered_join,
+    "dedup_keep_best": q_dedup_keep_best,
     "curation_pipeline_v3": q_curation_pipeline_v3,
     "png_decode": q_png_decode,
 }
@@ -5295,6 +5407,9 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_score": _Q_BM25_SQL,
     "heavy_hitters": _Q_HEAVY_HITTERS_SQL,
     "quality_classify": _Q_QUALITY_CLASSIFY_SQL,
+    "mutual_information": _Q_MUTUAL_INFORMATION_SQL,
+    "bloom_prefiltered_join": _Q_BLOOM_JOIN_SQL,
+    "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
     "png_decode": _Q_PNG_DECODE_SQL,
     "psi_drift": _Q_PSI_DRIFT_SQL,
@@ -5413,6 +5528,9 @@ _ROUND_FRONT = [
     "quality_classify",
     "curation_pipeline_v3",
     "png_decode",
+    "mutual_information",
+    "bloom_prefiltered_join",
+    "dedup_keep_best",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -134,10 +134,135 @@ def main() -> int:
     assert n_junk == 0
     assert worst <= 0.03 * 1.0, worst
 
+    # ---- bloom-prefiltered join: exact result + measured selectivity.
+    # fact keys = 0..N-1 (unique), dim keys = multiples of 1000 -> the
+    # plain join has exactly N/1000 rows. The bloom gate's survivor
+    # count is measured with the module's own probe pipeline: true
+    # candidates (0.1%) + FPR (~3% at 10 bits/key, k=2) bounds it at 5%.
+    from pysparkflow.operators.bloomjoin import (
+        _mask,
+        _positions,
+        _word,
+        bloom_prefiltered_join,
+    )
+
+    t0 = time.time()
+    fact = spark.range(n_docs).select(F.col("id").alias("k"))
+    dim = (
+        spark.range(n_docs // 1000)
+        .select((F.col("id") * 1000).alias("dk"))
+    )
+    n_join = bloom_prefiltered_join(fact, dim, "k", "dk").count()
+    m = max(1024, (n_docs // 1000) * 10)
+    survivors = fact
+    for i, p in enumerate(_positions(F.col("k").cast("long"), m, 2)):
+        blm = (
+            dim.select(
+                F.explode(
+                    F.array(*_positions(F.col("dk").cast("long"), m, 2))
+                ).alias("_pos")
+            )
+            .select(_word("_pos").alias("_word"), _mask("_pos").alias("_m"))
+            .groupBy("_word")
+            .agg(F.bit_or("_m").alias("_bits"))
+        )
+        survivors = (
+            survivors.withColumn(f"_p{i}", p)
+            .join(
+                F.broadcast(
+                    blm.select(
+                        F.col("_word").alias(f"_w{i}"),
+                        F.col("_bits").alias(f"_b{i}"),
+                    )
+                ),
+                _word(f"_p{i}") == F.col(f"_w{i}"),
+            )
+            .where(F.col(f"_b{i}").bitwiseAND(_mask(f"_p{i}")) != 0)
+            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
+        )
+    n_pass = survivors.count()
+    bloom_sec = round(time.time() - t0, 2)
+    frac_pass = n_pass / n_docs
+    print(
+        f"bloom_join: {n_docs} fact rows, join={n_join} "
+        f"(expect {n_docs // 1000}), bloom-pass {frac_pass:.4f} "
+        f"({bloom_sec}s)"
+    )
+    assert n_join == n_docs // 1000
+    assert frac_pass <= 0.05, frac_pass
+
+    # ---- mutual information: three closed-form joints on N rows.
+    from pysparkflow.operators.infotheory import mutual_information
+
+    t0 = time.time()
+    n_mi = (n_docs // 24) * 24
+    base = spark.range(n_mi)
+    # independent product (4 x 6 uniform): every contribution exactly 0
+    indep = base.select(
+        (F.col("id") % 4).alias("x"), ((F.col("id") / 4).cast("long") % 6).alias("y")
+    )
+    rows = mutual_information(indep, "x", "y").collect()
+    assert all(r.mi_contrib == 0.0 for r in rows), rows
+    # deterministic y = x: contribution per x = p ln(1/p), p = 1/4
+    det = base.select((F.col("id") % 4).alias("x"), (F.col("id") % 4).alias("y"))
+    want = round(0.25 * math.log(4.0), 6)
+    rows = mutual_information(det, "x", "y").collect()
+    assert all(r.mi_contrib == want for r in rows), (rows, want)
+    # coarsening y = x % 2: contribution per x = 1/4 ln 2, total = H(Y)
+    coarse = base.select(
+        (F.col("id") % 4).alias("x"), (F.col("id") % 2).alias("y")
+    )
+    want2 = round(0.25 * math.log(2.0), 6)
+    rows = mutual_information(coarse, "x", "y").collect()
+    assert all(r.mi_contrib == want2 for r in rows), (rows, want2)
+    mi_sec = round(time.time() - t0, 2)
+    print(f"mutual_information: 3 closed-form joints x {n_mi} rows exact ({mi_sec}s)")
+
+    # ---- survivor election: planted clusters of 3, analytic winners.
+    from pysparkflow.llmops.dedup import select_cluster_representatives
+
+    t0 = time.time()
+    n_cl = (n_docs // 3) * 3
+    clusters = spark.range(n_cl).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") / 3).cast("long") * 3).alias("keep_id"),
+    )
+    # middle member scores 0.9, others 0.1 -> winner = keep_id + 1
+    scored_cl = spark.range(n_cl).select(
+        F.col("id").alias("id"),
+        F.when(F.col("id") % 3 == 1, F.lit(0.9)).otherwise(F.lit(0.1)).alias(
+            "q_score"
+        ),
+    )
+    out_el = select_cluster_representatives(clusters, scored_cl)
+    bad_el = out_el.where(
+        (F.col("best_id") != F.col("doc_id") - (F.col("doc_id") % 3) + 1)
+        | (F.col("best_score") != 0.9)
+    ).count()
+    n_el = out_el.count()
+    # constant scores -> tie -> winner = min id = keep_id
+    tied = select_cluster_representatives(
+        clusters, scored_cl.select("id", F.lit(0.5).alias("q_score"))
+    )
+    bad_tie = tied.where(
+        F.col("best_id") != F.col("doc_id") - (F.col("doc_id") % 3)
+    ).count()
+    elect_sec = round(time.time() - t0, 2)
+    print(
+        f"keep_best: {n_cl} docs / {n_cl // 3} clusters, "
+        f"{bad_el} wrong winners, {bad_tie} wrong tie-breaks ({elect_sec}s)"
+    )
+    assert n_el == n_cl and bad_el == 0 and bad_tie == 0
+
     out = {
         "n_docs": n_docs,
         "classify_sec": classify_sec,
         "mixture_sec": mixture_sec,
+        "bloom_sec": bloom_sec,
+        "bloom_join_rows": n_join,
+        "bloom_pass_frac": round(frac_pass, 4),
+        "mi_sec": mi_sec,
+        "elect_sec": elect_sec,
         "total_sec": round(time.time() - t_all, 2),
         "mismatches": bad,
         "junk_survivors": n_junk,
