@@ -445,6 +445,91 @@ def _stats_frame(id_payloads) -> pd.DataFrame:
     )
 
 
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic REAL PCM-16 mono WAV bytes for a document id: two
+    exact-cycle sines over N=1000 samples at 8000 Hz — primary at
+    k1 = 32 + id%96 cycles (amp 0.6), secondary at k2 = 16 + id%13
+    (amp 0.2; k2 < 29 < 32 <= k1, never colliding). Integer cycle
+    counts land each tone exactly on DFT bin k (no spectral leakage),
+    so the spectrum's top two bins are k1 and k2 in closed form — the
+    audio analogue of synth_ppm's replayable gradient raster — and the
+    bin -> Hz conversion (k * 8000 / 1000 = 8k) stays in integer
+    arithmetic across engines. int16 quantization adds a noise floor
+    ~1e-5 relative, 4 orders below the secondary tone."""
+    n, sr = 1000, 8000
+    k1, k2 = 32 + doc_id % 96, 16 + doc_id % 13
+    t = np.arange(n, dtype=np.float64)
+    x = 0.6 * np.sin(2 * np.pi * k1 * t / n) + 0.2 * np.sin(
+        2 * np.pi * k2 * t / n
+    )
+    data = np.round(x * 32767.0).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sr.to_bytes(4, "little")
+        + (sr * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits
+    )
+    chunks = (
+        b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "media_id long, sample_rate int, n_samples int, peak_bin int, "
+    "second_bin int, dominant_hz long"
+)
+
+
+def audio_spectral(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end REAL audio decode + DSP featurize: synthesize WAV
+    payloads per id (synth_wav), parse them back through the RIFF/PCM
+    byte parser (decode_media), and extract the dominant and secondary
+    spectral peaks with a real FFT (numpy rfft magnitude argmax). The
+    oracle replays the generating tones' closed form — the synth ->
+    parse -> FFT chain must recover them exactly. Arrow-batched
+    mapInPandas, map-only: at scale this is the shape of a
+    feature-extraction pass over an audio column (the FFT per row is
+    the genuine workload; only the payload synthesis stands in for
+    storage)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                modality, (samples, sr) = decode_media(synth_wav(did))
+                assert modality == "audio"
+                mono = samples[:, 0].astype(np.float64)
+                n = len(mono)
+                mag = np.abs(np.fft.rfft(mono))
+                peak = int(np.argmax(mag))
+                mag2 = mag.copy()
+                mag2[peak] = -1.0
+                second = int(np.argmax(mag2))
+                rows.append(
+                    (did, int(sr), n, peak, second, peak * int(sr) // n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "peak_bin", "second_bin", "dominant_hz",
+                ],
+            )
+
+    return ids.mapInPandas(op, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
 def decode_stats_from_bytes(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:

@@ -5136,6 +5136,69 @@ FROM j JOIN (SELECT keep_id, best_id, best_score FROM best WHERE rn = 1) b
 """
 
 
+def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass bounded-memory frequent keys (operators/approxtopk.py):
+    Misra-Gries summaries per partition (<= 64 counters each, merged by
+    summation — Agarwal et al.'s mergeable-summaries bound), top-5 of
+    the log2(event_id+1) bucketing whose exponentially separated counts
+    keep the top set stable under the n/65 MG undercount at every
+    graded sf. Tolerance-gated like approx_distinct: the oracle bands
+    each estimate in [exact - floor(n/65), exact] — a sketch cannot
+    hash-match an exact recompute."""
+    from pysparkflow.operators.approxtopk import misra_gries_topk
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.floor(F.log2(F.col("event_id") + 1)).cast("long").alias("bucket")
+    )
+    return misra_gries_topk(e, "bucket", k_track=64, top_n=5)
+
+
+# tolerance oracle (harness-checked): exact counts banded by the
+# analytic MG bound floor(n / (k_track+1)); the top-5-by-exact set
+# equals the top-5-by-estimate set because adjacent bucket counts
+# differ by more than the bound (powers of two vs n/65)
+_Q_APPROX_TOPK_TOL_SQL = """
+WITH keyed AS (
+  SELECT CAST(floor(log2(event_id + 1)) AS BIGINT) AS bucket FROM events
+), exact AS (
+  SELECT bucket, count(*) AS c FROM keyed GROUP BY bucket
+), t AS (SELECT count(*) AS n FROM keyed)
+SELECT bucket,
+       CAST(c - floor(n / 65.0) AS BIGINT) AS count_est__lo,
+       CAST(c AS BIGINT) AS count_est__hi
+FROM exact, t
+ORDER BY c DESC, bucket ASC LIMIT 5
+"""
+
+
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + DSP featurize end-to-end (the audio analogue
+    of multimodal_decode): synthesize PCM-16 WAV payloads per document
+    id (llmops/multimodal.py synth_wav — two exact-cycle sines), parse
+    them back through the RIFF/PCM byte parser, and recover the
+    dominant + secondary spectral peaks with a real numpy rfft. The
+    oracle replays the generating tones' closed form — synth -> parse
+    -> FFT must invert exactly (integer bin -> Hz arithmetic, no float
+    rounding in the contract). Map-only Arrow-batched plan."""
+    from pysparkflow.llmops.multimodal import audio_spectral
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id").where(F.col("doc_id") % 7 == 3)
+    return audio_spectral(ids)
+
+
+# replay of synth_wav's generating tones, independent of parser + FFT:
+# k1 = 32 + id%96 (amp 0.6), k2 = 16 + id%13 (amp 0.2), N=1000,
+# sr=8000 -> dominant_hz = k1 * 8 exactly
+_Q_AUDIO_SPECTRAL_SQL = """
+SELECT doc_id AS media_id, 8000 AS sample_rate, 1000 AS n_samples,
+       CAST(32 + doc_id % 96 AS INTEGER) AS peak_bin,
+       CAST(16 + doc_id % 13 AS INTEGER) AS second_bin,
+       CAST((32 + doc_id % 96) * 8 AS BIGINT) AS dominant_hz
+FROM documents WHERE doc_id % 7 = 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5270,6 +5333,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_information": q_mutual_information,
     "bloom_prefiltered_join": q_bloom_prefiltered_join,
     "dedup_keep_best": q_dedup_keep_best,
+    "approx_topk": q_approx_topk,
+    "audio_spectral": q_audio_spectral,
     "curation_pipeline_v3": q_curation_pipeline_v3,
     "png_decode": q_png_decode,
 }
@@ -5410,6 +5475,7 @@ ORACLE_SQL: dict[str, str] = {
     "mutual_information": _Q_MUTUAL_INFORMATION_SQL,
     "bloom_prefiltered_join": _Q_BLOOM_JOIN_SQL,
     "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
+    "audio_spectral": _Q_AUDIO_SPECTRAL_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
     "png_decode": _Q_PNG_DECODE_SQL,
     "psi_drift": _Q_PSI_DRIFT_SQL,
@@ -5435,6 +5501,10 @@ TOLERANCE_ORACLES: dict[str, dict] = {
     "approx_quantiles": {
         "sql": _approx_quantiles_tol_sql(),
         "keys": ["q"],
+    },
+    "approx_topk": {
+        "sql": _Q_APPROX_TOPK_TOL_SQL,
+        "keys": ["bucket"],
     },
 }
 

@@ -95,3 +95,77 @@ def test_select_cluster_representatives_prefers_score_then_id(spark):
     assert out[3] == (2, 0.5, 0.9)
     assert out[10] == (10, 0.7, 0.7)
     assert out[11] == (10, 0.7, 0.7)
+
+
+def test_misra_gries_exact_under_capacity(spark):
+    """Distinct keys <= k_track: no decrement ever fires and the
+    estimates ARE the exact counts."""
+    from pysparkflow.operators.approxtopk import misra_gries_topk
+
+    rows = [(i % 10,) for i in range(1000)] + [(3,)] * 500
+    df = spark.createDataFrame(rows, "k long")
+    out = {r.k: r.count_est for r in misra_gries_topk(df, "k", k_track=16, top_n=10).collect()}
+    assert out[3] == 600
+    assert all(out[k] == 100 for k in out if k != 3)
+
+
+def test_misra_gries_lossy_band_and_coverage(spark):
+    """k_track far below the key cardinality: every estimate must obey
+    true - n/(k_track+1) <= est <= true, and a planted dominant key
+    must survive the decrements and rank first."""
+    from pysparkflow.operators.approxtopk import misra_gries_topk
+
+    # 4000 singleton keys + one key with 800 occurrences, shuffled
+    # deterministically across 8 partitions
+    rows = [(1_000_000,)] * 800 + [(i,) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k long").repartition(8, "k")
+    n = len(rows)
+    k_track = 32
+    got = misra_gries_topk(df, "k", k_track=k_track, top_n=3).collect()
+    exact = {1_000_000: 800, **{i: 1 for i in range(4000)}}
+    bound = n // (k_track + 1)
+    for r in got:
+        true = exact[r.k]
+        assert true - bound <= r.count_est <= true, (r, true, bound)
+    assert got[0].k == 1_000_000 and got[0].count_est >= 800 - bound
+
+
+def test_misra_gries_merge_invariance(spark):
+    """The guarantee must hold regardless of partitioning: 1 partition
+    vs 16 partitions both band-contain the truth for the heavy key."""
+    from pysparkflow.operators.approxtopk import misra_gries_topk
+
+    rows = [(7,)] * 300 + [(i + 100,) for i in range(2000)] * 2
+    bound = len(rows) // 17
+    for parts in (1, 16):
+        df = spark.createDataFrame(rows, "k long").repartition(parts)
+        top = misra_gries_topk(df, "k", k_track=16, top_n=1).collect()[0]
+        assert top.k == 7 and 300 - bound <= top.count_est <= 300
+
+
+def test_synth_wav_roundtrip_and_spectral(spark):
+    """synth -> RIFF parse -> FFT recovers the generating tones for a
+    spread of ids, and the bin->Hz arithmetic stays integer."""
+    import numpy as np
+
+    from pysparkflow.llmops.multimodal import (
+        audio_spectral,
+        decode_media,
+        synth_wav,
+    )
+
+    for did in (0, 3, 17, 94, 95, 96, 1001):
+        modality, (samples, sr) = decode_media(synth_wav(did))
+        assert modality == "audio" and sr == 8000
+        assert samples.shape == (1000, 1)
+        mag = np.abs(np.fft.rfft(samples[:, 0].astype(np.float64)))
+        assert int(np.argmax(mag)) == 32 + did % 96
+
+    ids = spark.createDataFrame([(d,) for d in (3, 10, 24, 150)], "doc_id long")
+    out = {r.media_id: r for r in audio_spectral(ids).collect()}
+    for did in (3, 10, 24, 150):
+        r = out[did]
+        assert r.peak_bin == 32 + did % 96
+        assert r.second_bin == 16 + did % 13
+        assert r.dominant_hz == (32 + did % 96) * 8
+        assert (r.sample_rate, r.n_samples) == (8000, 1000)

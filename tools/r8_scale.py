@@ -254,6 +254,48 @@ def main() -> int:
     )
     assert n_el == n_cl and bad_el == 0 and bad_tie == 0
 
+    # ---- Misra-Gries top-k: heavy-tailed planted corpus far above the
+    # sketch capacity. Keys: 20 planted heavies (id%1e5 < 20 -> key =
+    # id%20, ~n/1e5 * 5000 each... simpler: key = id % 100000 gives 100k
+    # distinct near-uniform keys, then 5% of rows are remapped to key
+    # 10_000_000 + id % 10 — ten dominant keys, each with ~n/200 count,
+    # ~1000x the singleton mass. k_track=256 (400x below cardinality):
+    # the exact top-10 must be recovered, every estimate in the MG band,
+    # and the pre-merge shuffle must carry <= partitions * k_track rows.
+    from pysparkflow.operators.approxtopk import _mg_partition, misra_gries_topk
+
+    t0 = time.time()
+    heavy = spark.range(n_docs).select(
+        F.when(
+            F.col("id") % 20 == 0,
+            (10_000_000 + F.floor(F.col("id") / 20) % 10).cast("long"),
+        )
+        .otherwise(F.col("id") % 100_000)
+        .alias("k")
+    )
+    k_track = 256
+    got = misra_gries_topk(heavy, "k", k_track=k_track, top_n=10).collect()
+    n_heavy = heavy.count()
+    bound = n_heavy // (k_track + 1)
+    true_each = n_docs // 200  # each of the 10 planted keys
+    assert sorted(r.k for r in got) == [10_000_000 + i for i in range(10)], got
+    assert all(
+        true_each - bound <= r.count_est <= true_each for r in got
+    ), (got, true_each, bound)
+    shuffled = (
+        heavy.select(F.col("k").alias("_k"))
+        .mapInPandas(_mg_partition(k_track), "_k long, _est long")
+        .count()
+    )
+    n_parts = heavy.rdd.getNumPartitions()
+    mg_sec = round(time.time() - t0, 2)
+    print(
+        f"approx_topk: 10/10 planted heavies exact-set at {n_heavy} rows / "
+        f"~100k keys, bands hold (bound={bound}), pre-merge rows "
+        f"{shuffled} <= {n_parts * k_track} ({mg_sec}s)"
+    )
+    assert shuffled <= n_parts * k_track
+
     out = {
         "n_docs": n_docs,
         "classify_sec": classify_sec,
