@@ -317,8 +317,13 @@ def main() -> None:
     host_flag, host_ratio = _host_flag(cal_before, cal_after)
     # full per-query map → committed side file (too big for the driver's
     # ~2KB stdout tail window; see module docstring)
+    # VERDICT r7 #7: closing-bench candidates must ALL be committed, not
+    # just the winner — SPARK_GRAFT_BENCH_OUT names this run's side file
+    # (e.g. bench_queries_r8_cand1.json) so per-query variance across
+    # same-code candidates is machine-readable via tools/bench_delta.py
     side_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_queries_latest.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        os.environ.get("SPARK_GRAFT_BENCH_OUT", "bench_queries_latest.json"),
     )
     with open(side_path, "w") as fh:
         json.dump(
@@ -413,7 +418,7 @@ def main() -> None:
                 # tripwire flags re-sampled in-run (detail in the side
                 # file); "regressed" above lists only survivors
                 "n_adjudicated": len(adjudicated),
-                "queries_full": "bench_queries_latest.json",
+                "queries_full": os.path.basename(side_path),
             },
             separators=(",", ":"),
         )
