@@ -174,8 +174,17 @@ def _regression_check(
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # adjudicated round snapshots ONLY (bench_queries_r8.json) — the
+    # per-candidate side files (bench_queries_r8_cand2.json, committed
+    # for variance analysis per VERDICT r7 #7) may contain exactly the
+    # drift spikes adjudication excluded, so they must never become the
+    # regression baseline
     snaps = sorted(
-        glob.glob(os.path.join(here, "bench_queries_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(here, "bench_queries_r*.json"))
+            if re.fullmatch(r"bench_queries_r\d+\.json", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
     if not snaps:

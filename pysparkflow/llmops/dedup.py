@@ -633,9 +633,15 @@ def select_cluster_representatives(
             F.col(score_id_col).alias(doc_col), F.col(score_col).alias("_s")
         ),
         doc_col,
+        "left",
     )
+    # left join + nulls-LAST ordering: a clustered doc missing from the
+    # score table (scores computed on a filtered snapshot) still gets a
+    # row — with a null score — and can never win the election over a
+    # scored member. An inner join here would silently drop it from the
+    # rewrite mapping, orphaning downstream reference fix-up.
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col("_s").desc(), F.col(doc_col).asc()
+        F.col("_s").desc_nulls_last(), F.col(doc_col).asc()
     )
     best = (
         j.withColumn("_rn", F.row_number().over(w))

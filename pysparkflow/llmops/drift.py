@@ -50,7 +50,13 @@ def psi_drift(
     Bin 0 catches the underflow tail (negative values clamp up, ADVICE
     r7) and bin ``n_bins - 1`` the overflow tail, so every row's mass —
     including centered / z-scored features — lands in the scaffold and
-    contributes to the PSI sum."""
+    contributes to the PSI sum. Rows with a NULL ``value_col`` are
+    excluded BEFORE the totals: a null has no bin, and counting it into
+    ref_total/cur_total while its mass never reaches the scaffold would
+    deflate every bin's probability and understate drift — the same
+    counted-but-unbinned leak the underflow clamp closed for negative
+    values."""
+    df = df.where(F.col(value_col).isNotNull())
     b = F.greatest(
         F.lit(0),
         F.least(

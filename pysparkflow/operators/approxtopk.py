@@ -9,10 +9,12 @@ tolerance oracle instead of a hash-match:
 
     true_count - floor(n / (k_track+1))  <=  est  <=  true_count
 
-Scale shape: one `mapInPandas` pass holds AT MOST ``k_track`` counters
-per partition regardless of key cardinality (the whole point — a plain
-groupBy's hash agg spills on a heavy-tailed 100 TB key space, a sketch
-never grows), and ships at most ``partitions x k_track`` rows into one
+Scale shape: one `mapInPandas` pass whose counter dict is bounded by
+``k_track`` plus a fixed merge-chunk size regardless of key cardinality
+(the whole point — a plain groupBy's hash agg spills on a heavy-tailed
+100 TB key space, a sketch never grows; the trim runs inside the batch
+merge, not after it, so a high-cardinality Arrow batch cannot balloon
+the dict), and it ships at most ``partitions x k_track`` rows into one
 tiny final aggregation. Per Arrow batch the counting is C-speed
 (`value_counts`); the Python-side merge loop touches DISTINCT keys of
 the batch, never rows.
@@ -35,17 +37,31 @@ from pyspark.sql import functions as F
 
 
 def _mg_partition(k_track: int):
+    def _trim(counts: dict) -> dict:
+        # subtract the (k_track+1)-th largest estimate from every
+        # counter and drop the non-positive ones: <= k_track survive,
+        # and the removed mass is >= (k_track+1) * d — the decrements
+        # across all trims sum to <= n_partition / (k_track + 1)
+        if len(counts) <= k_track:
+            return counts
+        d = sorted(counts.values(), reverse=True)[k_track]
+        return {k: v - d for k, v in counts.items() if v > d}
+
     def fn(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts: dict[int, int] = {}
+        counts: dict = {}
         for pdf in pdfs:
-            for key, c in pdf["_k"].value_counts().items():
-                counts[key] = counts.get(key, 0) + int(c)
-            if len(counts) > k_track:
-                # subtract the (k_track+1)-th largest estimate from every
-                # counter and drop the non-positive ones: <= k_track
-                # survive, and the removed mass is >= (k_track+1) * d
-                d = sorted(counts.values(), reverse=True)[k_track]
-                counts = {k: v - d for k, v in counts.items() if v > d}
+            vc = pdf["_k"].value_counts()
+            # merge in chunks and trim after each so peak memory is
+            # O(k_track + chunk), bounded by the SKETCH, not by the
+            # Arrow batch's distinct-key count (MG's guarantee is
+            # order-insensitive: every trim still removes >=
+            # (k_track+1)*d mass, wherever it happens)
+            chunk = max(k_track, 1024)
+            items = list(vc.items())
+            for lo in range(0, len(items), chunk):
+                for key, c in items[lo : lo + chunk]:
+                    counts[key] = counts.get(key, 0) + int(c)
+                counts = _trim(counts)
         if counts:
             yield pd.DataFrame(
                 {"_k": list(counts.keys()), "_est": list(counts.values())}
@@ -64,11 +80,18 @@ def misra_gries_topk(
     The returned SET of keys equals the exact top-``top_n`` whenever the
     exact counts of ranks ``top_n`` and ``top_n + 1`` are separated by
     more than n/(k_track+1) — size ``k_track`` to the discrimination you
-    need, exactly like choosing a sketch width. Ties order by key."""
-    keyed = df.select(F.col(key_col).cast("long").alias("_k")).where(
+    need, exactly like choosing a sketch width. Ties order by key.
+
+    Keys keep their OWN type (string URLs and tokens are the canonical
+    frequent-key workload — a ``cast('long')`` here would throw under
+    ANSI mode on the first non-numeric value)."""
+    k_type = df.schema[key_col].dataType.simpleString()
+    keyed = df.select(F.col(key_col).alias("_k")).where(
         F.col("_k").isNotNull()
     )
-    partial = keyed.mapInPandas(_mg_partition(k_track), "_k long, _est long")
+    partial = keyed.mapInPandas(
+        _mg_partition(k_track), f"_k {k_type}, _est long"
+    )
     return (
         partial.groupBy(F.col("_k").alias(key_col))
         .agg(F.sum("_est").cast("long").alias("count_est"))

@@ -35,7 +35,11 @@ def _positions(key: Column, m: int, n_hashes: int) -> list[Column]:
     """k bit positions for a key: pmod(xxhash64(key, seed), m). The seed
     goes in as a literal second hash input — xxhash64 is deterministic
     across executors, the house requirement for anything that gates
-    rows."""
+    rows — and hashes the column AT ITS OWN TYPE: no cast, so string /
+    decimal / date keys work, and a malformed value can never throw the
+    ANSI cast error a ``cast('long')`` here once did. The only
+    requirement is that ``fact_key`` and ``dim_key`` share a type (the
+    join condition already requires that)."""
     return [
         F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m)) for i in range(n_hashes)
     ]
@@ -67,9 +71,22 @@ def bloom_prefiltered_join(
     at 10 bits/key is a 1.6M-row, ~25 MB table, broadcastable where the
     dim itself is not. Each of the k probes is a broadcast hash join
     against that table plus a codegen'd bit test."""
+    f_type = fact.schema[fact_key].dataType
+    d_type = dim.schema[dim_key].dataType
+    if f_type != d_type:
+        # xxhash64 hashes a value AT ITS TYPE (int 7 and bigint 7 hash
+        # differently), so mismatched key types would silently drop true
+        # matches — the one failure mode a Bloom prefilter must never
+        # have. Make the precondition explicit instead of guessing a
+        # coercion.
+        raise ValueError(
+            f"bloom_prefiltered_join requires matching key types, got "
+            f"{fact_key}: {f_type.simpleString()} vs "
+            f"{dim_key}: {d_type.simpleString()} — cast one side first"
+        )
     n_keys = dim.select(dim_key).distinct().count()
     m = max(1024, n_keys * bits_per_key)
-    key = F.col(dim_key).cast("long")
+    key = F.col(dim_key)
     bloom = (
         dim.select(
             F.explode(F.array(*_positions(key, m, n_hashes))).alias("_pos")
@@ -79,7 +96,7 @@ def bloom_prefiltered_join(
         .agg(F.bit_or("_m").alias("_bits"))
     )
     probed = fact
-    fkey = F.col(fact_key).cast("long")
+    fkey = F.col(fact_key)
     for i, p in enumerate(_positions(fkey, m, n_hashes)):
         b = F.broadcast(
             bloom.select(

@@ -44,8 +44,12 @@ def heavy_hitters(
     """Exact (key, n_rows) for every key appearing at least ``min_count``
     times, via KPS candidate pruning + exact verification.
 
-    ``total_rows``: pass the row count when already known to skip the
-    count job (the support fraction needs it).
+    ``total_rows``: pass the NON-NULL-key row count when already known
+    to skip the count job (the support fraction needs it; an all-rows
+    count merely shrinks the support, which keeps the candidate pass a
+    sound superset — but callers deriving ``min_count`` from the same n
+    must use the non-null universe or their threshold diverges from a
+    GROUP BY HAVING oracle).
 
     Null keys are excluded up front on BOTH plans (the pruned path's
     left_semi join would drop a null-key group the exact path kept —

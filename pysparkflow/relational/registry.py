@@ -4770,7 +4770,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pysparkflow.operators.heavyhitters import heavy_hitters
 
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
+    # the threshold's n must count the same universe the operator
+    # filters to (non-null keys, ADVICE r7) — counting all rows here
+    # would diverge from the GROUP BY HAVING oracle the moment the
+    # events table carries a null user_id
+    n = ev.where(F.col("user_id").isNotNull()).count()
     return heavy_hitters(
         ev, "user_id", min_count=math.ceil(0.00085 * n), total_rows=n
     ).select(F.col("key").alias("user_id"), "n_rows")
@@ -4802,7 +4806,7 @@ WITH binned AS (
          greatest(0, least(CAST(floor(value / 50.0) AS INT), 9)) AS bin,
          count(*) FILTER (WHERE event_id % 2 = 0) AS ref_n,
          count(*) FILTER (WHERE event_id % 2 = 1) AS cur_n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), totals AS (
   SELECT grp, sum(ref_n) AS ref_total, sum(cur_n) AS cur_total
   FROM binned GROUP BY 1

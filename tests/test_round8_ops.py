@@ -169,3 +169,82 @@ def test_synth_wav_roundtrip_and_spectral(spark):
         assert r.second_bin == 16 + did % 13
         assert r.dominant_hz == (32 + did % 96) * 8
         assert (r.sample_rate, r.n_samples) == (8000, 1000)
+
+
+def test_bloom_join_string_keys(spark):
+    """Keys hash at their own type: string keys (URLs/tokens — the
+    canonical case) must work end-to-end, malformed numerics included."""
+    fact = spark.createDataFrame(
+        [("a5", 1), ("7", 2), ("zzz", 3), ("a5", 4)], "k string, v int"
+    )
+    dim = spark.createDataFrame([("a5", "x"), ("nope", "y")], "dk string, label string")
+    got = (
+        bloom_prefiltered_join(fact, dim, "k", "dk")
+        .select("v", "label")
+        .orderBy("v")
+        .collect()
+    )
+    assert [(r.v, r.label) for r in got] == [(1, "x"), (4, "x")]
+
+
+def test_bloom_join_mismatched_key_types_raises(spark):
+    """xxhash64 is type-sensitive (int 7 != bigint 7): silently dropping
+    true matches is the one failure a superset gate must never have, so
+    mismatched key types are an explicit error."""
+    import pytest
+
+    fact = spark.createDataFrame([(7,)], "k int")
+    dim = spark.createDataFrame([(7,)], "dk long")
+    with pytest.raises(ValueError, match="matching key types"):
+        bloom_prefiltered_join(fact, dim, "k", "dk")
+
+
+def test_misra_gries_string_keys(spark):
+    from pysparkflow.operators.approxtopk import misra_gries_topk
+
+    rows = [("the",)] * 50 + [("and",)] * 30 + [(f"w{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "tok string")
+    got = misra_gries_topk(df, "tok", k_track=16, top_n=2).collect()
+    bound = len(rows) // 17
+    assert [r.tok for r in got] == ["the", "and"]
+    assert 50 - bound <= got[0].count_est <= 50
+    assert 30 - bound <= got[1].count_est <= 30
+
+
+def test_select_cluster_representatives_unscored_member(spark):
+    """A clustered doc missing from the score table stays in the rewrite
+    mapping (left join) and never wins the election (nulls last)."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, keep_id long"
+    )
+    scored = spark.createDataFrame([(1, 0.4), (3, 0.2)], "id long, q_score double")
+    out = {
+        r.doc_id: (r.best_id, r.score, r.best_score)
+        for r in select_cluster_representatives(clusters, scored).collect()
+    }
+    assert len(out) == 3
+    assert out[2] == (1, None, 0.4)  # unscored: present, not elected
+    assert out[1] == (1, 0.4, 0.4) and out[3] == (1, 0.2, 0.4)
+
+
+def test_psi_drift_null_values_excluded_from_totals(spark):
+    """NULL feature values have no bin; counting them into the totals
+    while their mass never reaches the scaffold would deflate every
+    bin's probability (the counted-but-unbinned leak, ADVICE-r7 class).
+    PSI over a corpus with planted nulls must equal PSI over the
+    null-free subset."""
+    from pysparkflow.llmops.drift import psi_drift
+
+    base = [("a", float(10 * i % 400), i) for i in range(400)]
+    clean = spark.createDataFrame(base, "event_type string, value double, event_id long")
+    with_nulls = clean.unionByName(
+        spark.createDataFrame(
+            [("a", None, 9001), ("a", None, 9002)],
+            "event_type string, value double, event_id long",
+        )
+    )
+    snap = F.col("event_id") % 2 == 1
+    want = psi_drift(clean, snap).collect()
+    got = psi_drift(with_nulls, snap).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].n_ref + got[0].n_cur == 400

@@ -155,17 +155,15 @@ def main() -> int:
     n_join = bloom_prefiltered_join(fact, dim, "k", "dk").count()
     m = max(1024, (n_docs // 1000) * 10)
     survivors = fact
-    for i, p in enumerate(_positions(F.col("k").cast("long"), m, 2)):
-        blm = (
-            dim.select(
-                F.explode(
-                    F.array(*_positions(F.col("dk").cast("long"), m, 2))
-                ).alias("_pos")
-            )
-            .select(_word("_pos").alias("_word"), _mask("_pos").alias("_m"))
-            .groupBy("_word")
-            .agg(F.bit_or("_m").alias("_bits"))
+    blm = (
+        dim.select(
+            F.explode(F.array(*_positions(F.col("dk"), m, 2))).alias("_pos")
         )
+        .select(_word("_pos").alias("_word"), _mask("_pos").alias("_m"))
+        .groupBy("_word")
+        .agg(F.bit_or("_m").alias("_bits"))
+    )
+    for i, p in enumerate(_positions(F.col("k"), m, 2)):
         survivors = (
             survivors.withColumn(f"_p{i}", p)
             .join(
