@@ -5203,6 +5203,55 @@ FROM documents WHERE doc_id % 7 = 3
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame-sampling (llmops/multimodal.py
+    video_frame_stats): RVID containers (length-prefixed P6 frames — an
+    uncompressed MJPEG analogue, so the chunk walk and per-frame decode
+    are real parsing with no external codec) synthesized per document
+    id, every 2nd frame sampled, per-frame mean + position-weighted
+    checksum. The oracle replays the temporal gradient formula with
+    range() arithmetic — container walk + frame decode + sampling must
+    invert exactly. Map-only Arrow-batched plan; output ∝ sampled
+    frames."""
+    from pysparkflow.llmops.multimodal import video_frame_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id").where(F.col("doc_id") % 7 == 5)
+    return video_frame_stats(ids, stride=2)
+
+
+# replay of synth_rawvideo's generating formula, independent of the
+# container walk + PNM decode: w = 16+id%8, h = 8+id%5, nf = 4+id%5,
+# sampled frames f in range(0, nf, 2),
+# pixel(f,x,y,c) = (id*7 + f*17 + x*3 + y*5 + c*11) % 256
+_Q_VIDEO_FRAMES_SQL = """
+WITH dims AS (
+  SELECT doc_id AS id,
+         CAST(16 + doc_id % 8 AS INTEGER) AS w,
+         CAST(8 + doc_id % 5 AS INTEGER) AS h,
+         CAST(4 + doc_id % 5 AS INTEGER) AS nf
+  FROM documents WHERE doc_id % 7 = 5
+), fr AS (
+  SELECT id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM dims
+), xs AS (
+  SELECT id, w, h, nf, f, unnest(range(0, w)) AS x FROM fr
+), ys AS (
+  SELECT id, w, h, nf, f, x, unnest(range(0, h)) AS y FROM xs
+), px AS (
+  SELECT id, w, h, nf, f, x, y, unnest([0, 1, 2]) AS c FROM ys
+), v AS (
+  SELECT id, w, h, nf, f, x, y, c,
+         (id*7 + f*17 + x*3 + y*5 + c*11) % 256 AS v
+  FROM px
+)
+SELECT id AS media_id, CAST(f AS INTEGER) AS frame_idx, nf AS n_frames,
+       w AS width, h AS height,
+       round(avg(v), 6) AS mean_px,
+       CAST(sum(v * (x + 7*y + 13*c)) AS BIGINT) AS wsum
+FROM v GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5339,6 +5388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "approx_topk": q_approx_topk,
     "audio_spectral": q_audio_spectral,
+    "video_frames": q_video_frames,
     "curation_pipeline_v3": q_curation_pipeline_v3,
     "png_decode": q_png_decode,
 }
@@ -5480,6 +5530,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_prefiltered_join": _Q_BLOOM_JOIN_SQL,
     "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
     "audio_spectral": _Q_AUDIO_SPECTRAL_SQL,
+    "video_frames": _Q_VIDEO_FRAMES_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
     "png_decode": _Q_PNG_DECODE_SQL,
     "psi_drift": _Q_PSI_DRIFT_SQL,

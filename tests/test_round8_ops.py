@@ -248,3 +248,38 @@ def test_psi_drift_null_values_excluded_from_totals(spark):
     got = psi_drift(with_nulls, snap).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert got[0].n_ref + got[0].n_cur == 400
+
+
+def test_rawvideo_container_roundtrip_and_sampling(spark):
+    """RVID walk + per-frame PNM decode inverts the synth formula, and
+    stride sampling keeps exactly frames 0, s, 2s, ..."""
+    import numpy as np
+
+    from pysparkflow.llmops.multimodal import (
+        _parse_rawvideo,
+        synth_rawvideo,
+        video_frame_stats,
+    )
+
+    for did in (0, 5, 12, 33):
+        frames = _parse_rawvideo(synth_rawvideo(did))
+        assert len(frames) == 4 + did % 5
+        w, h = 16 + did % 8, 8 + did % 5
+        for f, arr in enumerate(frames):
+            assert arr.shape == (h, w, 3)
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            c = np.arange(3)[None, None, :]
+            want = (did * 7 + f * 17 + x * 3 + y * 5 + c * 11) % 256
+            assert (arr == want).all()
+
+    ids = spark.createDataFrame([(5,), (12,)], "doc_id long")
+    out = video_frame_stats(ids, stride=3).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r.frame_idx)
+    assert sorted(by_id[5]) == [0, 3]  # nf = 4 + 5%5 = 4 -> frames 0,3
+    assert sorted(by_id[12]) == [0, 3]  # nf = 6 -> range(0,6,3) = 0,3
+    for r in out:
+        assert r.n_frames == 4 + r.media_id % 5
+        assert (r.width, r.height) == (16 + r.media_id % 8, 8 + r.media_id % 5)
