@@ -53,3 +53,32 @@ def test_adjudicate_no_flags_is_noop():
     timings = {"q": 1.0}
     assert bench._adjudicate_flags(None, "", timings, [], run_query=None) == []
     assert timings == {"q": 1.0}
+
+
+def test_regression_baseline_ignores_candidate_files(tmp_path, monkeypatch):
+    """The baseline glob must pick the newest ADJUDICATED round snapshot
+    (bench_queries_r8.json), never a bench_queries_r*_cand*.json
+    variance file committed alongside it (VERDICT r7 #7 workflow) — a
+    candidate may contain exactly the drift spikes adjudication
+    excluded."""
+    import json
+
+    bench = _load_bench()
+    (tmp_path / "bench_queries_r7.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 1.0}})
+    )
+    (tmp_path / "bench_queries_r8.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 2.0}})
+    )
+    # drift-spiked candidate, lexically LAST so an unfiltered glob tie
+    # at r8 could surface it
+    (tmp_path / "bench_queries_r8_cand9.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"q": 50.0}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    # new=3.5 vs adjudicated r8 baseline 2.0 -> 1.75x, flagged; vs the
+    # cand file's 50.0 it would NOT flag -> proves the baseline choice
+    out = bench._regression_check({"q": 3.5}, 0.1)
+    assert out == [("q", 2.0, 3.5)]
