@@ -422,7 +422,14 @@ def _stats_frame(id_payloads) -> pd.DataFrame:
     rows = []
     for did, payload in id_payloads:
         modality, (arr, maxval) = decode_media(payload)
-        assert modality == "image" and maxval == 255
+        # explicit raise, not assert: executor workers may run python -O
+        # (asserts stripped), and a malformed payload must fail the task
+        # loudly, never proceed with a mis-scaled raster (ADVICE r8)
+        if modality != "image" or maxval != 255:
+            raise ValueError(
+                f"expected 8-bit image payload, got {modality!r} "
+                f"maxval={maxval}"
+            )
         h, w, c = arr.shape
         a = arr.astype(np.int64)
         wx = np.arange(w, dtype=np.int64)[None, :, None]
@@ -508,7 +515,11 @@ def audio_spectral(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for did in pdf[id_col]:
                 did = int(did)
                 modality, (samples, sr) = decode_media(synth_wav(did))
-                assert modality == "audio"
+                if modality != "audio":
+                    # survives python -O, unlike assert (ADVICE r8)
+                    raise ValueError(
+                        f"expected audio payload, got {modality!r}"
+                    )
                 mono = samples[:, 0].astype(np.float64)
                 n = len(mono)
                 mag = np.abs(np.fft.rfft(mono))
@@ -570,7 +581,9 @@ def _parse_rawvideo(payload: bytes) -> list[np.ndarray]:
             raise ValueError("truncated RVID container")
         size = int.from_bytes(payload[pos : pos + 4], "little")
         arr, maxval = _parse_pnm(payload[pos + 4 : pos + 4 + size])
-        assert maxval == 255
+        if maxval != 255:
+            # survives python -O, unlike assert (ADVICE r8)
+            raise ValueError(f"RVID frame must be 8-bit, got maxval={maxval}")
         frames.append(arr)
         pos += 4 + size
     return frames

@@ -591,6 +591,24 @@ def _lineitem_max_flow(spark: SparkSession, sf_dir: str):
     return _MAXFLOW_CACHE[key]
 
 
+# bench introspection (VERDICT r8 #6): the last flagship run's loop
+# counters, published by the graded query functions so bench.py can put
+# phases/rounds next to the seconds — with per-query host whipsaw up to
+# 1.5x on identical code, the round count is the scalar that separates
+# "host was slow" from "the loop genuinely ran longer"
+LAST_FLAGSHIP_METRICS: dict[str, dict] = {}
+
+
+def _record_flagship(name: str, metrics) -> None:
+    LAST_FLAGSHIP_METRICS[name] = {
+        "phases": metrics.phases,
+        "rounds": metrics.rounds,
+        "early_stop": metrics.early_stop,
+        "early_stop_phase": metrics.early_stop_phase,
+        "accepted_paths": metrics.accepted_paths,
+    }
+
+
 def q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's headline query: multi-source/multi-sink max-flow
     (main.java:17-20). Iterative — not SQL-expressible; correctness is
@@ -598,6 +616,7 @@ def q_max_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     running the conservation/capacity invariants (maxflow._validate,
     ff1/Vertex.java:161-162, ff1/Edge.java:66-71) in this graded path."""
     res = _lineitem_max_flow(spark, sf_dir)
+    _record_flagship("max_flow", res.metrics)
     return spark.createDataFrame(
         [(res.value, res.metrics.phases, res.metrics.accepted_paths)],
         schema="max_flow long, phases int, n_paths int",
@@ -626,6 +645,7 @@ def q_max_flow_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         sinks=[1_000_001, 1_000_002],
         config=MaxFlowConfig(meet_extra_rounds=0, approx=0.95, validate=True),
     )
+    _record_flagship("max_flow_approx", res.metrics)
     return spark.createDataFrame(
         [(res.value, res.metrics.phases)], schema="approx_flow long, phases int"
     )
@@ -5120,23 +5140,87 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # composition of two existing oracle bodies (resolution clusters +
 # classifier scores) + a deterministic argmax window — one definition
-# of each semantics, reused
+# of each semantics, reused. LEFT join + NULLS LAST mirrors the
+# operator exactly (ADVICE r8): a clustered doc missing from the score
+# table keeps its row with a null score and can never win the election
+# — the graded query scores every document, but the oracle must match
+# select_cluster_representatives for partial score tables too.
 _Q_DEDUP_KEEP_BEST_SQL = f"""
 WITH r AS ({_Q_DEDUP_RESOLUTION_SQL}),
 q AS ({_Q_QUALITY_CLASSIFY_SQL}),
 j AS (
   SELECT r.doc_id, r.keep_id, q.q_score
-  FROM r JOIN q ON q.id = r.doc_id
+  FROM r LEFT JOIN q ON q.id = r.doc_id
 ), best AS (
   SELECT keep_id, doc_id AS best_id, q_score AS best_score,
          row_number() OVER (
-           PARTITION BY keep_id ORDER BY q_score DESC, doc_id ASC
+           PARTITION BY keep_id
+           ORDER BY q_score DESC NULLS LAST, doc_id ASC
          ) AS rn
   FROM j
 )
 SELECT j.doc_id, b.best_id, j.q_score AS score, b.best_score
 FROM j JOIN (SELECT keep_id, best_id, best_score FROM best WHERE rn = 1) b
   USING (keep_id)
+"""
+
+
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source composition report (llmops/report.py, VERDICT r8 #4):
+    the dataset-card table for the curated mixture — per source, the
+    doc/token counts, the quality-gate pass rate, exact quality
+    quantiles, and the dedup survivor rate — in ONE aggregation pass
+    over the corpus. The survivor mapping (cluster-sized, ≪ corpus)
+    joins broadcast; the exact percentile state is bounded by the
+    distinct ROUNDED scores, not by rows. Closes the pipeline loop:
+    gate (quality_classify) -> mix (temperature_mixture) -> pack ->
+    report (this)."""
+    from pysparkflow.llmops.dedup import (
+        dedup_resolution,
+        select_cluster_representatives,
+    )
+    from pysparkflow.llmops.quality_model import quality_classify
+    from pysparkflow.llmops.report import mixture_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_classify(docs)
+    pairs, n_pairs = _minhash_pairs(spark, sf_dir)
+    clusters = dedup_resolution(pairs, n_pairs=n_pairs)
+    survivors = select_cluster_representatives(clusters, scored)
+    return mixture_report(docs, scored, survivors)
+
+
+# composition of the keep-best oracle (survivor election) + the
+# classifier oracle + one conditional aggregation — quantile_cont and
+# Spark's percentile share the p*(N-1) linear-interpolation definition,
+# and both run over the 6-dp ROUNDED scores, so the 4-dp rounded
+# quantiles hash-match across engines
+_Q_MIXTURE_REPORT_SQL = f"""
+WITH kb AS ({_Q_DEDUP_KEEP_BEST_SQL}),
+q AS ({_Q_QUALITY_CLASSIFY_SQL}),
+per_doc AS (
+  SELECT d.source, q.n_tokens, q.q_score, q.keep,
+         (kb.best_id IS NULL OR kb.best_id = d.doc_id) AS survives
+  FROM documents d
+  JOIN q ON q.id = d.doc_id
+  LEFT JOIN kb ON kb.doc_id = d.doc_id
+)
+SELECT source,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS gate_rate,
+       CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT)
+         AS total_tokens,
+       round(quantile_cont(CASE WHEN keep THEN q_score END, 0.25), 4)
+         AS q_p25,
+       round(quantile_cont(CASE WHEN keep THEN q_score END, 0.50), 4)
+         AS q_p50,
+       round(quantile_cont(CASE WHEN keep THEN q_score END, 0.75), 4)
+         AS q_p75,
+       round(avg(CASE WHEN keep
+                      THEN CASE WHEN survives THEN 1.0 ELSE 0.0 END END), 4)
+         AS survivor_rate
+FROM per_doc GROUP BY source
 """
 
 
@@ -5160,7 +5244,11 @@ def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tolerance oracle (harness-checked): exact counts banded by the
 # analytic MG bound floor(n / (k_track+1)); the top-5-by-exact set
 # equals the top-5-by-estimate set because adjacent bucket counts
-# differ by more than the bound (powers of two vs n/65)
+# differ by more than the bound (powers of two vs n/65). That margin is
+# ASSERTED, not assumed (ADVICE r8): the guard_sql below checks
+# rank5 - rank6 > n/(k_track+1) on the exact counts, so a data
+# distribution where the partial top bucket lands inside the flake
+# window fails the harness loudly instead of flaking the key-set match.
 _Q_APPROX_TOPK_TOL_SQL = """
 WITH keyed AS (
   SELECT CAST(floor(log2(event_id + 1)) AS BIGINT) AS bucket FROM events
@@ -5172,6 +5260,32 @@ SELECT bucket,
        CAST(c AS BIGINT) AS count_est__hi
 FROM exact, t
 ORDER BY c DESC, bucket ASC LIMIT 5
+"""
+
+# structural precondition for the key-set half of the approx_topk
+# tolerance check (ADVICE r8): the exact rank-5/rank-6 count gap must
+# exceed the MG undercount bound n/(k_track+1) — otherwise top-5-by-
+# estimate is not guaranteed to equal top-5-by-exact and the band
+# comparison's outer-join key match could flake on a different data
+# distribution. NULL rank-5/rank-6 (fewer than 6 buckets) is trivially
+# stable -> coalesce TRUE.
+_Q_APPROX_TOPK_GUARD_SQL = """
+WITH keyed AS (
+  SELECT CAST(floor(log2(event_id + 1)) AS BIGINT) AS bucket FROM events
+), exact AS (
+  SELECT bucket, count(*) AS c FROM keyed GROUP BY bucket
+), r AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, bucket ASC) AS rn
+  FROM exact
+), t AS (SELECT count(*) AS n FROM keyed)
+SELECT (SELECT c FROM r WHERE rn = 5) AS rank5_count,
+       (SELECT c FROM r WHERE rn = 6) AS rank6_count,
+       (SELECT n FROM t) AS n,
+       CAST(floor((SELECT n FROM t) / 65.0) AS BIGINT) AS mg_bound,
+       coalesce(
+         (SELECT c FROM r WHERE rn = 5) - (SELECT c FROM r WHERE rn = 6)
+           > (SELECT n FROM t) / 65.0,
+         TRUE) AS ok
 """
 
 
@@ -5386,6 +5500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mutual_information": q_mutual_information,
     "bloom_prefiltered_join": q_bloom_prefiltered_join,
     "dedup_keep_best": q_dedup_keep_best,
+    "mixture_report": q_mixture_report,
     "approx_topk": q_approx_topk,
     "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
@@ -5529,6 +5644,7 @@ ORACLE_SQL: dict[str, str] = {
     "mutual_information": _Q_MUTUAL_INFORMATION_SQL,
     "bloom_prefiltered_join": _Q_BLOOM_JOIN_SQL,
     "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
+    "mixture_report": _Q_MIXTURE_REPORT_SQL,
     "audio_spectral": _Q_AUDIO_SPECTRAL_SQL,
     "video_frames": _Q_VIDEO_FRAMES_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
@@ -5560,6 +5676,10 @@ TOLERANCE_ORACLES: dict[str, dict] = {
     "approx_topk": {
         "sql": _Q_APPROX_TOPK_TOL_SQL,
         "keys": ["bucket"],
+        # optional: a DuckDB query whose every row must have ok=TRUE;
+        # asserts the tolerance check's structural preconditions on the
+        # actual data instead of assuming them (ADVICE r8)
+        "guard_sql": _Q_APPROX_TOPK_GUARD_SQL,
     },
 }
 
@@ -5592,70 +5712,67 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 8 front (VERDICT r7 #1): the complete last-graded-in-r5 backlog
-# (34 entries — every registry entry whose most recent driver-green
-# CORRECTNESS row is r5), then the round-7-graded entries whose DATAFLOW
-# changed in round 8 (psi_drift gained the underflow-bin clamp,
-# heavy_hitters the null-key filter + over-unity support gate,
-# dedup_resolution the null-endpoint filter on both gate paths — all
-# ADVICE r7; events_stream_stateful's micro-batch grouping lever,
-# VERDICT r7 #3), then the new never-driver-graded round-8 entries.
-# 6 core + 44 = the full 50-slot window; everything else (r6/r7-graded,
-# all <= 2 rounds old) rotates into round 9.
-# approx_distinct / approx_quantiles are deliberately NOT fronted: their
-# sketch-only plans have no equality oracle (driver would record a
-# rows-only row); their banded verification lives in TOLERANCE_ORACLES /
-# ORACLE_CHECK_LOCAL.json.
+# round 9 front (VERDICT r8 #1): the two oracle-capable entries that were
+# never driver-graded (audio_spectral / video_frames landed at
+# c3c99cd/e54314b AFTER the round-8 driver grading ran), then 42 of the
+# 43 entries whose most recent driver-green CORRECTNESS row is r6
+# (computed from CORRECTNESS_r01..r08: histogram r6 bucket).  6 core +
+# 44 = the full 50-slot window; the two r6 entries that do not fit
+# (unpivot_metrics, zorder_layout — alphabetically last) lead round 10
+# along with any new round-9 operators registered after this block.
+# approx_distinct / approx_quantiles / approx_topk are deliberately NOT
+# fronted: their sketch-only plans have no equality oracle (the driver
+# would record a weaker rows-only row); their banded verification lives
+# in TOLERANCE_ORACLES / ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
-    # last graded in round 5 (the complete backlog)
-    "asof_join",
-    "binaryfile_ingest",
-    "bpe_merge_candidates",
-    "cohort_retention",
-    "cube",
-    "curation_pipeline_v2",
-    "doc_chunking",
-    "funnel_conversion",
-    "gap_fill_hourly",
-    "grouping_sets",
-    "latest_per_key",
-    "lm_unigram_score",
-    "mad_anomaly",
-    "mode_per_group",
-    "multimodal_decode",
-    "multimodal_features",
-    "orc_roundtrip",
-    "percentiles",
-    "pii_scrub",
-    "pivot_events",
-    "range_join",
-    "rolling_30d_spend",
-    "salted_skew_join",
-    "scd2_history",
-    "session_paths",
-    "snapshot_diff",
-    "sql_revenue",
-    "sssp_bounded",
-    "temperature_mixture",
-    "tfidf_terms",
-    "triangle_count",
-    "weighted_sample",
-    "window_suite",
-    "zscore_anomaly",
-    # r7-graded, dataflow changed in round 8 (ADVICE r7 fixes / VERDICT
-    # r7 #3)
-    "psi_drift",
-    "heavy_hitters",
-    "dedup_resolution",
-    "events_stream_stateful",
-    # never driver-graded (new in round 8) — appended as they land; the
-    # assert below catches a name that never got registered
-    "quality_classify",
-    "curation_pipeline_v3",
-    "png_decode",
-    "mutual_information",
-    "bloom_prefiltered_join",
-    "dedup_keep_best",
+    # never driver-graded, oracle SQL exists (VERDICT r8 #1 lead)
+    "audio_spectral",
+    "video_frames",
+    # new in round 9 (never driver-graded; appended as they land)
+    "mixture_report",
+    # last driver-graded in round 6 (the complete backlog minus
+    # unpivot_metrics + zorder_layout, deferred to r10 for the slot count)
+    "anti_join",
+    "apply_changelog",
+    "bitpack_edge_ids",
+    "broadcast_join",
+    "connected_components",
+    "correlated_avg",
+    "data_quality_report",
+    "embedding_centroids",
+    "epoch_shuffle",
+    "event_transitions",
+    "events_hourly",
+    "events_json_props",
+    "events_stream_join_outer",
+    "events_stream_topk",
+    "exists_correlated",
+    "global_counters",
+    "hash_sample",
+    "histogram_bins",
+    "importance_sample",
+    "incremental_rollup",
+    "kcore",
+    "kmeans_embeddings",
+    "label_prop_communities",
+    "max_flow_approx",
+    "pagerank",
+    "ppr_related",
+    "quality_percent_rank",
+    "regex_extract_table",
+    "rollup",
+    "running_total",
+    "scd2_temporal_join",
+    "semi_join",
+    "sessionize",
+    "set_except",
+    "set_intersect",
+    "simhash_near_dups",
+    "sliding_window_avg",
+    "sort_limit",
+    "stream_merge_state",
+    "token_budget_select",
+    "topk_per_group",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

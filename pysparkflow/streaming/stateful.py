@@ -21,6 +21,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from pysparkflow.streaming.events import adaptive_events_scan
 
+# _emit builds its row from ONE int64 ndarray, so the grouping key must
+# be integral (long); a string/struct key needs the dict-of-lists row
+# construction back (ADVICE r8 note — the any-type path was dropped for
+# the ~2x row-build speedup, see _emit)
 OUTPUT_SCHEMA = "user_id long, batch_events long, total_events long"
 STATE_SCHEMA = "total long"
 
@@ -109,6 +113,18 @@ def running_event_counts(
     horizon_ms = (
         None if state_horizon is None else _duration_to_ms(state_horizon)
     )
+    # validate up front (ADVICE r8): a missing key column — or a missing
+    # event-time column when the horizon needs one — must fail HERE with
+    # the operator's contract, not later inside withWatermark/groupBy
+    # with a generic resolution error
+    required = ["user_id"] + (["ts"] if state_horizon is not None else [])
+    missing = [c for c in required if c not in stream.columns]
+    if missing:
+        raise ValueError(
+            f"running_event_counts requires column(s) {missing} on the "
+            f"stream (have {stream.columns}); 'ts' is only required when "
+            f"state_horizon is set (got {state_horizon!r})"
+        )
     fn = _make_running_count(horizon_ms)
     keep = [c for c in ("user_id", "ts") if c in stream.columns]
     stream = stream.select(*keep)

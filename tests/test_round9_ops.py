@@ -1,0 +1,234 @@
+"""Round-9 tests: the mixture_report composition audit (VERDICT r8 #4),
+the decode_fn injection seam exercised end-to-end (VERDICT r8 #5), and
+regression pins for the ADVICE r8 fixes (stateful up-front validation,
+multimodal explicit raises, the approx_topk tolerance guard, the
+keep-best oracle's partial-score-table semantics)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.dedup import select_cluster_representatives
+from pysparkflow.llmops.multimodal import (
+    FEATURE_DIM,
+    _stats_frame,
+    extract_features,
+    synth_wav,
+)
+from pysparkflow.llmops.report import mixture_report
+from pysparkflow.streaming.stateful import running_event_counts
+
+# ------------------------------------------------------------ mixture_report
+
+
+def test_mixture_report_planted_composition(spark):
+    """Hand-built corpus with a known per-source answer: 'a' has 4 docs
+    (3 kept, one of them a dedup loser), 'b' has 2 docs (1 kept, a
+    survivor singleton)."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "a"), (5, "b"), (6, "b")],
+        "doc_id long, source string",
+    )
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.9, True),
+            (2, 20, 0.8, True),
+            (3, 30, 0.6, True),
+            (4, 40, 0.2, False),
+            (5, 50, 0.7, True),
+            (6, 60, 0.1, False),
+        ],
+        "id long, n_tokens int, q_score double, keep boolean",
+    )
+    # docs 2+3 near-dup cluster, 2 wins (higher score)
+    survivors = spark.createDataFrame(
+        [(2, 2), (3, 2)], "doc_id long, best_id long"
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in mixture_report(docs, scored, survivors).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_total"], a["n_kept"]) == (4, 3)
+    assert a["gate_rate"] == 0.75
+    assert a["total_tokens"] == 60
+    # kept scores for a: [0.9, 0.8, 0.6] -> p*(N-1) interpolation
+    assert (a["q_p25"], a["q_p50"], a["q_p75"]) == (0.7, 0.8, 0.85)
+    # kept docs of a: 1 (unclustered), 2 (winner), 3 (loser) -> 2/3
+    assert a["survivor_rate"] == round(2 / 3, 4)
+    assert (b["n_total"], b["n_kept"]) == (2, 1)
+    assert b["total_tokens"] == 50
+    assert (b["q_p25"], b["q_p50"], b["q_p75"]) == (0.7, 0.7, 0.7)
+    assert b["survivor_rate"] == 1.0
+
+
+def test_mixture_report_source_with_nothing_kept(spark):
+    """A fully-gated-out source still reports: zero tokens, null
+    quantiles/survivor_rate (no kept docs to aggregate over)."""
+    docs = spark.createDataFrame([(1, "junk")], "doc_id long, source string")
+    scored = spark.createDataFrame(
+        [(1, 5, 0.1, False)], "id long, n_tokens int, q_score double, keep boolean"
+    )
+    survivors = spark.createDataFrame([], "doc_id long, best_id long")
+    (r,) = mixture_report(docs, scored, survivors).collect()
+    assert (r["n_total"], r["n_kept"], r["gate_rate"]) == (1, 0, 0.0)
+    assert r["total_tokens"] == 0
+    assert r["q_p50"] is None and r["survivor_rate"] is None
+
+
+# -------------------------------------------- keep-best partial score table
+
+
+def test_keep_best_unscored_member_never_wins_and_keeps_its_row(spark):
+    """ADVICE r8: operator and oracle must share LEFT-join semantics — a
+    clustered doc missing from the score table stays in the rewrite
+    mapping (null score) but can never out-rank a scored member."""
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1)], "doc_id long, keep_id long"
+    )
+    scored = spark.createDataFrame(
+        [(10, 0.4), (11, 0.9)], "id long, q_score double"
+    )  # doc 12 unscored
+    rows = {
+        r["doc_id"]: r
+        for r in select_cluster_representatives(clusters, scored).collect()
+    }
+    assert set(rows) == {10, 11, 12}
+    assert all(r["best_id"] == 11 for r in rows.values())
+    assert rows[12]["score"] is None
+    assert rows[12]["best_score"] == 0.9
+
+
+def test_keep_best_all_unscored_cluster_elects_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(20, 2), (21, 2)], "doc_id long, keep_id long"
+    )
+    scored = spark.createDataFrame([], "id long, q_score double")
+    rows = select_cluster_representatives(clusters, scored).collect()
+    assert all(r["best_id"] == 20 for r in rows)
+    assert all(r["best_score"] is None for r in rows)
+
+
+# ------------------------------------------------------ approx_topk guard
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_approx_topk_guard_holds_on_all_graded_sfs(sf):
+    """ADVICE r8: the rank-5/rank-6 exact-count margin that makes the
+    tolerance key-set check sound is asserted against every graded
+    dataset, not assumed."""
+    from pysparkflow.relational.registry import TOLERANCE_ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'/root/testdata/{sf}/events.parquet'"
+    )
+    gdf = con.sql(TOLERANCE_ORACLES["approx_topk"]["guard_sql"]).df()
+    assert bool(gdf["ok"].all()), gdf.to_string()
+
+
+def test_approx_topk_guard_fails_on_flat_distribution():
+    """Negative control: equal-count keys leave no rank margin, so the
+    guard must refuse (ok=False) instead of letting the key-set check
+    flake."""
+    from pysparkflow.relational.registry import TOLERANCE_ORACLES
+
+    con = duckdb.connect()
+    # 8 buckets x 1000 rows each: rank5 == rank6 -> gap 0 < n/65
+    con.execute(
+        "CREATE VIEW events AS SELECT CAST(pow(2, 1 + i % 8) AS BIGINT) "
+        "AS event_id FROM range(8000) t(i)"
+    )
+    gdf = con.sql(TOLERANCE_ORACLES["approx_topk"]["guard_sql"]).df()
+    assert not bool(gdf["ok"].all())
+
+
+# ------------------------------------------------- decode_fn injection seam
+
+
+def test_extract_features_with_injected_external_decoder(spark):
+    """VERDICT r8 #5: the documented JPEG escape hatch — inject a
+    decoder for a format the built-in codec-free paths refuse — works
+    end-to-end through the Arrow-batched plan, not just in the docs."""
+
+    def fake_jpeg_decoder(payload: bytes, kind: str) -> np.ndarray:
+        if kind != "jpeg" or payload[:2] != b"\xff\xd8":
+            raise ValueError("decoder only handles JPEG payloads")
+        v = np.zeros(FEATURE_DIM, dtype=np.float32)
+        v[0] = float(len(payload))
+        v[1] = float(payload[-1])
+        return v
+
+    media = spark.createDataFrame(
+        [(i, "jpeg", b"\xff\xd8" + bytes([i] * (3 + i))) for i in range(4)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, decode_fn=fake_jpeg_decoder).collect()
+    }
+    assert len(rows) == 4
+    for i in range(4):
+        assert rows[i]["n_bytes"] == 5 + i
+        assert rows[i]["features"][0] == float(5 + i)
+        assert rows[i]["features"][1] == float(i)
+        assert len(rows[i]["features"]) == FEATURE_DIM
+
+
+def test_decode_media_still_refuses_jpeg_without_injection():
+    from pysparkflow.llmops.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="decode_fn"):
+        decode_media(b"\xff\xd8\xff\xe0rest-of-jpeg")
+
+
+# ---------------------------------------------------- explicit raise paths
+
+
+def test_stats_frame_rejects_non_image_payload_with_value_error():
+    """ADVICE r8: worker-side validation must be a raise (survives
+    python -O), and the message names the contract."""
+    with pytest.raises(ValueError, match="expected 8-bit image"):
+        _stats_frame([(1, synth_wav(1))])
+
+
+def test_rawvideo_parser_rejects_bad_magic():
+    from pysparkflow.llmops.multimodal import _parse_rawvideo
+
+    with pytest.raises(ValueError, match="RVID"):
+        _parse_rawvideo(b"NOPE" + b"\x00" * 16)
+
+
+# ------------------------------------------------- stateful up-front checks
+
+
+def test_running_event_counts_missing_ts_raises_up_front(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("value").alias("user_id"))
+    )
+    with pytest.raises(ValueError, match="requires column"):
+        running_event_counts(stream, state_horizon="30 days")
+
+
+def test_running_event_counts_missing_key_raises_up_front(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("timestamp").alias("ts"))
+    )
+    with pytest.raises(ValueError, match="user_id"):
+        running_event_counts(stream, state_horizon=None)
+
+
+def test_running_event_counts_no_horizon_does_not_need_ts(spark):
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("value").alias("user_id"))
+    )
+    # ts only required when the horizon arms event-time timeouts
+    df = running_event_counts(stream, state_horizon=None)
+    assert df.columns == ["user_id", "batch_events", "total_events"]

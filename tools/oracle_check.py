@@ -105,6 +105,20 @@ def main() -> int:
                 ]
                 if len(m):
                     viol.append((c, m))
+            # structural-precondition guard (ADVICE r8): some tolerance
+            # checks are only sound under a data-distribution margin
+            # (approx_topk's rank-5/rank-6 gap vs the MG bound); assert
+            # it on the actual data instead of assuming it
+            if "guard_sql" in spec and not viol:
+                gdf = con.sql(spec["guard_sql"]).df()
+                if not bool(gdf["ok"].all()):
+                    failures.append(name)
+                    results[name] = "FAIL: tolerance guard violated"
+                    print(
+                        f"FAIL  {name}: guard precondition violated:\n"
+                        f"{gdf.head(5)}"
+                    )
+                    continue
             if viol:
                 failures.append(name)
                 results[name] = "FAIL: estimate outside tolerance band"
