@@ -65,3 +65,38 @@ def pack_documents(
             F.pmod("_start", F.lit(budget)).alias("offset"),
         )
     )
+
+
+def packing_report(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-bucket assembly audit over :func:`pack_documents` output —
+    the "did the packing waste budget" table a training-data pipeline
+    publishes next to the packed dataset.
+
+    (bucket, n_docs, total_tokens, n_examples, utilization, n_spanning):
+    concat-and-chunk leaves no internal gaps, so a bucket's example
+    count is exactly ceil(total_tokens / budget) and its only waste is
+    the tail of the final example — utilization = total_tokens /
+    (n_examples * budget). ``n_spanning`` counts documents that cross
+    at least one example boundary (offset + n_tokens > budget), the
+    fragmentation metric attention-masking cares about.
+
+    Plan shape: ONE aggregation over the packing table, keyed by the
+    same ``bucket`` the packing window already partitioned by — the
+    report reuses the exchange ``pack_documents`` already paid; no new
+    corpus-sized shuffle, no extra pass over text."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_examples = F.ceil(F.sum("n_tokens") / F.lit(float(budget)))
+    return packed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        n_examples.cast("long").alias("n_examples"),
+        F.round(
+            F.sum("n_tokens") / (n_examples * F.lit(float(budget))), 6
+        ).alias("utilization"),
+        F.sum(
+            ((F.col("offset") + F.col("n_tokens")) > F.lit(budget)).cast(
+                "long"
+            )
+        ).alias("n_spanning"),
+    )

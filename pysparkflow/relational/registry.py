@@ -5224,6 +5224,76 @@ FROM per_doc GROUP BY source
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap matrix (llmops/overlap.py): exact
+    shingle-set Jaccard for every unordered source pair — the
+    "are two sources the same crawl twice" audit that precedes
+    per-document dedup. Corpus exchanges are one combinable DISTINCT
+    on (source, shingle) + one shingle hash-agg; the pair matrix is
+    |sources| choose 2 rows. Zero-overlap pairs are emitted (size-
+    scaffolded), not omitted."""
+    from pysparkflow.llmops.overlap import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"), n=3)
+
+
+# same 3-gram shingle replay as the MinHash family (toks/sh CTEs in
+# lockstep with _Q_INCR_NEAR_DUP_SQL); DuckDB `/` on integers is double
+# division, matching Spark's
+_Q_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, unnest(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT x.source AS source_a, y.source AS source_b,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(x.n_sh AS BIGINT) AS n_a, CAST(y.n_sh AS BIGINT) AS n_b,
+       round(coalesce(i.n_common, 0)
+             / (x.n_sh + y.n_sh - coalesce(i.n_common, 0)), 6) AS jaccard
+FROM sizes x JOIN sizes y ON x.source < y.source
+LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
+"""
+
+
+def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket packing-assembly audit (llmops/packing.py
+    packing_report) over the graded pack_documents configuration
+    (512-token examples, 8 buckets): example counts, budget
+    utilization, and boundary-crossing document counts — ONE
+    aggregation keyed by the bucket the packing window already
+    partitioned by, so the report adds no corpus exchange."""
+    from pysparkflow.llmops.packing import pack_documents, packing_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_report(pack_documents(docs, budget=512, n_buckets=8), 512)
+
+
+# composition of the pack oracle + one aggregation; n_examples =
+# ceil(total/budget) holds because concat-and-chunk leaves no internal
+# gaps (both sides aggregate the identical packing table)
+_Q_PACKING_REPORT_SQL = f"""
+WITH p AS ({_Q_PACK_DOCUMENTS_SQL})
+SELECT bucket, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_examples,
+       round(sum(n_tokens) / (ceil(sum(n_tokens) / 512.0) * 512.0), 6)
+         AS utilization,
+       CAST(sum(CASE WHEN "offset" + n_tokens > 512 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_spanning
+FROM p GROUP BY bucket
+"""
+
+
 def q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass bounded-memory frequent keys (operators/approxtopk.py):
     Misra-Gries summaries per partition (<= 64 counters each, merged by
@@ -5501,6 +5571,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefiltered_join": q_bloom_prefiltered_join,
     "dedup_keep_best": q_dedup_keep_best,
     "mixture_report": q_mixture_report,
+    "source_overlap": q_source_overlap,
+    "packing_report": q_packing_report,
     "approx_topk": q_approx_topk,
     "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
@@ -5645,6 +5717,8 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_prefiltered_join": _Q_BLOOM_JOIN_SQL,
     "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
     "mixture_report": _Q_MIXTURE_REPORT_SQL,
+    "source_overlap": _Q_SOURCE_OVERLAP_SQL,
+    "packing_report": _Q_PACKING_REPORT_SQL,
     "audio_spectral": _Q_AUDIO_SPECTRAL_SQL,
     "video_frames": _Q_VIDEO_FRAMES_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
@@ -5717,9 +5791,9 @@ _ALWAYS_IN_CORE = [
 # c3c99cd/e54314b AFTER the round-8 driver grading ran), then 42 of the
 # 43 entries whose most recent driver-green CORRECTNESS row is r6
 # (computed from CORRECTNESS_r01..r08: histogram r6 bucket).  6 core +
-# 44 = the full 50-slot window; the two r6 entries that do not fit
-# (unpivot_metrics, zorder_layout — alphabetically last) lead round 10
-# along with any new round-9 operators registered after this block.
+# 44 = the full 50-slot window; the four r6 entries that do not fit
+# (token_budget_select, topk_per_group, unpivot_metrics, zorder_layout
+# — alphabetically last) lead round 10.
 # approx_distinct / approx_quantiles / approx_topk are deliberately NOT
 # fronted: their sketch-only plans have no equality oracle (the driver
 # would record a weaker rows-only row); their banded verification lives
@@ -5730,8 +5804,10 @@ _ROUND_FRONT = [
     "video_frames",
     # new in round 9 (never driver-graded; appended as they land)
     "mixture_report",
-    # last driver-graded in round 6 (the complete backlog minus
-    # unpivot_metrics + zorder_layout, deferred to r10 for the slot count)
+    "source_overlap",
+    "packing_report",
+    # last driver-graded in round 6 (the complete backlog minus the four
+    # alphabetically-last entries, deferred to r10 for the slot count)
     "anti_join",
     "apply_changelog",
     "bitpack_edge_ids",
@@ -5771,8 +5847,6 @@ _ROUND_FRONT = [
     "sliding_window_avg",
     "sort_limit",
     "stream_merge_state",
-    "token_budget_select",
-    "topk_per_group",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -79,6 +79,133 @@ def test_mixture_report_source_with_nothing_kept(spark):
     assert r["q_p50"] is None and r["survivor_rate"] is None
 
 
+# ------------------------------------------------------------ source_overlap
+
+
+def test_source_overlap_planted_jaccard(spark):
+    """Three sources with hand-enumerable 3-gram sets: s1={abc,bcd},
+    s2={abc,bce}, s3={xyz,yzw} -> J(s1,s2)=1/3, zero for the others —
+    and the zero pairs must still be EMITTED."""
+    from pysparkflow.llmops.overlap import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "a b c d"),
+            (2, "s2", "a b c e"),
+            (3, "s3", "x y z w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(docs, n=3).collect()
+    }
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = rows[("s1", "s2")]
+    assert (r12["n_common"], r12["n_a"], r12["n_b"]) == (1, 2, 2)
+    assert r12["jaccard"] == round(1 / 3, 6)
+    assert rows[("s1", "s3")]["jaccard"] == 0.0
+    assert rows[("s2", "s3")]["n_common"] == 0
+
+
+def test_source_overlap_duplicate_shingles_within_source_count_once(spark):
+    """The per-source sets are DISTINCT: two docs of one source sharing
+    a shingle contribute it once."""
+    from pysparkflow.llmops.overlap import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b c"), (2, "s1", "a b c"), (3, "s2", "a b c")],
+        "doc_id long, source string, text string",
+    )
+    (r,) = source_overlap(docs, n=3).collect()
+    assert (r["n_a"], r["n_b"], r["n_common"], r["jaccard"]) == (1, 1, 1, 1.0)
+
+
+def test_source_overlap_shingleless_source_is_omitted(spark):
+    """A source with only sub-n-token docs has an empty shingle set
+    (0/0 Jaccard is undefined) and is omitted from the matrix — pinned
+    so operator and oracle keep agreeing on the edge."""
+    from pysparkflow.llmops.overlap import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b c"), (2, "s2", "a b c"), (3, "tiny", "a b")],
+        "doc_id long, source string, text string",
+    )
+    rows = source_overlap(docs, n=3).collect()
+    assert {(r["source_a"], r["source_b"]) for r in rows} == {("s1", "s2")}
+
+
+def test_source_overlap_hash_frac_full_space_is_exact(spark):
+    from pysparkflow.llmops.overlap import source_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "a b c d"), (2, "s2", "a b c e")],
+        "doc_id long, source string, text string",
+    )
+    exact = source_overlap(docs, n=3).collect()
+    sampled = source_overlap(docs, n=3, hash_frac=1.0).collect()
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, sampled))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash_frac"):
+        source_overlap(docs, hash_frac=0.0)
+
+
+# ------------------------------------------------------------ packing_report
+
+
+def test_packing_report_planted_buckets(spark):
+    """Hand-built packing table, budget 10: bucket 0 packs [4,5,3]
+    (starts 0/4/9 -> the 3-token doc spans the boundary), bucket 1
+    packs a single exact-fit doc."""
+    from pysparkflow.llmops.packing import packing_report
+
+    packed = spark.createDataFrame(
+        [
+            (1, 0, 4, 0, 0),
+            (2, 0, 5, 0, 4),
+            (3, 0, 3, 0, 9),
+            (4, 1, 10, 0, 0),
+        ],
+        "id long, bucket long, n_tokens int, example_id long, offset long",
+    )
+    rows = {r["bucket"]: r for r in packing_report(packed, 10).collect()}
+    b0, b1 = rows[0], rows[1]
+    assert (b0["n_docs"], b0["total_tokens"], b0["n_examples"]) == (3, 12, 2)
+    assert b0["utilization"] == 0.6
+    assert b0["n_spanning"] == 1  # offset 9 + 3 tokens > 10
+    assert (b1["n_docs"], b1["total_tokens"], b1["n_examples"]) == (1, 10, 1)
+    assert b1["utilization"] == 1.0
+    assert b1["n_spanning"] == 0  # exact fit is not a boundary cross
+
+
+def test_packing_report_consistent_with_pack_documents(spark, sf_dir):
+    """Integration invariant on real data: per bucket, n_examples =
+    ceil(total_tokens/budget) and every example index the packing
+    emitted is < n_examples."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pysparkflow.llmops.packing import pack_documents, packing_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_documents(docs, budget=512, n_buckets=4)
+    rep = {r["bucket"]: r for r in packing_report(packed, 512).collect()}
+    max_ex = {
+        r["bucket"]: r["m"]
+        for r in packed.groupBy("bucket")
+        .agg(F.max("example_id").alias("m"))
+        .collect()
+    }
+    for b, r in rep.items():
+        assert r["n_examples"] == math.ceil(r["total_tokens"] / 512)
+        assert max_ex[b] < r["n_examples"]
+
+    with pytest.raises(ValueError, match="budget"):
+        packing_report(packed, 0)
+
+
 # -------------------------------------------- keep-best partial score table
 
 

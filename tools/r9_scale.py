@@ -1,5 +1,6 @@
 """Round-9 operator scale evidence with planted truth (SCALING.md):
-the mixture_report composition audit (VERDICT r8 #4).
+the mixture_report composition audit (VERDICT r8 #4), the cross-source
+overlap matrix, and the packing-assembly report.
 
 Everything is generated IN SPARK (map-only, deterministic, no driver
 data) and every report column has a CLOSED-FORM expected value:
@@ -131,6 +132,73 @@ def main() -> int:
         f"sources ({report_sec}s; total {round(time.time() - t_all, 2)}s)"
     )
     assert n_bad == 0
+
+    # ---- source_overlap: two planted sources with closed-form Jaccard.
+    # id -> (s = id%2, k = (id//2)%12); source A emits the word window
+    # at k, source B at k+6 -> A's 3-gram set = {sh(0)..sh(12)} (13),
+    # B's = {sh(6)..sh(18)} (13), intersection sh(6)..sh(12) = 7,
+    # union 19 -> J = 7/19 exactly, at ANY corpus size covering the
+    # residues (n_docs % 24 == 0 guarantees full coverage).
+    from pysparkflow.llmops.overlap import source_overlap
+
+    t0 = time.time()
+    k = (F.floor(F.col("id") / 2) % 12) + F.when(
+        F.col("id") % 2 == 1, F.lit(6)
+    ).otherwise(F.lit(0))
+    ov_docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "source"
+        ),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), k.cast("string")),
+            F.concat(F.lit("w"), (k + 1).cast("string")),
+            F.concat(F.lit("w"), (k + 2).cast("string")),
+            F.concat(F.lit("w"), (k + 3).cast("string")),
+        ).alias("text"),
+    )
+    (ov,) = source_overlap(ov_docs, n=3).collect()
+    overlap_sec = round(time.time() - t0, 2)
+    print(
+        f"source_overlap: {n_docs} docs, 2 sources -> n_common="
+        f"{ov['n_common']}, J={ov['jaccard']} (expect 7/19="
+        f"{round(7 / 19, 6)}) ({overlap_sec}s)"
+    )
+    assert (ov["n_a"], ov["n_b"], ov["n_common"]) == (13, 13, 7), ov
+    assert ov["jaccard"] == round(7 / 19, 6)
+
+    # ---- packing_report: two closed-form packing regimes over the
+    # real pack_documents hash-bucketing. T=4 divides the 512 budget ->
+    # zero spanning docs and total == 4*n_docs per bucket; T=513 > 512
+    # -> EVERY doc spans a boundary.
+    import math
+
+    from pysparkflow.llmops.packing import pack_documents, packing_report
+
+    t0 = time.time()
+    for tok, check in ((4, "divides"), (513, "always-spans")):
+        word = "x " * (tok - 1) + "x"
+        pdocs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"), F.lit(word).alias("text")
+        )
+        rep = packing_report(
+            pack_documents(pdocs, budget=512, n_buckets=32), 512
+        ).collect()
+        assert sum(r["n_docs"] for r in rep) == n_docs
+        for r in rep:
+            assert r["total_tokens"] == tok * r["n_docs"]
+            assert r["n_examples"] == math.ceil(tok * r["n_docs"] / 512)
+            if check == "divides":
+                assert r["n_spanning"] == 0, r
+            else:
+                assert r["n_spanning"] == r["n_docs"], r
+    pack_sec = round(time.time() - t0, 2)
+    print(
+        f"packing_report: {n_docs} docs x 2 regimes, 32 buckets — "
+        f"closed-form exact ({pack_sec}s)"
+    )
+
     print("R9 SCALE EVIDENCE PASSED")
     return 0
 
