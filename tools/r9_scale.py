@@ -168,6 +168,45 @@ def main() -> int:
     assert (ov["n_a"], ov["n_b"], ov["n_common"]) == (13, 13, 7), ov
     assert ov["jaccard"] == round(7 / 19, 6)
 
+    # ---- the 100 TB knob: hash_frac's minwise-subspace Jaccard must
+    # estimate the exact value. Planted wide-universe corpus: each doc
+    # contributes one unique 3-gram window at k = id // 2 (so the
+    # shingle universe scales with the corpus, ~n_docs distinct);
+    # source A = even ids = windows k in [0, n/2), source B = odd ids =
+    # windows k in [n/4, 3n/4) -> |A ∩ B| / |A ∪ B| -> 1/3 as n grows.
+    # At frac = 1/16 the sampled sets still hold tens of thousands of
+    # shingles, so the estimate must land within 2% absolute of exact.
+    t0 = time.time()
+    kw = F.floor(F.col("id") / 2) + F.when(
+        F.col("id") % 2 == 1, F.lit(n_docs // 4)
+    ).otherwise(F.lit(0))
+    wide = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+            "source"
+        ),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), kw.cast("string")),
+            F.concat(F.lit("u"), (kw + 1).cast("string")),
+            F.concat(F.lit("u"), (kw + 2).cast("string")),
+        ).alias("text"),
+    )
+    (ex,) = source_overlap(wide, n=3).collect()
+    (est,) = source_overlap(wide, n=3, hash_frac=1 / 16).collect()
+    frac_sec = round(time.time() - t0, 2)
+    print(
+        f"source_overlap hash_frac=1/16: exact J={ex['jaccard']} "
+        f"(sets {ex['n_a']}/{ex['n_b']}), sampled J={est['jaccard']} "
+        f"(sets {est['n_a']}/{est['n_b']}) ({frac_sec}s)"
+    )
+    assert abs(est["jaccard"] - ex["jaccard"]) < 0.02, (
+        est["jaccard"],
+        ex["jaccard"],
+    )
+    # the sample really is ~frac of the space, not a no-op
+    assert est["n_a"] < ex["n_a"] / 8
+
     # ---- packing_report: two closed-form packing regimes over the
     # real pack_documents hash-bucketing. T=4 divides the 512 budget ->
     # zero spanning docs and total == 4*n_docs per bucket; T=513 > 512
