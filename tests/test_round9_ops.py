@@ -79,6 +79,52 @@ def test_mixture_report_source_with_nothing_kept(spark):
     assert r["q_p50"] is None and r["survivor_rate"] is None
 
 
+# ------------------------------------------------------- rotation window pin
+
+
+def test_driver_window_rotation_r9():
+    """The driver grades the FIRST 50 keys of queries(); pin the round-9
+    window composition so an accidental registry reorder (the exact
+    failure mode _ROUND_FRONT exists to manage) is caught by pytest,
+    not by a wasted driver round."""
+    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+
+    window = list(QUERIES)[:50]
+    # the never-driver-graded entries lead the round
+    for k in ("audio_spectral", "video_frames", "mixture_report",
+              "source_overlap", "packing_report"):
+        assert k in window, k
+    # always-in core
+    for k in ("max_flow", "bfs_distances", "dedup_exact",
+              "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
+        assert k in window, k
+    # deferred to r10 by the slot count — NOT in the window
+    for k in ("token_budget_select", "topk_per_group", "unpivot_metrics",
+              "zorder_layout"):
+        assert k not in window, k
+    # tolerance-gated sketches must never occupy hash-window slots
+    assert not set(TOLERANCE_ORACLES) & set(window)
+    assert len(window) == len(set(window)) == 50
+
+
+def test_mixture_report_totals_are_additive(spark, sf_dir):
+    """Property on real data: summing the per-source report reproduces
+    the corpus-level gate counts — no doc double-counted or dropped by
+    the survivor join."""
+    from pysparkflow.llmops.quality_model import quality_classify
+    from pysparkflow.llmops.report import mixture_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_classify(docs)
+    survivors = spark.createDataFrame([], "doc_id long, best_id long")
+    rep = mixture_report(docs, scored, survivors).collect()
+    assert sum(r["n_total"] for r in rep) == docs.count()
+    assert sum(r["n_kept"] for r in rep) == scored.where("keep").count()
+    # with no clusters, every kept doc is trivially a survivor
+    assert all(r["survivor_rate"] in (1.0, None) for r in rep)
+    assert all(0 <= r["n_kept"] <= r["n_total"] for r in rep)
+
+
 # ------------------------------------------------------------ source_overlap
 
 
