@@ -5265,6 +5265,48 @@ LEFT JOIN inter i ON i.sa = x.source AND i.sb = y.source
 """
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize end-to-end (llmops/multimodal
+    image_resize_stats — closes the resize_plan pixel-work boundary):
+    synthesize PPM bytes, decode through the real parser, resize the
+    raster to 8x8 with the floor index map, emit position-sensitive
+    stats of the RESIZED raster. The oracle composes the synth gradient
+    formula with the index map in closed form — any axis-order or
+    rounding error in the resampler shifts the checksum. Map-only
+    Arrow-batched plan."""
+    from pysparkflow.llmops.multimodal import image_resize_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id").where(F.col("doc_id") % 7 == 5)
+    return image_resize_stats(ids, out_w=8, out_h=8)
+
+
+# closed-form replay: resized pixel (X, Y, c) = synth_ppm raster at
+# (floor(X*w/8), floor(Y*h/8)) = (id*7 + 3*((X*w)//8) + 5*((Y*h)//8)
+# + 11*c) % 256, summed over the 8x8x3 output grid per image. avg() of
+# <= 192 small ints is the same exact double in both engines.
+_Q_IMAGE_RESIZE_SQL = """
+WITH ids AS (
+  SELECT doc_id AS media_id, 16 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+  FROM documents WHERE doc_id % 7 = 5
+), grid AS (
+  SELECT media_id, w, h, X, Y, c,
+         (media_id * 7 + 3 * ((X * w) // 8) + 5 * ((Y * h) // 8)
+          + 11 * c) % 256 AS px
+  FROM ids, range(8) tx(X), range(8) ty(Y), range(3) tc(c)
+)
+SELECT media_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+       8 AS out_w, 8 AS out_h,
+       round(avg(px), 6) AS mean_px,
+       CAST(max(CASE WHEN X = 0 AND Y = 0 AND c = 0 THEN px END)
+            AS INTEGER) AS tl_px,
+       CAST(max(CASE WHEN X = 7 AND Y = 7 AND c = 2 THEN px END)
+            AS INTEGER) AS br_px,
+       CAST(sum(px * (X + 7 * Y + 13 * c)) AS BIGINT) AS wsum
+FROM grid GROUP BY media_id, w, h
+"""
+
+
 def q_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket packing-assembly audit (llmops/packing.py
     packing_report) over the graded pack_documents configuration
@@ -5573,6 +5615,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mixture_report": q_mixture_report,
     "source_overlap": q_source_overlap,
     "packing_report": q_packing_report,
+    "image_resize": q_image_resize,
     "approx_topk": q_approx_topk,
     "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
@@ -5719,6 +5762,7 @@ ORACLE_SQL: dict[str, str] = {
     "mixture_report": _Q_MIXTURE_REPORT_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "packing_report": _Q_PACKING_REPORT_SQL,
+    "image_resize": _Q_IMAGE_RESIZE_SQL,
     "audio_spectral": _Q_AUDIO_SPECTRAL_SQL,
     "video_frames": _Q_VIDEO_FRAMES_SQL,
     "curation_pipeline_v3": _Q_CURATION_V3_SQL,
@@ -5791,9 +5835,9 @@ _ALWAYS_IN_CORE = [
 # c3c99cd/e54314b AFTER the round-8 driver grading ran), then 42 of the
 # 43 entries whose most recent driver-green CORRECTNESS row is r6
 # (computed from CORRECTNESS_r01..r08: histogram r6 bucket).  6 core +
-# 44 = the full 50-slot window; the four r6 entries that do not fit
-# (token_budget_select, topk_per_group, unpivot_metrics, zorder_layout
-# — alphabetically last) lead round 10.
+# 44 = the full 50-slot window; the five r6 entries that do not fit
+# (stream_merge_state, token_budget_select, topk_per_group,
+# unpivot_metrics, zorder_layout — alphabetically last) lead round 10.
 # approx_distinct / approx_quantiles / approx_topk are deliberately NOT
 # fronted: their sketch-only plans have no equality oracle (the driver
 # would record a weaker rows-only row); their banded verification lives
@@ -5806,6 +5850,7 @@ _ROUND_FRONT = [
     "mixture_report",
     "source_overlap",
     "packing_report",
+    "image_resize",
     # last driver-graded in round 6 (the complete backlog minus the four
     # alphabetically-last entries, deferred to r10 for the slot count)
     "anti_join",
@@ -5846,7 +5891,6 @@ _ROUND_FRONT = [
     "simhash_near_dups",
     "sliding_window_avg",
     "sort_limit",
-    "stream_merge_state",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

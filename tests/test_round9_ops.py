@@ -92,15 +92,15 @@ def test_driver_window_rotation_r9():
     window = list(QUERIES)[:50]
     # the never-driver-graded entries lead the round
     for k in ("audio_spectral", "video_frames", "mixture_report",
-              "source_overlap", "packing_report"):
+              "source_overlap", "packing_report", "image_resize"):
         assert k in window, k
     # always-in core
     for k in ("max_flow", "bfs_distances", "dedup_exact",
               "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
         assert k in window, k
     # deferred to r10 by the slot count — NOT in the window
-    for k in ("token_budget_select", "topk_per_group", "unpivot_metrics",
-              "zorder_layout"):
+    for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
+              "unpivot_metrics", "zorder_layout"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
@@ -357,6 +357,49 @@ def test_decode_media_still_refuses_jpeg_without_injection():
 
     with pytest.raises(NotImplementedError, match="decode_fn"):
         decode_media(b"\xff\xd8\xff\xe0rest-of-jpeg")
+
+
+# ------------------------------------------------------------ image resize
+
+
+def test_resize_nearest_identity_and_downscale():
+    from pysparkflow.llmops.multimodal import resize_nearest
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (resize_nearest(arr, 4, 6) == arr).all()
+    half = resize_nearest(arr, 2, 3)
+    # floor map: rows 0,2 and cols 0,2,4
+    assert (half == arr[[0, 2]][:, [0, 2, 4]]).all()
+    up = resize_nearest(arr, 8, 6)
+    # upscale repeats source rows: row Y reads floor(Y*4/8)
+    assert (up[1] == arr[0]).all() and (up[7] == arr[3]).all()
+    with pytest.raises(ValueError, match="positive"):
+        resize_nearest(arr, 0, 3)
+
+
+def test_image_resize_stats_matches_closed_form(spark):
+    """Spark resize pipeline vs a pure-python replay of the synth
+    formula composed with the floor index map."""
+    from pysparkflow.llmops.multimodal import image_resize_stats
+
+    ids = [5, 12, 33]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r["media_id"]: r for r in image_resize_stats(df, 8, 8).collect()}
+    for did in ids:
+        w, h = 16 + did % 8, 8 + did % 5
+        px = {
+            (X, Y, c): (did * 7 + 3 * ((X * w) // 8) + 5 * ((Y * h) // 8)
+                        + 11 * c) % 256
+            for X in range(8) for Y in range(8) for c in range(3)
+        }
+        r = rows[did]
+        assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (w, h, 8, 8)
+        assert r["tl_px"] == px[(0, 0, 0)]
+        assert r["br_px"] == px[(7, 7, 2)]
+        assert r["wsum"] == sum(
+            v * (X + 7 * Y + 13 * c) for (X, Y, c), v in px.items()
+        )
+        assert r["mean_px"] == round(sum(px.values()) / 192, 6)
 
 
 # ---------------------------------------------------- explicit raise paths
