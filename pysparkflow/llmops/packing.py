@@ -91,9 +91,11 @@ def packing_report(packed: DataFrame, budget: int) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         n_examples.cast("long").alias("n_examples"),
-        F.round(
+        # a bucket whose docs are all zero-token (empty text) packs zero
+        # examples; report 0 utilization rather than divide by zero
+        F.when(n_examples > 0, F.round(
             F.sum("n_tokens") / (n_examples * F.lit(float(budget))), 6
-        ).alias("utilization"),
+        )).otherwise(F.lit(0.0)).alias("utilization"),
         F.sum(
             ((F.col("offset") + F.col("n_tokens")) > F.lit(budget)).cast(
                 "long"

@@ -68,6 +68,11 @@ def mixture_report(
     survivor_rate is the fraction of kept docs that are their own
     cluster's elected representative (or unclustered).
     """
+    # LEFT join: a doc missing from the score table still counts in
+    # n_total/gate_rate (as not-kept) — a composition report that
+    # silently drops unscored docs would overstate every source's gate
+    # rate on a partially-scored corpus. The graded query scores every
+    # document, so this only matters for partial score tables.
     per_doc = (
         docs.select(doc_col, source_col)
         .join(
@@ -75,7 +80,9 @@ def mixture_report(
                 F.col("id").alias(doc_col), "n_tokens", "q_score", "keep"
             ),
             doc_col,
+            "left",
         )
+        .withColumn("keep", F.coalesce(F.col("keep"), F.lit(False)))
         # survivor mapping is cluster-sized, never corpus-sized
         .join(
             F.broadcast(survivors.select(doc_col, "best_id")),

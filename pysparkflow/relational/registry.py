@@ -5199,10 +5199,13 @@ _Q_MIXTURE_REPORT_SQL = f"""
 WITH kb AS ({_Q_DEDUP_KEEP_BEST_SQL}),
 q AS ({_Q_QUALITY_CLASSIFY_SQL}),
 per_doc AS (
-  SELECT d.source, q.n_tokens, q.q_score, q.keep,
+  -- LEFT + coalesce(keep, false): unscored docs count as gated-out,
+  -- mirroring the operator (llmops/report.py)
+  SELECT d.source, q.n_tokens, q.q_score,
+         coalesce(q.keep, FALSE) AS keep,
          (kb.best_id IS NULL OR kb.best_id = d.doc_id) AS survives
   FROM documents d
-  JOIN q ON q.id = d.doc_id
+  LEFT JOIN q ON q.id = d.doc_id
   LEFT JOIN kb ON kb.doc_id = d.doc_id
 )
 SELECT source,
@@ -5328,8 +5331,10 @@ WITH p AS ({_Q_PACK_DOCUMENTS_SQL})
 SELECT bucket, count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        CAST(ceil(sum(n_tokens) / 512.0) AS BIGINT) AS n_examples,
-       round(sum(n_tokens) / (ceil(sum(n_tokens) / 512.0) * 512.0), 6)
-         AS utilization,
+       CASE WHEN sum(n_tokens) > 0
+            THEN round(sum(n_tokens)
+                       / (ceil(sum(n_tokens) / 512.0) * 512.0), 6)
+            ELSE 0.0 END AS utilization,
        CAST(sum(CASE WHEN "offset" + n_tokens > 512 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_spanning
 FROM p GROUP BY bucket

@@ -65,6 +65,22 @@ def test_mixture_report_planted_composition(spark):
     assert b["survivor_rate"] == 1.0
 
 
+def test_mixture_report_unscored_docs_count_as_gated_out(spark):
+    """Partial score table: an unscored doc stays in n_total and drags
+    gate_rate down — it must never silently vanish from the report."""
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a")], "doc_id long, source string"
+    )
+    scored = spark.createDataFrame(
+        [(1, 10, 0.9, True)],
+        "id long, n_tokens int, q_score double, keep boolean",
+    )
+    survivors = spark.createDataFrame([], "doc_id long, best_id long")
+    (r,) = mixture_report(docs, scored, survivors).collect()
+    assert (r["n_total"], r["n_kept"], r["gate_rate"]) == (2, 1, 0.5)
+    assert r["total_tokens"] == 10
+
+
 def test_mixture_report_source_with_nothing_kept(spark):
     """A fully-gated-out source still reports: zero tokens, null
     quantiles/survivor_rate (no kept docs to aggregate over)."""
