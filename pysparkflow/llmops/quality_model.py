@@ -79,7 +79,13 @@ def quality_classify(
 ) -> DataFrame:
     """(id, n_tokens, q_score, keep): the curation gate — score plus the
     boolean threshold decision. ``keep`` compares the ROUNDED score so
-    the decision is replayable from the published score column alone."""
+    the decision is replayable from the published score column alone.
+    An unscorable document (empty text -> null ratio features -> null
+    score) is REJECTED, not null: the gate's contract is a total
+    boolean decision over any corpus."""
     return quality_scores(
         df, id_col=id_col, text_col=text_col, round_to=round_to
-    ).withColumn("keep", F.col("q_score") >= F.lit(threshold))
+    ).withColumn(
+        "keep",
+        F.coalesce(F.col("q_score") >= F.lit(threshold), F.lit(False)),
+    )

@@ -46,13 +46,18 @@ def quality_features(
         stop_hits = h if stop_hits is None else stop_hits + h
     punct = F.length(t) - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
     digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    # n_tokens >= 1 in BOTH engines (split of a trimmed empty string is
+    # [""], length 1), so those divisions are safe; n_chars is 0 for an
+    # empty document — try_divide yields NULL there, matching DuckDB's
+    # 0/0 -> NULL, where Spark's ANSI `/` would kill the job on the
+    # first empty doc of a real crawl
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
-        F.round(punct / n_chars, 4).alias("punct_ratio"),
-        F.round(digits / n_chars, 4).alias("digit_ratio"),
+        F.round(F.try_divide(punct, n_chars), 4).alias("punct_ratio"),
+        F.round(F.try_divide(digits, n_chars), 4).alias("digit_ratio"),
         F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
     )
 

@@ -4985,7 +4985,9 @@ WITH f AS (
          ))), 6) AS q_score
   FROM f
 )
-SELECT id, n_tokens, q_score, q_score >= 0.5 AS keep FROM scored
+SELECT id, n_tokens, q_score,
+       coalesce(q_score >= 0.5, FALSE) AS keep
+FROM scored
 """
 
 

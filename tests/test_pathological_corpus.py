@@ -1,0 +1,115 @@
+"""Pathological-corpus robustness: the text-pipeline operators must not
+crash — and must produce defensible values — on the document shapes a
+real 100 TB crawl contains: empty strings, whitespace-only, single
+tokens, huge repeated docs, exotic unicode, regex metacharacters, and
+(where the schema admits it) NULL text.
+
+These are crash-freedom + sanity pins, not value oracles: the graded
+values live in the DuckDB oracle gate; this file pins that the edge
+shapes flow through the same plans without exceptions and without
+NaN/negative outputs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+PATHOLOGICAL = [
+    (0, "src0", ""),                       # empty
+    (1, "src0", "   "),                    # whitespace only
+    (2, "src0", "x"),                      # single token
+    (3, "src1", "a b"),                    # below shingle width
+    (4, "src1", "the the the the the"),    # pure repetition
+    (5, "src1", "éèê 中文 \U0001f600 token"),  # unicode + emoji
+    (6, "src2", "a.b,c;d:e!f?g" * 40),     # punctuation wall, no spaces
+    (7, "src2", "word " * 5000),           # long doc
+    (8, "src2", "3.14 2.71 42 1e9 0x2A"),  # digit-heavy
+    (9, "src3", "(.*) [a-z]+ \\1 $^ {2,3} |pipe| regex metachars"),
+]
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark):
+    return spark.createDataFrame(
+        PATHOLOGICAL, "doc_id long, source string, text string"
+    )
+
+
+def test_quality_gate_survives_pathological_text(pdocs):
+    """The gate is TOTAL: every doc gets a boolean keep. An empty doc
+    (n_chars=0) has null ratio features -> null score -> keep=False —
+    previously Spark's ANSI division killed the job on the first empty
+    doc (caught by this battery; fixed with try_divide, which also
+    matches DuckDB's 0/0 -> NULL)."""
+    from pysparkflow.llmops.quality_model import quality_classify
+
+    rows = {r["id"]: r for r in quality_classify(pdocs).collect()}
+    assert len(rows) == len(PATHOLOGICAL)
+    for r in rows.values():
+        assert r["keep"] is not None and r["n_tokens"] >= 1
+        if r["q_score"] is not None:
+            assert 0.0 <= r["q_score"] <= 1.0, r
+    # the empty doc is the only unscorable one, and it is rejected
+    assert rows[0]["q_score"] is None and rows[0]["keep"] is False
+    assert all(rows[i]["q_score"] is not None for i in range(1, 10))
+
+
+def test_textstats_survive_pathological_text(pdocs):
+    from pysparkflow.llmops.textstats import quality_features
+
+    for r in quality_features(pdocs).collect():
+        for c in ("avg_token_len", "punct_ratio", "digit_ratio",
+                  "stopword_ratio"):
+            v = r[c]
+            assert v is None or v >= 0.0, (r["id"], c, v)
+
+
+def test_shingle_pipeline_survives_pathological_text(spark, pdocs):
+    from pysparkflow.llmops.overlap import source_overlap
+
+    rows = source_overlap(pdocs, n=3).collect()
+    # every pair among sources that produced >= 1 shingle; no crashes,
+    # no negative counts, jaccard in [0, 1]
+    for r in rows:
+        assert 0 <= r["n_common"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_dedup_exact_and_minhash_survive(spark, pdocs):
+    from pysparkflow.llmops.dedup import exact_duplicates, minhash_lsh_pairs
+
+    assert exact_duplicates(pdocs).count() >= 0
+    # sub-shingle-width docs simply produce no signature rows
+    assert minhash_lsh_pairs(pdocs).count() >= 0
+
+
+def test_packing_survives_empty_and_huge_docs(spark, pdocs):
+    from pysparkflow.llmops.packing import pack_documents, packing_report
+
+    packed = pack_documents(pdocs, budget=64, n_buckets=2)
+    assert packed.count() == len(PATHOLOGICAL)
+    for r in packing_report(packed, 64).collect():
+        assert r["n_examples"] >= 0 and r["n_spanning"] >= 0
+        assert r["utilization"] is not None and r["utilization"] >= 0.0
+
+
+def test_mixture_report_survives_pathological_corpus(spark, pdocs):
+    from pysparkflow.llmops.quality_model import quality_classify
+    from pysparkflow.llmops.report import mixture_report
+
+    scored = quality_classify(pdocs)
+    survivors = spark.createDataFrame([], "doc_id long, best_id long")
+    rows = mixture_report(pdocs, scored, survivors).collect()
+    assert sum(r["n_total"] for r in rows) == len(PATHOLOGICAL)
+    for r in rows:
+        assert 0.0 <= r["gate_rate"] <= 1.0
+
+
+def test_scrub_and_langid_survive(spark, pdocs):
+    from pysparkflow.llmops.scrub import scrub_text
+    from pysparkflow.llmops.textstats import language_scores
+
+    assert scrub_text(pdocs).count() == len(PATHOLOGICAL)
+    for r in language_scores(pdocs).collect():
+        assert r["lang_pred"] is not None
