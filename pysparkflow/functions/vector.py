@@ -26,4 +26,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine of the angle between two vectors, TOTAL over zero vectors:
+    a zero-norm side (failed embedder, padding row) has no direction, so
+    the similarity is defined as 0.0 — below every positive threshold
+    and ranked last in any top-k — instead of an ANSI divide-by-zero
+    that kills the job (same clamp convention as the numpy block paths
+    in llmops/similarity.py). Norm product clamped, not try_divide: the
+    dot is 0 whenever a norm is, so the clamped quotient is exactly 0."""
+    return dot(a, b) / F.greatest(
+        l2_norm(a) * l2_norm(b), F.lit(1e-300)
+    )

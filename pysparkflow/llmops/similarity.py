@@ -330,7 +330,12 @@ def embedding_near_dups_lsh(
     nrm = emb.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+            # norm clamped: a zero vector normalizes to the zero vector
+            # (cos 0 with everything, below any positive threshold)
+            # instead of an ANSI divide-by-zero killing the job
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)),
         ).alias("nv"),
     )
     nrm = track(nrm)
@@ -402,7 +407,12 @@ def knn_graph(
     nrm = emb.select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+            # norm clamped: a zero vector normalizes to the zero vector
+            # (cos 0 with everything, below any positive threshold)
+            # instead of an ANSI divide-by-zero killing the job
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)),
         ).alias("nv"),
     )
     nrm = track(nrm)
@@ -480,7 +490,9 @@ def _fit_centroids_sample(
         ordered = items.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
     rows = ordered.select(vec_col).limit(sample_rows).collect()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    _n = np.linalg.norm(X, axis=1, keepdims=True)
+    _n[_n == 0] = 1.0  # zero sample vectors stay zero, not NaN
+    X = X / _n
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(8):

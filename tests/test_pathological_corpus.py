@@ -106,6 +106,43 @@ def test_mixture_report_survives_pathological_corpus(spark, pdocs):
         assert 0.0 <= r["gate_rate"] <= 1.0
 
 
+def test_similarity_family_survives_zero_vectors(spark):
+    """A zero-norm embedding (failed embedder, padding row) has no
+    direction: it joins no near-dup pair and ranks last in top-k —
+    previously the Catalyst-side normalizations divided by the zero
+    norm and Spark's ANSI '/' killed the job (numpy block paths already
+    clamped; caught by this battery, fixed with the same clamp)."""
+    from pysparkflow.llmops.similarity import (
+        embedding_cosine_pairs,
+        embedding_near_dups_lsh,
+        knn_graph,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 8), (2, [1.0] + [0.0] * 7), (3, [0.5] * 8),
+         (4, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = embedding_cosine_pairs(emb, threshold=0.9).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in exact) == [(3, 4)]
+    lsh = embedding_near_dups_lsh(emb, threshold=0.9, dim=8).collect()
+    assert all((r[0], r[1]) != (1, 2) and 1 not in (r[0], r[1]) for r in lsh)
+    g = knn_graph(emb, k=2, dim=8).collect()
+    assert all(r[1] != 1 for r in g)  # zero vector is nobody's neighbor
+
+
+def test_cosine_similarity_total_over_zero_vectors(spark):
+    from pysparkflow.functions.vector import cosine_similarity
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([0.0, 0.0], [0.0, 0.0]),
+         ([1.0, 0.0], [1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert vals == [0.0, 0.0, 1.0]
+
+
 def test_scrub_and_langid_survive(spark, pdocs):
     from pysparkflow.llmops.scrub import scrub_text
     from pysparkflow.llmops.textstats import language_scores
