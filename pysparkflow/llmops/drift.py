@@ -56,6 +56,10 @@ def psi_drift(
     deflate every bin's probability and understate drift — the same
     counted-but-unbinned leak the underflow clamp closed for negative
     values."""
+    if bin_width <= 0 or n_bins <= 0:
+        raise ValueError(
+            f"bin_width and n_bins must be positive, got {bin_width}/{n_bins}"
+        )
     df = df.where(F.col(value_col).isNotNull())
     b = F.greatest(
         F.lit(0),

@@ -104,7 +104,13 @@ def zscore_outliers(
     the same single exchange the flagging scan then reuses (no stats
     subquery + rejoin)."""
     w = Window.partitionBy(group)
-    z = (F.col(value) - F.avg(value).over(w)) / F.stddev_samp(value).over(w)
+    # try_divide: a CONSTANT series (idle sensor) has stddev 0 — its z
+    # is null and it correctly flags nothing, where ANSI '/' would kill
+    # the job (DuckDB's 0/0 -> NULL agrees); 1-row groups already gave
+    # null via stddev_samp = null
+    z = F.try_divide(
+        F.col(value) - F.avg(value).over(w), F.stddev_samp(value).over(w)
+    )
     return (
         df.withColumn("z", z)
         .filter(F.abs(F.col("z")) > threshold)

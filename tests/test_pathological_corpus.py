@@ -143,6 +143,23 @@ def test_cosine_similarity_total_over_zero_vectors(spark):
     assert vals == [0.0, 0.0, 1.0]
 
 
+def test_zscore_outliers_survive_constant_series(spark):
+    """An idle sensor (constant value) has stddev 0: its z-scores are
+    null and it flags nothing — previously ANSI '/' killed the job
+    (third find of this battery; DuckDB's 0/0 -> NULL agrees with the
+    try_divide fix). A genuinely varying group still flags."""
+    from pysparkflow.operators.timeseries import zscore_outliers
+
+    rows = (
+        [(1, 5.0)] * 10
+        + [(2, 0.0)] * 10 + [(2, 1000.0)]
+        + [(3, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "key long, value double")
+    out = zscore_outliers(df, "key", "value").collect()
+    assert all(r["key"] == 2 for r in out) and len(out) == 1
+
+
 def test_scrub_and_langid_survive(spark, pdocs):
     from pysparkflow.llmops.scrub import scrub_text
     from pysparkflow.llmops.textstats import language_scores
