@@ -101,6 +101,11 @@ def temperature_mixture(
     scal = counts.select(
         F.sum("_c").alias("t"), F.sum("_w").alias("d")
     ).collect()[0]
+    if scal["t"] is None:
+        # empty input (everything gated out upstream): the mixture of
+        # nothing is nothing — the empty aggregate yields NULL scalars,
+        # which must not reach the rate arithmetic
+        return docs
     target = int(scal["t"] * target_frac)
     rate = F.least(
         F.lit(1.0),

@@ -109,6 +109,11 @@ def embedding_cosine_pairs(
 
     spark = emb.sparkSession
     centroids = _fit_centroids_sample(emb, n_cells, vec_col, seed, id_col=id_col)
+    if not centroids:
+        # empty input has no pairs; keep the output schema
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     C = np.asarray(centroids, dtype=np.float64)
 
     # cell assignment as ONE numpy matmul per Arrow batch: per-cell dot
@@ -489,6 +494,10 @@ def _fit_centroids_sample(
     else:
         ordered = items.select(vec_col).orderBy(F.xxhash64(vec_col, F.lit(seed)))
     rows = ordered.select(vec_col).limit(sample_rows).collect()
+    if not rows:
+        # empty corpus (e.g. everything filtered upstream): no cells to
+        # fit — callers early-return an empty result on []
+        return []
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     _n = np.linalg.norm(X, axis=1, keepdims=True)
     _n[_n == 0] = 1.0  # zero sample vectors stay zero, not NaN
@@ -540,6 +549,11 @@ def knn_ivf(
     on the cell id — per-query work is |corpus|·(n_probe/n_cells) instead
     of |corpus|. Recall < 1 by construction; measure vs knn_bruteforce."""
     centroids = _fit_centroids_sample(items, n_cells, vec_col, seed, id_col=id_col)
+    if not centroids:
+        # empty item corpus: no neighbors for any query
+        return items.sparkSession.createDataFrame(
+            [], "query_id long, item_id long, cosine double, rank int"
+        )
 
     it = (
         items.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("i_vec"))
@@ -667,6 +681,11 @@ def cluster_balanced_sample(
     from pysparkflow.functions.text import portable_hash32
 
     centroids = _fit_centroids_sample(items, n_cells, vec_col, seed, id_col=id_col)
+    if not centroids:
+        # empty corpus: nothing to sample; keep the output schema
+        return items.sparkSession.createDataFrame(
+            [], "id long, cell long, rk long"
+        )
     assigned = items.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn(

@@ -160,6 +160,40 @@ def test_zscore_outliers_survive_constant_series(spark):
     assert all(r["key"] == 2 for r in out) and len(out) == 1
 
 
+def test_llmops_family_total_over_empty_inputs(spark):
+    """Empty-input totality (fourth find of the battery): a filter that
+    matches nothing upstream must yield an empty result downstream, not
+    a crash. temperature_mixture previously hit None arithmetic from
+    the empty scalar aggregate; the centroid family (cosine pairs,
+    knn_ivf, cluster_balanced_sample) crashed fitting cells on an empty
+    sample."""
+    from pysparkflow.llmops.overlap import source_overlap
+    from pysparkflow.llmops.packing import pack_documents, packing_report
+    from pysparkflow.llmops.quality_model import quality_classify
+    from pysparkflow.llmops.report import mixture_report
+    from pysparkflow.llmops.sampling import temperature_mixture
+    from pysparkflow.llmops.similarity import (
+        cluster_balanced_sample,
+        embedding_cosine_pairs,
+        knn_ivf,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, source string, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    one_q = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    scored = quality_classify(docs)
+    surv = spark.createDataFrame([], "doc_id long, best_id long")
+    assert temperature_mixture(docs, group_col="source").count() == 0
+    assert embedding_cosine_pairs(emb, threshold=0.5).count() == 0
+    assert knn_ivf(emb, one_q, k=2).count() == 0
+    assert cluster_balanced_sample(emb).count() == 0
+    assert mixture_report(docs, scored, surv).count() == 0
+    assert source_overlap(docs).count() == 0
+    assert packing_report(pack_documents(docs, budget=64), 64).count() == 0
+
+
 def test_scrub_and_langid_survive(spark, pdocs):
     from pysparkflow.llmops.scrub import scrub_text
     from pysparkflow.llmops.textstats import language_scores
