@@ -194,6 +194,31 @@ def test_llmops_family_total_over_empty_inputs(spark):
     assert packing_report(pack_documents(docs, budget=64), 64).count() == 0
 
 
+def test_graph_family_pathology_contracts(spark):
+    """Degenerate graphs flow 0 (or raise the documented contract),
+    never crash: absent sink, empty graph, self-loops, missing BFS
+    source. Pinned so the iterative engine's edge behavior can't drift
+    silently."""
+    from pysparkflow.algo import bfs_distances, max_flow
+    from pysparkflow.graph.graph import FlowGraph
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    g = FlowGraph.from_edge_pairs(spark, pairs)
+    assert max_flow(g, sources=[1], sinks=[99]).value == 0
+    with pytest.raises(ValueError, match="disjoint"):
+        max_flow(g, sources=[1], sinks=[1])
+    # absent BFS source: only the virtual root row, no spurious reach
+    assert len(bfs_distances(g, sources=[99]).collect()) <= 1
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert max_flow(
+        FlowGraph.from_edge_pairs(spark, empty), sources=[1], sinks=[2]
+    ).value == 0
+    loops = spark.createDataFrame([(1, 1), (1, 2)], "src long, dst long")
+    assert max_flow(
+        FlowGraph.from_edge_pairs(spark, loops), sources=[1], sinks=[2]
+    ).value == 1
+
+
 def test_scrub_and_langid_survive(spark, pdocs):
     from pysparkflow.llmops.scrub import scrub_text
     from pysparkflow.llmops.textstats import language_scores
