@@ -30,9 +30,16 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     a zero-norm side (failed embedder, padding row) has no direction, so
     the similarity is defined as 0.0 — below every positive threshold
     and ranked last in any top-k — instead of an ANSI divide-by-zero
-    that kills the job (same clamp convention as the numpy block paths
-    in llmops/similarity.py). Norm product clamped, not try_divide: the
-    dot is 0 whenever a norm is, so the clamped quotient is exactly 0."""
-    return dot(a, b) / F.greatest(
-        l2_norm(a) * l2_norm(b), F.lit(1e-300)
+    that kills the job (same zero convention as the numpy block paths
+    in llmops/similarity.py). try_divide + coalesce, NOT a norm-product
+    clamp (ADVICE r9): greatest(prod, 1e-300) was exact for true zero
+    vectors but silently scaled the quotient for subnormal-magnitude
+    embeddings whose norm product underflows past 1e-300 while staying
+    nonzero (each norm ~1e-160: measured 1e-320/1e-320 -> 1e-20 clamped
+    vs the true cosine 1.0). try_divide yields NULL only when the
+    product is exactly 0 — i.e. a genuinely direction-free side — and
+    coalesce maps that one case to 0.0; every nonzero product, however
+    tiny, keeps its IEEE-exact quotient."""
+    return F.coalesce(
+        F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b)), F.lit(0.0)
     )

@@ -13,10 +13,14 @@ Scale shape (and why it scales to 100 TB):
 
 * The per-source shingle sets are built with the same map-side
   ``array_distinct``-before-explode discipline as the MinHash pipeline
-  (dedup.py _shingle_pairs_hashed): the only corpus-sized exchanges are
-  one combinable DISTINCT on (source, shingle-hash) and one
-  hash-aggregate by shingle — both partial-aggregated map-side, both on
-  narrow (string-hash, small-int) rows, never on document text.
+  (dedup.py _shingle_pairs_hashed): each shingle is hashed to a 31-bit
+  int BEFORE any exchange (ADVICE r9 — the hash now happens before the
+  DISTINCT, not only in the frac filter), so the only corpus-sized
+  exchanges are one combinable DISTINCT on narrow (source, int64) rows
+  and one hash-aggregate by shingle-hash — never on 3-gram strings.
+  Hash collisions (~|shingles|^2 / 2^32 pairs) perturb the counts
+  identically in both engines: the DuckDB oracle replays the exact
+  md5-word hash, so the check stays an equality hash-match.
 * ``hash_frac`` deterministically restricts the audit to the shingles
   whose portable hash falls below frac of the hash space — a MinHash-
   style uniform subspace, so the Jaccard over the sample is an unbiased
@@ -54,30 +58,37 @@ def source_overlap(
     hash_frac: float | None = None,
 ) -> DataFrame:
     """(source_a, source_b, n_common, n_a, n_b, jaccard) for every
-    unordered source pair (a < b): exact shingle-set Jaccard between
-    the sources' distinct word-``n``-gram sets (or over the
-    deterministic ``hash_frac`` subspace when set).
+    unordered source pair (a < b): shingle-set Jaccard between the
+    sources' distinct word-``n``-gram sets, computed over the 31-bit
+    portable hashes of the shingles (collisions are identical in the
+    oracle's replay; or over the deterministic ``hash_frac`` subspace
+    when set).
 
     A source whose documents are ALL shorter than ``n`` tokens has an
     empty shingle set and is omitted from the matrix entirely (its
     pairwise Jaccard would be 0/0): pairs are scaffolded from the
     non-empty sizes table, matching the oracle's sizes CTE."""
+    # hash each shingle to the shared 31-bit space BEFORE any exchange:
+    # the DISTINCT and the per-shingle group-by then move (source, int64)
+    # rows instead of 3-gram strings (ADVICE r9). The same hash value
+    # drives the frac filter, so the sampled subspace is a prefix of the
+    # exact path's key space.
     sh = docs.select(
         F.col(source_col).alias("source"),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+    ).select(
+        "source",
+        F.pmod(portable_hash32("sh"), F.lit(_HASH_SPACE)).alias("shh"),
     )
     if hash_frac is not None:
         if not 0.0 < hash_frac <= 1.0:
             raise ValueError(f"hash_frac must be in (0, 1], got {hash_frac}")
-        sh = sh.where(
-            F.pmod(portable_hash32("sh"), F.lit(_HASH_SPACE))
-            < F.lit(int(_HASH_SPACE * hash_frac))
-        )
+        sh = sh.where(F.col("shh") < F.lit(int(_HASH_SPACE * hash_frac)))
     sh = sh.distinct()
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     # per-shingle source set (bounded by |sources|) -> ordered pairs
     inter = (
-        sh.groupBy("sh")
+        sh.groupBy("shh")
         .agg(F.collect_set("source").alias("ss"))
         .select(F.explode("ss").alias("a"), "ss")
         .select("a", F.explode("ss").alias("b"))

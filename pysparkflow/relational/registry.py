@@ -5242,22 +5242,29 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(load_table(spark, sf_dir, "documents"), n=3)
 
 
-# same 3-gram shingle replay as the MinHash family (toks/sh CTEs in
-# lockstep with _Q_INCR_NEAR_DUP_SQL); DuckDB `/` on integers is double
-# division, matching Spark's
+# same 3-gram shingle replay as the MinHash family (toks CTE in
+# lockstep with _Q_INCR_NEAR_DUP_SQL), then the portable md5-word hash
+# into the 31-bit space BEFORE the distinct — mirroring the operator's
+# hash-before-exchange discipline (ADVICE r9) so collisions perturb
+# both engines identically; DuckDB `/` on integers is double division,
+# matching Spark's
 _Q_SOURCE_OVERLAP_SQL = r"""
 WITH toks AS (
   SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
   FROM documents
-), sh AS (
-  SELECT DISTINCT source, unnest(list_transform(range(1, len(t) - 1),
+), sh0 AS (
+  SELECT source, unnest(list_transform(range(1, len(t) - 1),
          i -> array_to_string(t[i:i+2], ' '))) AS sh
   FROM toks WHERE len(t) >= 3
+), sh AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS shh
+  FROM sh0
 ), sizes AS (
   SELECT source, count(*) AS n_sh FROM sh GROUP BY source
 ), inter AS (
   SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  FROM sh a JOIN sh b ON a.shh = b.shh AND a.source < b.source
   GROUP BY 1, 2
 )
 SELECT x.source AS source_a, y.source AS source_b,

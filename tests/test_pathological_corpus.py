@@ -141,6 +141,16 @@ def test_cosine_similarity_total_over_zero_vectors(spark):
     )
     vals = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
     assert vals == [0.0, 0.0, 1.0]
+    # subnormal-magnitude embeddings (ADVICE r9): each norm ~1e-160, so
+    # the norm PRODUCT underflows past the old 1e-300 clamp while staying
+    # nonzero — the clamp scaled the quotient to ~1e-20; try_divide keeps
+    # the IEEE-exact cosine (parallel -> 1.0, orthogonal -> 0.0)
+    tiny = spark.createDataFrame(
+        [([1e-160, 0.0], [1e-160, 0.0]), ([1e-160, 0.0], [0.0, 1e-160])],
+        "a array<double>, b array<double>",
+    )
+    tv = [r[0] for r in tiny.select(cosine_similarity("a", "b")).collect()]
+    assert tv == [1.0, 0.0]
 
 
 def test_zscore_outliers_survive_constant_series(spark):
