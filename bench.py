@@ -15,11 +15,14 @@ per-query map is written to bench_queries_latest.json (committed per
 round) and its path is referenced from the final line.
 
 Expected stderr noise: `WindowExec: No Partition Defined for Window
-operation` prints a handful of times per run — it comes from bm25's
-post-limit rank window (over <= top_k rows, AFTER TakeOrderedAndProject)
-and mutual_information's contingency-table marginals (|types| x 24
-rows). Both windows run over BOUNDED intermediates by design; the
-warning is not a scale hazard and needs no investigation (VERDICT r8)."""
+operation` prints a handful of times per run. ALL FOUR sources are
+windows over BOUNDED intermediates by design (VERDICT r8/r9 — verified
+by hand three rounds running; do not re-investigate): bm25's post-limit
+rank (<= top_k rows, AFTER TakeOrderedAndProject, tfidf.py:153),
+mutual_information's contingency-table marginals (|types| x 24 rows),
+BPE's vocab-pair rank (bpe.py:74, vocabulary-sized), and session_paths'
+trigram rank (registry.py q_session_paths, 25 rows). Not a scale
+hazard; needs no investigation."""
 
 from __future__ import annotations
 

@@ -35,7 +35,7 @@ brief (round-9 instructions), composed from this repo's own gate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -111,4 +111,105 @@ def mixture_report(
             F.avg(F.when(F.col("keep"), F.col("_survives").cast("double"))),
             4,
         ).alias("survivor_rate"),
+    )
+
+
+def mixture_drift(
+    report_a: DataFrame,
+    report_b: DataFrame,
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-snapshot dataset-card diff (VERDICT r9 #5): given two
+    :func:`mixture_report` outputs — ``report_a`` the reference
+    snapshot, ``report_b`` the current one — emit, per source, the
+    deltas a "what changed since the last snapshot" page publishes
+    (document count, curated token budget, gate rate, survivor rate)
+    plus TWO complementary quality-quantile shift scores:
+
+    * ``q_shift`` — PSI-style SHAPE shift: :mod:`pysparkflow.llmops.
+      drift`'s smoothing discipline applied to the 3-slot quantile
+      profile (each slot +0.5, normalized over sum + 1.5, so the log
+      term is TOTAL — a source with zero kept documents in one
+      snapshot, all-null quantiles coalesced to 0, gets a finite score
+      instead of killing the job). Like PSI it is 0 iff the NORMALIZED
+      profile is unchanged; because it normalizes, a near-uniform
+      level move of all three quantiles cancels (measured: the
+      saturated-score planted corpus in tools/r10_scale.py moves every
+      quantile by ~1e-3 and q_shift by ~1e-8). Its magnitude is not
+      calibrated to PSI's 0.1/0.25 read — compare across sources
+      within one diff.
+    * ``q_w1`` — LEVEL shift: the 3-point quantile approximation of
+      the Wasserstein-1 distance between the two quality
+      distributions, mean(|q_b - q_a|) over the three quantiles
+      (nulls coalesced to 0). Plain subtraction — total without
+      smoothing — and in the units of the score itself, so "the
+      median quality moved by X" reads directly. This is the score
+      that catches the uniform drift q_shift's normalization cancels;
+      together they separate "the mix reshaped" from "the level
+      moved".
+
+    Sources present in only one snapshot (a new crawl, a dropped
+    feed) keep a row via the FULL OUTER join, with the missing side's
+    counts read as 0. Both inputs are |sources|-row aggregates, so the
+    join is driver-trivial at any corpus scale — the expensive work
+    already happened inside the two mixture_report passes.
+    """
+    a = report_a.select(
+        source_col,
+        F.col("n_total").alias("n_total_a"),
+        F.col("total_tokens").alias("tok_a"),
+        F.col("gate_rate").alias("gate_a"),
+        F.col("survivor_rate").alias("surv_a"),
+        F.col("q_p25").alias("qa25"),
+        F.col("q_p50").alias("qa50"),
+        F.col("q_p75").alias("qa75"),
+    )
+    b = report_b.select(
+        source_col,
+        F.col("n_total").alias("n_total_b"),
+        F.col("total_tokens").alias("tok_b"),
+        F.col("gate_rate").alias("gate_b"),
+        F.col("survivor_rate").alias("surv_b"),
+        F.col("q_p25").alias("qb25"),
+        F.col("q_p50").alias("qb50"),
+        F.col("q_p75").alias("qb75"),
+    )
+    j = a.join(b, source_col, "full")
+
+    def z(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit(0.0))
+
+    def zl(c: str) -> Column:
+        return F.coalesce(F.col(c), F.lit(0)).cast("long")
+
+    sum_a = z("qa25") + z("qa50") + z("qa75")
+    sum_b = z("qb25") + z("qb50") + z("qb75")
+
+    def term(qb: str, qa: str) -> Column:
+        # smoothed profile masses: numerators >= 0.5, denominators
+        # >= 1.5, so the ratio and its log are always finite
+        p = (z(qb) + F.lit(0.5)) / (sum_b + F.lit(1.5))
+        q = (z(qa) + F.lit(0.5)) / (sum_a + F.lit(1.5))
+        return (p - q) * F.log(p / q)
+
+    # explicit left-to-right sums: the oracle adds the terms in the
+    # same textual order, keeping the 6-dp rounds bit-identical
+    q_shift = term("qb25", "qa25") + term("qb50", "qa50") + term(
+        "qb75", "qa75"
+    )
+    q_w1 = (
+        F.abs(z("qb25") - z("qa25"))
+        + F.abs(z("qb50") - z("qa50"))
+        + F.abs(z("qb75") - z("qa75"))
+    ) / F.lit(3.0)
+    return j.select(
+        source_col,
+        zl("n_total_a").alias("n_total_a"),
+        zl("n_total_b").alias("n_total_b"),
+        (zl("n_total_b") - zl("n_total_a")).alias("d_docs"),
+        (zl("tok_b") - zl("tok_a")).alias("d_tokens"),
+        F.round(z("gate_b") - z("gate_a"), 4).alias("d_gate_rate"),
+        F.round(z("surv_b") - z("surv_a"), 4).alias("d_survivor_rate"),
+        F.round(q_shift, 6).alias("q_shift"),
+        F.round(q_w1, 6).alias("q_w1"),
     )

@@ -98,29 +98,10 @@ def test_mixture_report_source_with_nothing_kept(spark):
 # ------------------------------------------------------- rotation window pin
 
 
-def test_driver_window_rotation_r9():
-    """The driver grades the FIRST 50 keys of queries(); pin the round-9
-    window composition so an accidental registry reorder (the exact
-    failure mode _ROUND_FRONT exists to manage) is caught by pytest,
-    not by a wasted driver round."""
-    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
-
-    window = list(QUERIES)[:50]
-    # the never-driver-graded entries lead the round
-    for k in ("audio_spectral", "video_frames", "mixture_report",
-              "source_overlap", "packing_report", "image_resize"):
-        assert k in window, k
-    # always-in core
-    for k in ("max_flow", "bfs_distances", "dedup_exact",
-              "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
-        assert k in window, k
-    # deferred to r10 by the slot count — NOT in the window
-    for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
-              "unpivot_metrics", "zorder_layout"):
-        assert k not in window, k
-    # tolerance-gated sketches must never occupy hash-window slots
-    assert not set(TOLERANCE_ORACLES) & set(window)
-    assert len(window) == len(set(window)) == 50
+# test_driver_window_rotation_r9 retired with the r10 rotation — the
+# live window pin is tests/test_round10_ops.py::
+# test_driver_window_rotation_r10 (one pin per round, current round only;
+# the r9 composition is recorded by CORRECTNESS_r09.json).
 
 
 def test_mixture_report_totals_are_additive(spark, sf_dir):
