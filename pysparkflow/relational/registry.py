@@ -5236,24 +5236,40 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "yesterday's crawl vs today's"), the FULL curation report —
     quality gate, MinHash dedup, survivor election, mixture_report —
     runs per snapshot, and the diff emits per-source deltas (docs,
-    tokens, gate rate, survivor rate) plus the smoothed PSI-style
-    quality-quantile shift. The expensive work is the two report
-    passes; the diff itself is a FULL OUTER join of two |sources|-row
-    aggregates."""
+    tokens, gate rate, survivor rate) plus the complementary
+    quality-quantile shift pair (q_shift shape / q_w1 level).
+
+    Per-snapshot MinHash pairs come from FILTERING the session-memoized
+    full-corpus pair table (_minhash_pairs) to both-endpoints-in-
+    snapshot, NOT from re-running the shingle+band pass per snapshot.
+    This is EXACT, not an approximation: a doc's MinHash signature and
+    band buckets depend only on its own text, so two snapshot docs
+    share an LSH bucket in the snapshot iff they share it in the full
+    corpus, and the exact-Jaccard verify is per-pair — hence
+    pairs(snapshot) == pairs(corpus) ∩ {both ids in snapshot}. (The
+    DuckDB oracle replays the full per-snapshot pipeline independently
+    and hash-matches, which is the machine check of that equivalence.)
+    The 100 TB shape follows: a snapshot diff reuses the corpus dedup
+    index instead of paying two more corpus-sized shingle exchanges —
+    the marginal cost is two gate+report scans plus a pair-table
+    filter."""
     from pysparkflow.llmops.dedup import (
         dedup_resolution,
-        minhash_lsh_pairs,
         select_cluster_representatives,
     )
     from pysparkflow.llmops.quality_model import quality_classify
     from pysparkflow.llmops.report import mixture_drift, mixture_report
+
+    all_pairs, _ = _minhash_pairs(spark, sf_dir)
 
     def snapshot_report(parity: int) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").where(
             F.col("doc_id") % 2 == parity
         )
         scored = quality_classify(docs)
-        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        pairs = all_pairs.where(
+            (F.col("id_a") % 2 == parity) & (F.col("id_b") % 2 == parity)
+        )
         clusters = dedup_resolution(pairs)
         survivors = select_cluster_representatives(clusters, scored)
         return mixture_report(docs, scored, survivors)
