@@ -6079,7 +6079,8 @@ _ROUND_FRONT = [
     "unpivot_metrics",
     "zorder_layout",
     # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the two alphabetically-last entries, spilled to r11)
+    # minus the two alphabetically-last entries — token_totals and
+    # url_dedup — which spill to round 11 and must lead its front)
     "activity_islands",
     "bm25_score",
     "bpe_token_count",
