@@ -658,3 +658,48 @@ def select_cluster_representatives(
         F.col("_s").alias("score"),
         "best_score",
     )
+
+
+def cluster_stats(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Duplication-cluster composition audit: (cluster_size, n_clusters,
+    n_cross_source, n_docs) — for each near-dup cluster size, how many
+    clusters exist, how many of them span MORE THAN ONE source, and how
+    many documents they hold in total.
+
+    The dataset-card companion to dedup_resolution: cluster sizes tell
+    you whether duplication is pairwise noise or mass replication, and
+    the cross-source count splits "a source repeats itself" (dedup
+    within the source and move on) from "two sources ship the same
+    content" (candidates for dropping a source entirely — the decision
+    source_overlap's Jaccard matrix triages at set level, audited here
+    at resolved-cluster level).
+
+    ``clusters`` is dedup_resolution's (doc_id, keep_id) output — the
+    pair-graph closure, orders of magnitude smaller than the corpus —
+    so it is BROADCAST onto the documents projection to pick up the
+    source column; the per-cluster and per-size aggregates then run on
+    cluster-table-sized inputs. Zero corpus-sized exchanges: the corpus
+    side is a two-column scan probed by a broadcast hash join."""
+    labeled = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+    ).join(F.broadcast(clusters.select("doc_id", "keep_id")), "doc_id")
+    per_cluster = labeled.groupBy("keep_id").agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        per_cluster.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum((F.col("n_sources") > 1).cast("long")).alias(
+                "n_cross_source"
+            ),
+            F.sum("sz").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

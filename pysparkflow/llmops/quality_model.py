@@ -26,7 +26,7 @@ equals score-from-text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pysparkflow.llmops.textstats import quality_features
@@ -88,4 +88,58 @@ def quality_classify(
     ).withColumn(
         "keep",
         F.coalesce(F.col("q_score") >= F.lit(threshold), F.lit(False)),
+    )
+
+
+def rank_fusion(
+    df: DataFrame,
+    signals: dict[str, Column],
+    weights: dict[str, float],
+    partition_col: str = "source",
+    id_col: str = "doc_id",
+    keep_frac: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-signal quality gate by per-partition rank fusion:
+    (id, partition, fused, keep) where ``fused`` is the weighted average
+    of each signal's percent_rank WITHIN the partition and ``keep`` is
+    fused >= 1 - keep_frac (the top ``keep_frac`` of each partition by
+    blended rank, up to rank ties at the boundary).
+
+    Rank fusion is how production curation blends incommensurable
+    signals (length, lexical diversity, classifier score) across
+    heterogeneous sources: raw scores are not comparable between a
+    code crawl and a news crawl, but within-source ranks are. Each
+    signal is normalized to [0, 1] by percent_rank over (partition,
+    signal, id) — id as the deterministic tiebreak — then blended.
+
+    One exchange: every window shares the same partitioning key, so
+    Catalyst plans a single hash-partitioned exchange followed by one
+    sort per signal. ``keep`` compares the ROUNDED fused score, so the
+    decision is replayable from the published column alone."""
+    if not signals:
+        raise ValueError("signals must be non-empty")
+    if set(signals) != set(weights):
+        raise ValueError(
+            f"signals/weights key mismatch: {sorted(signals)} vs "
+            f"{sorted(weights)}"
+        )
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError(f"weights must sum positive, got {total_w}")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(partition_col).alias("partition"),
+        *[expr.alias(f"_s_{name}") for name, expr in signals.items()],
+    )
+    fused = None
+    for name in sorted(signals):
+        w = Window.partitionBy("partition").orderBy(f"_s_{name}", "id")
+        term = F.lit(weights[name] / total_w) * F.percent_rank().over(w)
+        fused = term if fused is None else fused + term
+    out = base.select(
+        "id", "partition", F.round(fused, round_to).alias("fused")
+    )
+    return out.withColumn(
+        "keep", F.col("fused") >= F.lit(round(1.0 - keep_frac, round_to))
     )

@@ -28,7 +28,7 @@ from pyspark.sql.window import Window
 from pysparkflow.algo.bfs import bfs_distances
 from pysparkflow.algo.components import connected_components
 from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
-from pysparkflow.functions.text import edge_id
+from pysparkflow.functions.text import edge_id, tokens
 from pysparkflow.graph.graph import FlowGraph, symmetrize
 from pysparkflow.llmops.dedup import (
     exact_duplicates,
@@ -5692,6 +5692,143 @@ FROM v GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent shingle (boilerplate) audit
+    (llmops/boilerplate.py): per-document fraction of distinct word
+    3-grams whose corpus document frequency is >= 4 — the CCNet-style
+    recurring-unit removal signal, word-shingle grained because the
+    corpus is single-line. Hash-before-exchange like source_overlap;
+    the DF exchange carries int64 hashes only, the boilerplate set is
+    broadcast, and n_shingles is computed map-side."""
+    from pysparkflow.llmops.boilerplate import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), n=3, min_docs=4
+    )
+
+
+# the same per-document DISTINCT 3-gram rows as the MinHash family's
+# toks/sh CTEs, then the portable md5-word hash into the 31-bit space —
+# DF counted over exactly those rows, so in-doc and cross-doc hash
+# collisions perturb both engines identically (boilerplate.py docstring)
+_Q_BOILERPLATE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         i -> array_to_string(t[i:i+2], ' '))) AS sh
+  FROM toks WHERE len(t) >= 3
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647 AS shh
+  FROM sh
+), boiler AS (
+  SELECT shh FROM hashed GROUP BY shh HAVING count(*) >= 4
+), nb AS (
+  SELECT h.doc_id, count(*) AS n_boiler
+  FROM hashed h JOIN boiler b USING (shh) GROUP BY h.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(coalesce(nb.n_boiler, 0) / s.n_sh, 6) AS boiler_ratio
+FROM documents d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN nb USING (doc_id)
+"""
+
+
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-cluster composition audit (llmops/dedup.py
+    cluster_stats): per cluster-size histogram of the resolved MinHash
+    near-dup clusters, with the count of clusters spanning more than
+    one source — splits "a source repeats itself" from "two sources
+    ship the same content". Derives from the SAME memoized pair table
+    as dedup_minhash_lsh / dedup_resolution / mixture_drift; the
+    cluster map is broadcast onto the two-column documents projection,
+    so the audit adds zero corpus-sized exchanges."""
+    from pysparkflow.llmops.dedup import cluster_stats, dedup_resolution
+
+    pairs, n_pairs = _minhash_pairs(spark, sf_dir)
+    clusters = dedup_resolution(pairs, n_pairs=n_pairs)
+    return cluster_stats(
+        clusters, load_table(spark, sf_dir, "documents")
+    )
+
+
+# composition of the dedup_resolution closure (embedded verbatim — one
+# definition of the cluster semantics, three oracles) with the source
+# join and the two-level aggregate
+_Q_DUP_CLUSTER_STATS_SQL = f"""
+WITH clusters AS (
+  SELECT * FROM ({_Q_DEDUP_RESOLUTION_SQL})
+), lab AS (
+  SELECT c.doc_id, c.keep_id, d.source
+  FROM clusters c JOIN documents d USING (doc_id)
+), per AS (
+  SELECT keep_id, count(*) AS sz, count(DISTINCT source) AS ns
+  FROM lab GROUP BY keep_id
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum((ns > 1)::BIGINT) AS BIGINT) AS n_cross_source,
+       CAST(sum(sz) AS BIGINT) AS n_docs
+FROM per GROUP BY sz ORDER BY sz
+"""
+
+
+def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality gate by per-source rank fusion
+    (llmops/quality_model.py rank_fusion): blend length, lexical
+    diversity, and mean word length by percent_rank WITHIN each source
+    (raw scores are incomparable between heterogeneous sources; ranks
+    are), keep the blended top half. All three windows share one
+    partitioning key -> a single exchange; signals are exact integer
+    ratios, identical IEEE doubles in both engines."""
+    from pysparkflow.llmops.quality_model import rank_fusion
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    signals = {
+        "len": F.col("n_chars").cast("double"),
+        "uniq": F.size(F.array_distinct(toks)) / F.size(toks),
+        "wlen": F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        / F.size(toks),
+    }
+    weights = {"len": 0.5, "uniq": 0.3, "wlen": 0.2}
+    return rank_fusion(
+        d, signals, weights, partition_col="source", keep_frac=0.5
+    ).select(F.col("id").alias("doc_id"), F.col("partition").alias("source"), "fused", "keep")
+
+
+# fused terms added in the operator's sorted-signal order (len, uniq,
+# wlen) so float summation order matches bit-for-bit
+_Q_QUALITY_RANK_FUSION_SQL = r"""
+WITH sig AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS len_sig,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           / len(regexp_split_to_array(trim(text), '\s+')) AS uniq_sig,
+         length(regexp_replace(text, '\s+', '', 'g'))
+           / len(regexp_split_to_array(trim(text), '\s+')) AS wlen_sig
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source,
+         0.5 * percent_rank() OVER
+               (PARTITION BY source ORDER BY len_sig, doc_id)
+       + 0.3 * percent_rank() OVER
+               (PARTITION BY source ORDER BY uniq_sig, doc_id)
+       + 0.2 * percent_rank() OVER
+               (PARTITION BY source ORDER BY wlen_sig, doc_id) AS f
+  FROM sig
+)
+SELECT doc_id, source, round(f, 6) AS fused, round(f, 6) >= 0.5 AS keep
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5828,6 +5965,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "mixture_report": q_mixture_report,
     "mixture_drift": q_mixture_drift,
+    "boilerplate_ngrams": q_boilerplate_ngrams,
+    "dup_cluster_stats": q_dup_cluster_stats,
+    "quality_rank_fusion": q_quality_rank_fusion,
     "source_overlap": q_source_overlap,
     "source_overlap_sampled": q_source_overlap_sampled,
     "packing_report": q_packing_report,
@@ -5977,6 +6117,9 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_keep_best": _Q_DEDUP_KEEP_BEST_SQL,
     "mixture_report": _Q_MIXTURE_REPORT_SQL,
     "mixture_drift": _mixture_drift_sql(),
+    "boilerplate_ngrams": _Q_BOILERPLATE_SQL,
+    "dup_cluster_stats": _Q_DUP_CLUSTER_STATS_SQL,
+    "quality_rank_fusion": _Q_QUALITY_RANK_FUSION_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "packing_report": _Q_PACKING_REPORT_SQL,
     "image_resize": _Q_IMAGE_RESIZE_SQL,
@@ -6057,12 +6200,14 @@ _ALWAYS_IN_CORE = [
 ]
 # round 10 front (VERDICT r9 #1): the stale backlog, recomputed from
 # CORRECTNESS_r01..r09 (last driver-green round per entry): the five
-# r6-deferred entries (documented here last round) lead, then 38 of the
-# 40 entries whose most recent driver-green row is r7, plus the one new
-# r10 entry (mixture_drift — never driver-graded).  6 core + 1 new + 5
-# r6 + 38 r7 = the full 50-slot window; the two r7 entries that do not
-# fit — token_totals and url_dedup, alphabetically last of the r7
-# cohort — SPILL TO ROUND 11 and must lead its front (pinned by
+# r6-deferred entries (documented here last round) lead, then 35 of the
+# 40 entries whose most recent driver-green row is r7, plus the four
+# new r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
+# quality_rank_fusion — never driver-graded; new entries always front).
+# 6 core + 4 new + 5 r6 + 35 r7 = the full 50-slot window; the five r7
+# entries that do not fit — span_dedup, stratified_sample, text_quality,
+# token_totals, url_dedup, alphabetically last of the r7 cohort — SPILL
+# TO ROUND 11 and must lead its front (pinned by
 # tests/test_round10_ops.py::test_driver_window_rotation_r10).
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
@@ -6072,6 +6217,9 @@ _ALWAYS_IN_CORE = [
 _ROUND_FRONT = [
     # new in round 10 (never driver-graded; appended as they land)
     "mixture_drift",
+    "boilerplate_ngrams",
+    "dup_cluster_stats",
+    "quality_rank_fusion",
     # deferred from the r6 backlog by r9's slot count (VERDICT r9 #1)
     "stream_merge_state",
     "token_budget_select",
@@ -6079,8 +6227,9 @@ _ROUND_FRONT = [
     "unpivot_metrics",
     "zorder_layout",
     # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the two alphabetically-last entries — token_totals and
-    # url_dedup — which spill to round 11 and must lead its front)
+    # minus the five alphabetically-last entries — span_dedup,
+    # stratified_sample, text_quality, token_totals, url_dedup —
+    # which spill to round 11 and must lead its front)
     "activity_islands",
     "bm25_score",
     "bpe_token_count",
@@ -6116,9 +6265,6 @@ _ROUND_FRONT = [
     "pack_documents",
     "quality_quantile_filter",
     "simhash",
-    "span_dedup",
-    "stratified_sample",
-    "text_quality",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -151,16 +151,20 @@ def test_source_overlap_sampled_configuration():
 
 def test_driver_window_rotation_r10():
     """The driver grades the FIRST 50 keys of queries(); pin the
-    round-10 window composition (VERDICT r9 #1): 6 core + mixture_drift
-    (new) + the five r6-deferred entries + 38 of the 40 r7-stale
-    entries. The two alphabetically-last r7 entries (token_totals,
+    round-10 window composition (VERDICT r9 #1): 6 core + the four new
+    r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
+    quality_rank_fusion) + the five r6-deferred entries + 35 of the 40
+    r7-stale entries. The five alphabetically-last r7 entries
+    (span_dedup, stratified_sample, text_quality, token_totals,
     url_dedup) spill to the r11 front — recorded here and at the
     registry's _ROUND_FRONT comment."""
     from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
 
     window = list(QUERIES)[:50]
     # new this round — first driver grade must happen now
-    assert "mixture_drift" in window
+    for k in ("mixture_drift", "boilerplate_ngrams", "dup_cluster_stats",
+              "quality_rank_fusion"):
+        assert k in window, k
     # the r6-deferred five lead the backlog
     for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
               "unpivot_metrics", "zorder_layout"):
@@ -171,11 +175,101 @@ def test_driver_window_rotation_r10():
         assert k in window, k
     # representative r7-stale entries now in the window
     for k in ("min_cut", "knn_bruteforce", "events_stream_windowed",
-              "pack_documents", "curation_pipeline", "text_quality"):
+              "pack_documents", "curation_pipeline", "simhash"):
         assert k in window, k
-    # the named r11 spill-over pair — NOT in the window
-    for k in ("token_totals", "url_dedup"):
+    # the named r11 spill-over five — NOT in the window
+    for k in ("span_dedup", "stratified_sample", "text_quality",
+              "token_totals", "url_dedup"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
     assert len(window) == len(set(window)) == 50
+
+
+def test_boilerplate_ngrams_planted(spark):
+    """Hand corpus with a known recurring bigram: 'a b' appears in 3 of
+    4 docs (df >= 2 -> boilerplate); in-doc repetition counts once
+    (distinct shingles); a sub-n doc keeps its row with a NULL ratio."""
+    from pysparkflow.llmops.boilerplate import boilerplate_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # shingles: a b / b c / c d
+            (1, "a b x"),        # a b / b x
+            (2, "zz"),           # no bigram -> total row, NULL ratio
+            (3, "a b a b"),      # distinct: a b / b a
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in boilerplate_ngrams(docs, n=2, min_docs=2).collect()
+    }
+    assert len(rows) == 4
+    assert (rows[0]["n_shingles"], rows[0]["n_boiler"]) == (3, 1)
+    assert rows[0]["boiler_ratio"] == pytest.approx(round(1 / 3, 6))
+    assert (rows[1]["n_shingles"], rows[1]["n_boiler"]) == (2, 1)
+    assert (rows[2]["n_shingles"], rows[2]["n_boiler"]) == (0, 0)
+    assert rows[2]["boiler_ratio"] is None
+    # 'a b a b' has two DISTINCT bigrams; only 'a b' is corpus-frequent
+    assert (rows[3]["n_shingles"], rows[3]["n_boiler"]) == (2, 1)
+    # raising the threshold above every df empties the boilerplate set
+    clean = boilerplate_ngrams(docs, n=2, min_docs=4).collect()
+    assert all(r["n_boiler"] == 0 for r in clean)
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_ngrams(docs, n=2, min_docs=1)
+
+
+def test_cluster_stats_planted(spark):
+    """Closed-form histogram: one size-3 single-source cluster, one
+    size-2 cross-source cluster, one size-2 single-source cluster."""
+    from pysparkflow.llmops.dedup import cluster_stats
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)],
+        "doc_id long, keep_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s1"), (10, "s1"), (11, "s2"),
+         (20, "s3"), (21, "s3"), (99, "s4")],  # 99: unclustered, ignored
+        "doc_id long, source string",
+    )
+    rows = {r["cluster_size"]: r
+            for r in cluster_stats(clusters, docs).collect()}
+    assert set(rows) == {2, 3}
+    assert (rows[2]["n_clusters"], rows[2]["n_cross_source"],
+            rows[2]["n_docs"]) == (2, 1, 4)
+    assert (rows[3]["n_clusters"], rows[3]["n_cross_source"],
+            rows[3]["n_docs"]) == (1, 0, 3)
+
+
+def test_rank_fusion_planted(spark):
+    """Single-signal fusion reduces to percent_rank (0, 1/2, 1 over a
+    3-row partition); partitions rank independently; weights normalize;
+    key-mismatch and empty-signal validation raise."""
+    from pysparkflow.llmops.quality_model import rank_fusion
+
+    df = spark.createDataFrame(
+        [(0, "p", 10.0), (1, "p", 20.0), (2, "p", 30.0),
+         (3, "q", 5.0), (4, "q", 50.0)],
+        "doc_id long, source string, s double",
+    )
+    # weight 2.0 normalizes to 1.0 — fused IS the percent_rank
+    out = {r["id"]: r for r in rank_fusion(
+        df, {"s": F.col("s")}, {"s": 2.0}, keep_frac=0.5
+    ).collect()}
+    assert [out[i]["fused"] for i in range(3)] == [0.0, 0.5, 1.0]
+    assert [out[i]["keep"] for i in range(3)] == [False, True, True]
+    # partition q ranks independently: 2 rows -> 0 and 1
+    assert (out[3]["fused"], out[4]["fused"]) == (0.0, 1.0)
+    # two equal-weight opposing signals cancel to 0.5 everywhere
+    both = rank_fusion(
+        df.where(F.col("source") == "p"),
+        {"up": F.col("s"), "down": -F.col("s")},
+        {"up": 1.0, "down": 1.0},
+    ).collect()
+    assert all(r["fused"] == 0.5 and r["keep"] for r in both)
+    with pytest.raises(ValueError, match="mismatch"):
+        rank_fusion(df, {"s": F.col("s")}, {"t": 1.0})
+    with pytest.raises(ValueError, match="non-empty"):
+        rank_fusion(df, {}, {})
