@@ -704,3 +704,69 @@ def cluster_balanced_sample(
         .where(F.col("rk") <= per_cell)
         .select("id", "cell", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def centroid_affinity(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine matrix between per-group embedding centroids:
+    (group_a, group_b, n_a, n_b, cosine) for every unordered group pair
+    — the embedding-space complement of source_overlap's lexical
+    Jaccard matrix. Two groups whose centroids are near-parallel cover
+    the same region of embedding space: candidates for merging in
+    mixture design (or for dropping one side) before any per-document
+    near-dup pass, exactly like a high-Jaccard source pair.
+
+    Plan shape: ONE combiner-friendly exchange keyed by (group, dim)
+    (posexplode + avg — the same building block as embedding_centroids,
+    reassembled per group with a sorted collect), then the pair matrix
+    is built join-free by folding the |groups|-row centroid table into
+    one array row and double-exploding (the overlap.py scaffold — a
+    cross join would plan nested-loop and trip the plan lint). At
+    100 TB the corpus-sized work is the one exchange; everything
+    after runs on |groups| rows.
+
+    Cross-engine contract: centroids are ROUNDED to ``round_to`` before
+    the cosine (exact decimal inputs, so the dot/norm fold order can't
+    leak ulps past the final rounding); the cosine itself is
+    functions/vector.cosine_similarity (try_divide + coalesce — a
+    zero centroid, e.g. a group of exactly-opposed vectors, gets
+    affinity 0.0, not a job kill)."""
+    cent = (
+        emb.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("vid"),
+            F.posexplode(vec_col).alias("dim", "val"),
+        )
+        .groupBy("grp", "dim")
+        .agg(
+            F.round(F.avg("val"), round_to).alias("c"),
+            F.count_distinct("vid").alias("n"),
+        )
+    )
+    vecs = cent.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("v"),
+        F.max("n").alias("n_vecs"),
+    )
+    pairs = (
+        vecs.agg(F.collect_list(F.struct("grp", "v", "n_vecs")).alias("xs"))
+        .select(F.explode("xs").alias("x"), "xs")
+        .select("x", F.explode("xs").alias("y"))
+        .where(F.col("x.grp") < F.col("y.grp"))
+    )
+    return pairs.select(
+        F.col("x.grp").alias("group_a"),
+        F.col("y.grp").alias("group_b"),
+        F.col("x.n_vecs").alias("n_a"),
+        F.col("y.n_vecs").alias("n_b"),
+        F.round(
+            cosine_similarity(F.col("x.v"), F.col("y.v")), round_to
+        ).alias("cosine"),
+    )

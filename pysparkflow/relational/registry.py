@@ -5829,6 +5829,47 @@ FROM ranked
 """
 
 
+def q_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids
+    (llmops/similarity.py centroid_affinity): the embedding-space
+    complement of source_overlap — near-parallel centroids mean two
+    groups cover the same region of embedding space (merge/drop
+    candidates in mixture design). One (group, dim)-keyed exchange;
+    the pair matrix is built join-free on |groups| rows."""
+    from pysparkflow.llmops.similarity import centroid_affinity
+
+    return centroid_affinity(load_table(spark, sf_dir, "embeddings"))
+
+
+# same exploded/centroid CTEs as _Q_EMBED_CENTROIDS_SQL (one definition
+# of the centroid semantics, two oracles), then the cosine over the
+# ROUNDED centroid arrays — exact decimal inputs, so fold-order ulps
+# can't survive the final round(, 6); x/nullif + coalesce mirrors the
+# operator's try_divide zero-centroid totality
+_Q_CENTROID_AFFINITY_SQL = """
+WITH exploded AS (
+  SELECT label, vec_id,
+         CAST(i - 1 AS INTEGER) AS dim,
+         embedding[CAST(i AS INTEGER)] AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+), cent AS (
+  SELECT label, dim, round(avg(val), 6) AS c, count(DISTINCT vec_id) AS n
+  FROM exploded GROUP BY label, dim
+), vecs AS (
+  SELECT label, list(c ORDER BY dim) AS v, max(n) AS n_vecs
+  FROM cent GROUP BY label
+)
+SELECT a.label AS group_a, b.label AS group_b,
+       CAST(a.n_vecs AS BIGINT) AS n_a, CAST(b.n_vecs AS BIGINT) AS n_b,
+       round(coalesce(
+         list_inner_product(a.v, b.v)
+           / nullif(sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v)), 0),
+         0), 6) AS cosine
+FROM vecs a JOIN vecs b ON a.label < b.label
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5968,6 +6009,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": q_boilerplate_ngrams,
     "dup_cluster_stats": q_dup_cluster_stats,
     "quality_rank_fusion": q_quality_rank_fusion,
+    "centroid_affinity": q_centroid_affinity,
     "source_overlap": q_source_overlap,
     "source_overlap_sampled": q_source_overlap_sampled,
     "packing_report": q_packing_report,
@@ -6120,6 +6162,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_ngrams": _Q_BOILERPLATE_SQL,
     "dup_cluster_stats": _Q_DUP_CLUSTER_STATS_SQL,
     "quality_rank_fusion": _Q_QUALITY_RANK_FUSION_SQL,
+    "centroid_affinity": _Q_CENTROID_AFFINITY_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "packing_report": _Q_PACKING_REPORT_SQL,
     "image_resize": _Q_IMAGE_RESIZE_SQL,
@@ -6200,14 +6243,15 @@ _ALWAYS_IN_CORE = [
 ]
 # round 10 front (VERDICT r9 #1): the stale backlog, recomputed from
 # CORRECTNESS_r01..r09 (last driver-green round per entry): the five
-# r6-deferred entries (documented here last round) lead, then 35 of the
-# 40 entries whose most recent driver-green row is r7, plus the four
+# r6-deferred entries (documented here last round) lead, then 34 of the
+# 40 entries whose most recent driver-green row is r7, plus the FIVE
 # new r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-# quality_rank_fusion — never driver-graded; new entries always front).
-# 6 core + 4 new + 5 r6 + 35 r7 = the full 50-slot window; the five r7
-# entries that do not fit — span_dedup, stratified_sample, text_quality,
-# token_totals, url_dedup, alphabetically last of the r7 cohort — SPILL
-# TO ROUND 11 and must lead its front (pinned by
+# quality_rank_fusion, centroid_affinity — never driver-graded; new
+# entries always front).  6 core + 5 new + 5 r6 + 34 r7 = the full
+# 50-slot window; the six r7 entries that do not fit — simhash,
+# span_dedup, stratified_sample, text_quality, token_totals, url_dedup,
+# alphabetically last of the r7 cohort — SPILL TO ROUND 11 and must
+# lead its front (pinned by
 # tests/test_round10_ops.py::test_driver_window_rotation_r10).
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
@@ -6220,6 +6264,7 @@ _ROUND_FRONT = [
     "boilerplate_ngrams",
     "dup_cluster_stats",
     "quality_rank_fusion",
+    "centroid_affinity",
     # deferred from the r6 backlog by r9's slot count (VERDICT r9 #1)
     "stream_merge_state",
     "token_budget_select",
@@ -6227,7 +6272,7 @@ _ROUND_FRONT = [
     "unpivot_metrics",
     "zorder_layout",
     # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the five alphabetically-last entries — span_dedup,
+    # minus the six alphabetically-last entries — simhash, span_dedup,
     # stratified_sample, text_quality, token_totals, url_dedup —
     # which spill to round 11 and must lead its front)
     "activity_islands",
@@ -6264,7 +6309,6 @@ _ROUND_FRONT = [
     "nucleus_select",
     "pack_documents",
     "quality_quantile_filter",
-    "simhash",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -236,3 +236,58 @@ def test_scrub_and_langid_survive(spark, pdocs):
     assert scrub_text(pdocs).count() == len(PATHOLOGICAL)
     for r in language_scores(pdocs).collect():
         assert r["lang_pred"] is not None
+
+
+def test_round10_ops_survive_pathological_corpus(spark, pdocs):
+    """Round-10 operators over the hostile corpus (same-commit battery
+    rule): boilerplate_ngrams stays total (one row per doc, NULL ratio
+    for sub-shingle docs, no ANSI divide crash); rank_fusion handles
+    whole-partition ties (percent_rank well-defined, single-row
+    partitions rank 0); cluster_stats tolerates clusters referencing
+    absent docs and an empty pair set; centroid_affinity survives an
+    empty embeddings table (no pairs, pinned schema)."""
+    from pysparkflow.llmops.boilerplate import boilerplate_ngrams
+    from pysparkflow.llmops.dedup import cluster_stats
+    from pysparkflow.llmops.quality_model import rank_fusion
+    from pysparkflow.llmops.similarity import centroid_affinity
+
+    rows = boilerplate_ngrams(pdocs, n=3, min_docs=2).collect()
+    assert len(rows) == pdocs.count()
+    assert all(r["n_boiler"] <= r["n_shingles"] for r in rows)
+    assert all(
+        (r["boiler_ratio"] is None) == (r["n_shingles"] == 0) for r in rows
+    )
+    # "word word word ..." (doc 7): every shingle is the same trigram;
+    # df must still be computed per DISTINCT doc, not per occurrence
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[7]["n_shingles"] == 1
+
+    fused = rank_fusion(
+        pdocs,
+        {"len": F.length("text").cast("double")},
+        {"len": 1.0},
+        partition_col="source",
+        id_col="doc_id",
+    ).collect()
+    assert len(fused) == pdocs.count()
+    assert all(r["fused"] is not None and 0.0 <= r["fused"] <= 1.0
+               for r in fused)
+    # src3 is a single-row partition: percent_rank is 0 by definition
+    assert [r["fused"] for r in fused if r["partition"] == "src3"] == [0.0]
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (999, 0)], "doc_id long, keep_id long"  # 999 absent
+    )
+    stats = cluster_stats(clusters, pdocs).collect()
+    assert [(r["cluster_size"], r["n_docs"]) for r in stats] == [(1, 1)]
+    empty_pairs = clusters.where(F.lit(False))
+    assert cluster_stats(empty_pairs, pdocs).count() == 0
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, label int, embedding array<double>"
+    )
+    out = centroid_affinity(empty_emb)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "group_a", "group_b", "n_a", "n_b", "cosine"
+    ]

@@ -151,19 +151,19 @@ def test_source_overlap_sampled_configuration():
 
 def test_driver_window_rotation_r10():
     """The driver grades the FIRST 50 keys of queries(); pin the
-    round-10 window composition (VERDICT r9 #1): 6 core + the four new
+    round-10 window composition (VERDICT r9 #1): 6 core + the five new
     r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-    quality_rank_fusion) + the five r6-deferred entries + 35 of the 40
-    r7-stale entries. The five alphabetically-last r7 entries
-    (span_dedup, stratified_sample, text_quality, token_totals,
-    url_dedup) spill to the r11 front — recorded here and at the
-    registry's _ROUND_FRONT comment."""
+    quality_rank_fusion, centroid_affinity) + the five r6-deferred
+    entries + 34 of the 40 r7-stale entries. The six alphabetically-
+    last r7 entries (simhash, span_dedup, stratified_sample,
+    text_quality, token_totals, url_dedup) spill to the r11 front —
+    recorded here and at the registry's _ROUND_FRONT comment."""
     from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
 
     window = list(QUERIES)[:50]
     # new this round — first driver grade must happen now
     for k in ("mixture_drift", "boilerplate_ngrams", "dup_cluster_stats",
-              "quality_rank_fusion"):
+              "quality_rank_fusion", "centroid_affinity"):
         assert k in window, k
     # the r6-deferred five lead the backlog
     for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
@@ -175,11 +175,11 @@ def test_driver_window_rotation_r10():
         assert k in window, k
     # representative r7-stale entries now in the window
     for k in ("min_cut", "knn_bruteforce", "events_stream_windowed",
-              "pack_documents", "curation_pipeline", "simhash"):
+              "pack_documents", "curation_pipeline", "quality_quantile_filter"):
         assert k in window, k
-    # the named r11 spill-over five — NOT in the window
-    for k in ("span_dedup", "stratified_sample", "text_quality",
-              "token_totals", "url_dedup"):
+    # the named r11 spill-over six — NOT in the window
+    for k in ("simhash", "span_dedup", "stratified_sample",
+              "text_quality", "token_totals", "url_dedup"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
@@ -273,3 +273,38 @@ def test_rank_fusion_planted(spark):
         rank_fusion(df, {"s": F.col("s")}, {"t": 1.0})
     with pytest.raises(ValueError, match="non-empty"):
         rank_fusion(df, {}, {})
+
+
+def test_centroid_affinity_planted(spark):
+    """Closed-form affinity matrix: parallel groups -> 1, orthogonal
+    -> 0, anti-parallel -> -1; a zero-centroid group (exactly opposed
+    members) is TOTAL: affinity 0.0 to everyone, not a job kill."""
+    from pysparkflow.llmops.similarity import centroid_affinity
+
+    emb = spark.createDataFrame(
+        [
+            # group 0: centroid (1, 0)
+            (0, 0, [2.0, 0.0]), (1, 0, [0.0, 0.0]),
+            # group 1: centroid (3, 0) — parallel to group 0
+            (2, 1, [3.0, 0.0]),
+            # group 2: centroid (0, 5) — orthogonal to 0 and 1
+            (3, 2, [0.0, 5.0]),
+            # group 3: centroid (-1, 0) — anti-parallel to 0/1
+            (4, 3, [-1.0, 0.0]),
+            # group 4: opposed members -> ZERO centroid
+            (5, 4, [1.0, 1.0]), (6, 4, [-1.0, -1.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): (r["cosine"], r["n_a"], r["n_b"])
+        for r in centroid_affinity(emb).collect()
+    }
+    assert len(got) == 10  # C(5,2)
+    assert got[(0, 1)] == (1.0, 2, 1)
+    assert got[(0, 2)][0] == 0.0 and got[(1, 2)][0] == 0.0
+    assert got[(0, 3)][0] == -1.0 and got[(1, 3)][0] == -1.0
+    assert got[(2, 3)][0] == 0.0
+    # zero-centroid group: affinity exactly 0.0 against every group
+    assert all(got[(g, 4)][0] == 0.0 for g in range(4))
+    assert got[(0, 4)][1:] == (2, 2)

@@ -37,7 +37,7 @@ rank_fusion — two checks over n rows in 8 sources:
   fused value, all rows kept. Exercises multi-window fusion at scale.
 
 Usage: python tools/r10b_scale.py [n_docs] (default 2_400_000; rounded
-down to a multiple of 4000)
+down to a multiple of 48000)
 """
 
 from __future__ import annotations
@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from pysparkflow.llmops.boilerplate import boilerplate_ngrams
 from pysparkflow.llmops.dedup import cluster_stats
 from pysparkflow.llmops.quality_model import rank_fusion
+from pysparkflow.llmops.similarity import centroid_affinity
 from pysparkflow.session import get_spark
 
 
@@ -178,10 +179,60 @@ def _check_rank_fusion(spark, n: int) -> str:
     )
 
 
+def _check_centroid_affinity(spark, n: int) -> str:
+    """17 groups over 8 dims: group g (0..15) holds n/16 vectors along
+    basis e_{g % 8} scaled by {0.7, 1.0, 1.3} balanced (avg exactly 1.0
+    at 6 dp), so centroid(g) = e_{g % 8} after rounding and the full
+    C(17,2) matrix is closed-form: 1.0 for residue-sharing pairs, 0.0
+    for orthogonal pairs; group 16 holds +/- e_0 in equal numbers — a
+    ZERO centroid whose affinity must be 0.0 to everyone (totality at
+    scale, not a job kill)."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).cast("int").alias("label"),
+        F.array(
+            *[
+                F.when(
+                    (F.col("id") % 16) % 8 == k,
+                    0.7 + (F.col("id") % 3).cast("double") * 0.3,
+                ).otherwise(F.lit(0.0))
+                for k in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    zero = spark.range(n, n + n // 16).select(
+        F.col("id").alias("vec_id"),
+        F.lit(16).cast("int").alias("label"),
+        F.array(
+            (F.col("id") % 2 * 2 - 1).cast("double"),
+            *[F.lit(0.0) for _ in range(7)],
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    got = {
+        (r["group_a"], r["group_b"]): (r["cosine"], r["n_a"], r["n_b"])
+        for r in centroid_affinity(base.unionByName(zero)).collect()
+    }
+    sec = round(time.time() - t0, 2)
+    m = n // 16
+    expect = {}
+    for a in range(17):
+        for b in range(a + 1, 17):
+            cos = 1.0 if (b < 16 and a % 8 == b % 8) else 0.0
+            expect[(a, b)] = (cos, m, m)
+    assert got == expect, {
+        k: (got.get(k), expect[k]) for k in expect if got.get(k) != expect[k]
+    }
+    return (
+        f"centroid_affinity: {n + m} vectors / 17 groups, exact "
+        f"C(17,2)=136-pair matrix incl. the zero-centroid group ({sec}s)"
+    )
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
-    n -= n % 4000
-    assert n >= 4000
+    n -= n % 48_000  # 16 groups x balanced %3 scaling x even zero-group
+    assert n >= 48_000
     spark = get_spark(
         app_name="r10b-scale", master="local[32]", shuffle_partitions=32
     )
@@ -190,6 +241,7 @@ def main() -> int:
         _check_boilerplate(spark, n),
         _check_cluster_stats(spark, n),
         _check_rank_fusion(spark, n),
+        _check_centroid_affinity(spark, n),
     ):
         print(line)
     print(
