@@ -87,6 +87,16 @@ BENCH_QUERIES.insert(BENCH_QUERIES.index("max_flow"), "max_flow_approx")
 # quiet-host cost) — both iterative headlines get the memo-cleared
 # min-of-2 treatment
 MIN_OF_2_ALWAYS = {"max_flow", "max_flow_approx"}
+# entries whose first sample cold-BUILDS a session memo that later
+# entries consume: their committed baselines are cold-build numbers, so
+# any re-sample must clear that memo first or it records the warm dict
+# lookup (r10 cand1: dedup_minhash_lsh snapshot 3.69s, first 6.02s on a
+# degraded host, warm resample 0.03s KEPT — indefensible in the other
+# direction from the r9 min_cut bug). The _GRAPH_CACHE rule is the
+# opposite (warm re-sample) because THOSE entries' first samples and
+# baselines are warm; the principle is the same: re-sample under the
+# memo state the baseline was measured under.
+PAIR_MEMO_BUILDERS = {"dedup_minhash_lsh"}
 
 # quiet-host calibration reference (round-5 SCALING.md recertification
 # runs): ratios of this run's probes against these pin whether the host
@@ -253,15 +263,25 @@ def _adjudicate_flags(
     + max_flow that neither the first sample nor the baseline paid and
     commit an incomparable min(). A genuine ALGORITHM regression
     survives a warm re-sample unchanged, and a genuine GRAPH-BUILD
-    regression is caught by the memo-cleared flagship samples."""
+    regression is caught by the memo-cleared flagship samples.
+
+    The inverse rule for PAIR_MEMO_BUILDERS (r10): dedup_minhash_lsh's
+    first sample and every baseline are COLD pair-memo builds, so its
+    re-sample clears the pair memo — a warm re-sample is the dict
+    lookup, not the operator."""
     from pysparkflow.engine.cache import release_tracked
-    from pysparkflow.relational.registry import clear_flow_memos
+    from pysparkflow.relational.registry import (
+        clear_flow_memos,
+        clear_pair_memos,
+    )
 
     adjudicated: list[tuple[str, float, float, float]] = []
     for name, old, first in flags:
         if run_query is None:
             if name in MIN_OF_2_ALWAYS:
                 clear_flow_memos()
+            if name in PAIR_MEMO_BUILDERS:
+                clear_pair_memos()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -344,6 +364,14 @@ def main() -> None:
         ):
             if name in MIN_OF_2_ALWAYS:
                 clear_flow_memos()
+            # memo BUILDERS re-sample cold (see PAIR_MEMO_BUILDERS):
+            # guards the day a fast host pushes the cold build under
+            # the 3s gate and min-of-2 would otherwise record the
+            # warm dict lookup
+            if name in PAIR_MEMO_BUILDERS:
+                from pysparkflow.relational.registry import clear_pair_memos
+
+                clear_pair_memos()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

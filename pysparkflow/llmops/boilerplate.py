@@ -93,7 +93,14 @@ def boilerplate_ngrams(
     )
     # denominator map-side, then one narrow left join to attach the
     # numerator (docs with zero boilerplate — and shingleless docs —
-    # coalesce to 0); ratio NULL on 0/0 like the oracle
+    # coalesce to 0); ratio NULL on 0/0 like the oracle.
+    # Plan note: Catalyst does not reuse subtrees, so the corpus is
+    # scanned three times (base, DF pass, flag pass), each pruned to
+    # (doc_id, text). The trade is deliberate — the alternative (derive
+    # the denominator from the exploded rows) replaces a cheap pruned
+    # scan with a corpus-sized per-doc aggregate exchange; if a 100 TB
+    # deployment is scan-bound instead, persist `sh` across the two
+    # consumers.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),

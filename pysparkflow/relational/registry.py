@@ -575,6 +575,19 @@ def clear_flow_memos() -> None:
     _MAXFLOW_CACHE.clear()
 
 
+def clear_pair_memos() -> None:
+    """Bench support: drop the session-scoped MinHash pair memo so a
+    timed ``dedup_minhash_lsh`` re-sample pays the FULL shingle + band +
+    verify pass. The entry is the memo's designated cold BUILDER in
+    bench order (core slot, ahead of every consumer), so its first
+    sample and every committed snapshot baseline are cold-build numbers
+    — a warm re-sample would commit a ~0.03s localCheckpoint lookup
+    against a ~3.7s baseline (the r10 cand1 finding, the mirror image
+    of the r9 min_cut ordering bug). Downstream consumers are
+    unaffected: the re-sample repopulates the memo it cleared."""
+    _MINHASH_PAIRS_CACHE.clear()
+
+
 def _lineitem_max_flow(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MAXFLOW_CACHE:

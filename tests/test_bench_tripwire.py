@@ -82,3 +82,30 @@ def test_regression_baseline_ignores_candidate_files(tmp_path, monkeypatch):
     # cand file's 50.0 it would NOT flag -> proves the baseline choice
     out = bench._regression_check({"q": 3.5}, 0.1)
     assert out == [("q", 2.0, 3.5)]
+
+
+def test_adjudicate_pair_memo_builder_resamples_cold(spark, monkeypatch):
+    """The pair-memo BUILDER (dedup_minhash_lsh) must re-sample with the
+    MinHash pair memo cleared: its baselines are cold-build numbers, so
+    a warm re-sample would commit the ~0.03s dict lookup (r10 cand1).
+    Flagships keep their flow-memo clear; plain entries clear nothing."""
+    bench = _load_bench()
+    import pysparkflow.relational.registry as reg
+
+    calls: list[str] = []
+    monkeypatch.setattr(
+        reg, "clear_pair_memos", lambda: calls.append("pairs")
+    )
+    monkeypatch.setattr(reg, "clear_flow_memos", lambda: calls.append("flow"))
+    assert "dedup_minhash_lsh" in bench.PAIR_MEMO_BUILDERS
+    stub = lambda s, d: spark.range(1)  # noqa: E731
+    for name in ("dedup_minhash_lsh", "max_flow", "plain_entry"):
+        monkeypatch.setitem(bench.QUERIES, name, stub)
+    timings = {"dedup_minhash_lsh": 6.0, "max_flow": 20.0, "plain_entry": 6.0}
+    flags = [
+        ("dedup_minhash_lsh", 3.7, 6.0),
+        ("max_flow", 13.0, 20.0),
+        ("plain_entry", 2.0, 6.0),
+    ]
+    bench._adjudicate_flags(spark, "", timings, flags, run_query=None)
+    assert calls == ["pairs", "flow"]
