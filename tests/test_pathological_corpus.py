@@ -291,3 +291,19 @@ def test_round10_ops_survive_pathological_corpus(spark, pdocs):
     assert [f.name for f in out.schema.fields] == [
         "group_a", "group_b", "n_a", "n_b", "cosine"
     ]
+
+    from pysparkflow.llmops.similarity import embedding_outliers
+
+    # empty input: empty output, pinned schema, no crash
+    eo = embedding_outliers(empty_emb)
+    assert eo.count() == 0
+    assert [f.name for f in eo.schema.fields] == [
+        "vec_id", "group", "dist", "pr", "is_outlier"
+    ]
+    # single-member group: dist 0, percent_rank 0, never an outlier;
+    # zero vectors are fine (no division anywhere)
+    one = spark.createDataFrame(
+        [(1, 7, [0.0, 0.0])], "vec_id long, label int, embedding array<double>"
+    )
+    (r,) = embedding_outliers(one).collect()
+    assert (r["dist"], r["pr"], r["is_outlier"]) == (0.0, 0.0, False)

@@ -151,19 +151,21 @@ def test_source_overlap_sampled_configuration():
 
 def test_driver_window_rotation_r10():
     """The driver grades the FIRST 50 keys of queries(); pin the
-    round-10 window composition (VERDICT r9 #1): 6 core + the five new
+    round-10 window composition (VERDICT r9 #1): 6 core + the six new
     r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-    quality_rank_fusion, centroid_affinity) + the five r6-deferred
-    entries + 34 of the 40 r7-stale entries. The six alphabetically-
-    last r7 entries (simhash, span_dedup, stratified_sample,
-    text_quality, token_totals, url_dedup) spill to the r11 front —
-    recorded here and at the registry's _ROUND_FRONT comment."""
+    quality_rank_fusion, centroid_affinity, embedding_outliers) + the
+    five r6-deferred entries + 33 of the 40 r7-stale entries. The seven
+    alphabetically-last r7 entries (quality_quantile_filter, simhash,
+    span_dedup, stratified_sample, text_quality, token_totals,
+    url_dedup) spill to the r11 front — recorded here and at the
+    registry's _ROUND_FRONT comment."""
     from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
 
     window = list(QUERIES)[:50]
     # new this round — first driver grade must happen now
     for k in ("mixture_drift", "boilerplate_ngrams", "dup_cluster_stats",
-              "quality_rank_fusion", "centroid_affinity"):
+              "quality_rank_fusion", "centroid_affinity",
+              "embedding_outliers"):
         assert k in window, k
     # the r6-deferred five lead the backlog
     for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
@@ -175,11 +177,12 @@ def test_driver_window_rotation_r10():
         assert k in window, k
     # representative r7-stale entries now in the window
     for k in ("min_cut", "knn_bruteforce", "events_stream_windowed",
-              "pack_documents", "curation_pipeline", "quality_quantile_filter"):
+              "pack_documents", "curation_pipeline", "nucleus_select"):
         assert k in window, k
-    # the named r11 spill-over six — NOT in the window
-    for k in ("simhash", "span_dedup", "stratified_sample",
-              "text_quality", "token_totals", "url_dedup"):
+    # the named r11 spill-over seven — NOT in the window
+    for k in ("quality_quantile_filter", "simhash", "span_dedup",
+              "stratified_sample", "text_quality", "token_totals",
+              "url_dedup"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
@@ -308,3 +311,38 @@ def test_centroid_affinity_planted(spark):
     # zero-centroid group: affinity exactly 0.0 against every group
     assert all(got[(g, 4)][0] == 0.0 for g in range(4))
     assert got[(0, 4)][1:] == (2, 2)
+
+
+def test_embedding_outliers_planted(spark):
+    """Closed-form distances and a rank-gated flag: a tight cluster at
+    the origin with one far vector — the far one (and only it) flags at
+    threshold 0.75; distances are exact; per-group independence."""
+    from pysparkflow.llmops.similarity import embedding_outliers
+
+    emb = spark.createDataFrame(
+        [
+            # group 0: three at distance 1 from centroid? build exactly:
+            # members (0,0), (2,0), (1, 3): centroid (1, 1)
+            (0, 0, [0.0, 0.0]),   # dist sqrt(2)
+            (1, 0, [2.0, 0.0]),   # dist sqrt(2)
+            (2, 0, [1.0, 3.0]),   # dist 2     <- max, flags
+            # group 1: two symmetric members, equal distances -> ranks
+            # 0 and (tie-broken by id) 1: only the later id flags
+            (3, 1, [0.0, 4.0]),
+            (4, 1, [0.0, 6.0]),
+        ],
+        "vec_id long, label int, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r
+            for r in embedding_outliers(emb, threshold=0.75).collect()}
+    import math
+    assert rows[0]["dist"] == rows[1]["dist"] == round(math.sqrt(2), 6)
+    assert rows[2]["dist"] == 2.0
+    assert [rows[i]["is_outlier"] for i in range(3)] == [False, False, True]
+    assert rows[2]["pr"] == 1.0
+    # group 1: centroid (0, 5); both dists exactly 1; ranks share the
+    # PERCENT_RANK value 0.0 under RANK semantics? No: order is
+    # (dist, vec_id) so ranks are 0 and 1 — deterministic tiebreak
+    assert rows[3]["dist"] == rows[4]["dist"] == 1.0
+    assert (rows[3]["pr"], rows[4]["pr"]) == (0.0, 1.0)
+    assert (rows[3]["is_outlier"], rows[4]["is_outlier"]) == (False, True)

@@ -1,6 +1,7 @@
 """Round-10b operator scale evidence with planted truth (SCALING.md):
-boilerplate_ngrams, cluster_stats, rank_fusion — the three curation
-operators added in round 10 alongside mixture_drift (tools/r10_scale.py).
+boilerplate_ngrams, cluster_stats, rank_fusion, centroid_affinity,
+embedding_outliers — the curation operators added in round 10 alongside
+mixture_drift (tools/r10_scale.py).
 
 boilerplate_ngrams — planted recurring trigram at known density:
 
@@ -52,7 +53,7 @@ from pyspark.sql import functions as F
 from pysparkflow.llmops.boilerplate import boilerplate_ngrams
 from pysparkflow.llmops.dedup import cluster_stats
 from pysparkflow.llmops.quality_model import rank_fusion
-from pysparkflow.llmops.similarity import centroid_affinity
+from pysparkflow.llmops.similarity import centroid_affinity, embedding_outliers
 from pysparkflow.session import get_spark
 
 
@@ -229,6 +230,53 @@ def _check_centroid_affinity(spark, n: int) -> str:
     )
 
 
+def _check_embedding_outliers(spark, n: int) -> str:
+    """Same planted corpus family as the affinity check, ONE group over
+    8 dims: m = n/16 vectors along e_0 scaled {0.7, 1.0, 1.3} balanced.
+    Distances from the centroid e_0 are exactly {0.3, 0.0, 0.3}, so the
+    distance histogram is closed-form (m/3 at 0, 2m/3 at 0.3) and the
+    rank gate flags exactly m - ceil(0.95 * (m-1)) vectors — all from
+    the tied 0.3 shell, id-tiebroken (rank determinism at scale)."""
+    m = n // 16
+    emb = spark.range(m).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("int").alias("label"),
+        F.array(
+            0.7 + (F.col("id") % 3).cast("double") * 0.3,
+            *[F.lit(0.0) for _ in range(7)],
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    got = {
+        (r["dist"], r["is_outlier"]): r["n"]
+        for r in embedding_outliers(emb)
+        .groupBy("dist", "is_outlier")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    sec = round(time.time() - t0, 2)
+    # the gate compares the ROUNDED pr (replayable from the published
+    # column): the flag boundary is the smallest rank whose pr rounds
+    # to >= 0.95, one rank earlier than the raw 0.95 cut when
+    # rank/(m-1) lands in [0.9499995, 0.95) — replay the rounding
+    # rather than ceil(0.95*(m-1)) (found at m=150000: 7501, not 7500)
+    start = max(int(0.95 * (m - 1)) - 3, 0)
+    idx_min = next(
+        i for i in range(start, m) if round(i / (m - 1), 6) >= 0.95
+    )
+    n_flag = m - idx_min
+    expect = {
+        (0.0, False): m // 3,
+        (0.3, False): 2 * m // 3 - n_flag,
+        (0.3, True): n_flag,
+    }
+    assert got == expect, (got, expect)
+    return (
+        f"embedding_outliers: {m} vectors, closed-form distance "
+        f"histogram + exact rank-gate count {n_flag} ({sec}s)"
+    )
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     n -= n % 48_000  # 16 groups x balanced %3 scaling x even zero-group
@@ -242,6 +290,7 @@ def main() -> int:
         _check_cluster_stats(spark, n),
         _check_rank_fusion(spark, n),
         _check_centroid_affinity(spark, n),
+        _check_embedding_outliers(spark, n),
     ):
         print(line)
     print(
