@@ -5925,6 +5925,60 @@ WINDOW w AS (PARTITION BY "group" ORDER BY dist, vec_id)
 """
 
 
+_DRIFT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor (streaming/events.py
+    windowed_type_drift): per finalized 1-hour window, the PSI of the
+    event-type mix against a uniform reference — the streaming
+    counterpart of the batch psi_drift gate. ONE stateful operator (a
+    conditional-count pivot per window) + a stateless psi projection;
+    append mode, state bounded by open windows, same finalized-window
+    emission rule as events_stream_windowed."""
+    from pysparkflow.streaming.events import run_stream_drift_batchlike
+
+    _tune_session(spark)
+    return run_stream_drift_batchlike(
+        spark, f"{sf_dir}/events.parquet", _DRIFT_TYPES
+    )
+
+
+def _events_stream_drift_sql() -> str:
+    """Replay of windowed_type_drift: the tumbling-window emission rule
+    of _Q_EVENTS_STREAM_SQL (window_end <= ms-floored max(ts) - 2h),
+    per-type conditional counts, then the smoothed-PSI arithmetic with
+    terms summed in the operator's ``types`` order so the float sum is
+    bit-identical."""
+    k = len(_DRIFT_TYPES)
+    counts = ",\n         ".join(
+        f"count(*) FILTER (event_type = '{t}') AS n_{t}"
+        for t in _DRIFT_TYPES
+    )
+    n_in = " + ".join(f"n_{t}" for t in _DRIFT_TYPES)
+    terms = "\n         + ".join(
+        f"((n_{t} + 0.5) / (({n_in}) + {0.5 * k}) - (1.0/{k}))"
+        f" * ln(((n_{t} + 0.5) / (({n_in}) + {0.5 * k})) / (1.0/{k}))"
+        for t in _DRIFT_TYPES
+    )
+    cols = ", ".join(f"n_{t}" for t in _DRIFT_TYPES)
+    return f"""
+WITH wm AS (
+  SELECT date_trunc('millisecond', max(ts)) - INTERVAL 2 HOUR AS w FROM events
+), c AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         {counts},
+         count(*) AS n_events
+  FROM events, wm
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+  GROUP BY 1
+)
+SELECT window_start, {cols}, n_events,
+       round({terms}, 6) AS psi
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupagg_pricing": q_groupagg_pricing,
     "edge_symmetrize": q_edge_symmetrize,
@@ -5969,6 +6023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_stream_join": q_events_stream_join,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_stateful": q_events_stream_stateful,
+    "events_stream_drift": q_events_stream_drift,
     "doc_repetition": q_doc_repetition,
     "pack_documents": q_pack_documents,
     "decontaminate": q_decontaminate,
@@ -6127,6 +6182,7 @@ ORACLE_SQL: dict[str, str] = {
     "events_stream_join": _Q_EVENTS_STREAM_JOIN_SQL,
     "events_stream_dedup": _Q_EVENTS_STREAM_DEDUP_SQL,
     "events_stream_stateful": _Q_EVENTS_STREAM_STATEFUL_SQL,
+    "events_stream_drift": _events_stream_drift_sql(),
     "doc_repetition": _Q_DOC_REPETITION_SQL,
     "pack_documents": _Q_PACK_DOCUMENTS_SQL,
     "decontaminate": _Q_DECONTAMINATE_SQL,
@@ -6300,15 +6356,16 @@ _ALWAYS_IN_CORE = [
 ]
 # round 10 front (VERDICT r9 #1): the stale backlog, recomputed from
 # CORRECTNESS_r01..r09 (last driver-green round per entry): the five
-# r6-deferred entries (documented here last round) lead, then 33 of the
-# 40 entries whose most recent driver-green row is r7, plus the SIX
+# r6-deferred entries (documented here last round) lead, then 32 of the
+# 40 entries whose most recent driver-green row is r7, plus the SEVEN
 # new r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-# quality_rank_fusion, centroid_affinity, embedding_outliers — never
-# driver-graded; new entries always front).  6 core + 6 new + 5 r6 +
-# 33 r7 = the full 50-slot window; the seven r7 entries that do not
-# fit — quality_quantile_filter, simhash, span_dedup, stratified_sample,
-# text_quality, token_totals, url_dedup, alphabetically last of the r7
-# cohort — SPILL TO ROUND 11 and must lead its front (pinned by
+# quality_rank_fusion, centroid_affinity, embedding_outliers,
+# events_stream_drift — never driver-graded; new entries always front).
+# 6 core + 7 new + 5 r6 + 32 r7 = the full 50-slot window; the eight r7
+# entries that do not fit — pack_documents, quality_quantile_filter,
+# simhash, span_dedup, stratified_sample, text_quality, token_totals,
+# url_dedup, alphabetically last of the r7 cohort — SPILL TO ROUND 11
+# and must lead its front (pinned by
 # tests/test_round10_ops.py::test_driver_window_rotation_r10).
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
@@ -6323,6 +6380,7 @@ _ROUND_FRONT = [
     "quality_rank_fusion",
     "centroid_affinity",
     "embedding_outliers",
+    "events_stream_drift",
     # deferred from the r6 backlog by r9's slot count (VERDICT r9 #1)
     "stream_merge_state",
     "token_budget_select",
@@ -6330,7 +6388,7 @@ _ROUND_FRONT = [
     "unpivot_metrics",
     "zorder_layout",
     # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the seven alphabetically-last entries —
+    # minus the eight alphabetically-last entries — pack_documents,
     # quality_quantile_filter, simhash, span_dedup, stratified_sample,
     # text_quality, token_totals, url_dedup — which spill to round 11
     # and must lead its front)
@@ -6366,7 +6424,6 @@ _ROUND_FRONT = [
     "lang_id",
     "min_cut",
     "nucleus_select",
-    "pack_documents",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

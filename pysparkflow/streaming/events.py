@@ -409,3 +409,84 @@ def run_stream_dedup_batchlike(
         "append",
         state_partitions=stream_state_partitions(spark, events_path),
     )
+
+
+def windowed_type_drift(
+    stream: DataFrame,
+    types: list[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    round_to: int = 6,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per finalized tumbling
+    window, the PSI of the event-type distribution against a UNIFORM
+    reference over ``types`` — the streaming counterpart of the batch
+    psi_drift gate (llmops/drift.py), watching "the traffic mix
+    changed" live instead of snapshot-vs-snapshot. In production the
+    reference is the trained-on mix; uniform keeps the registry entry
+    self-contained and the contract identical (swap the constant).
+
+    ONE stateful operator: a single windowed aggregation emitting the
+    per-type conditional counts in one row per window (types are a
+    small, known domain — events outside it are counted in ``n_events``
+    but carry no PSI mass, documented below), followed by a STATELESS
+    psi projection — append-mode legal, state bounded by open windows.
+    Chaining a second streaming aggregation for the PSI would need
+    aligned multi-stateful support; the conditional-count pivot keeps
+    the plan one-stateful by construction.
+
+    The PSI arithmetic mirrors psi_drift's smoothing discipline on the
+    current side ((c + 0.5) / (N + 0.5k), total over empty windows and
+    zero cells) against the exact uniform r = 1/k; terms are summed in
+    ``types`` order so the DuckDB oracle replays the float sum
+    bit-for-bit."""
+    if not types:
+        raise ValueError("types must be non-empty")
+    counts = [
+        F.count_if(F.col("event_type") == t).alias(f"n_{t}") for t in types
+    ]
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(*counts, F.count("*").alias("n_events"))
+    )
+    k = len(types)
+    n_in = None
+    for t in types:
+        c = F.col(f"n_{t}")
+        n_in = c if n_in is None else n_in + c
+    r = 1.0 / k
+    psi = None
+    for t in types:
+        p = (F.col(f"n_{t}") + F.lit(0.5)) / (n_in + F.lit(0.5 * k))
+        term = (p - F.lit(r)) * F.log(p / F.lit(r))
+        psi = term if psi is None else psi + term
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        *[F.col(f"n_{t}") for t in types],
+        F.col("n_events"),
+        F.round(psi, round_to).alias("psi"),
+    )
+
+
+def run_stream_drift_batchlike(
+    spark: SparkSession,
+    events_path: str,
+    types: list[str],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    query_name: str = "drift_events",
+) -> DataFrame:
+    """Drive windowed_type_drift over the static source in APPEND mode:
+    emitted set = finalized windows (window_end <= ms-floored max(ts) -
+    delay), the same measured boundary as the tumbling-window entry."""
+    agg = windowed_type_drift(
+        events_stream(spark, events_path), types, window=window,
+        watermark=watermark,
+    )
+    return _run_to_memory(
+        agg,
+        query_name,
+        "append",
+        state_partitions=stream_state_partitions(spark, events_path),
+    )

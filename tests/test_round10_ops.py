@@ -151,21 +151,22 @@ def test_source_overlap_sampled_configuration():
 
 def test_driver_window_rotation_r10():
     """The driver grades the FIRST 50 keys of queries(); pin the
-    round-10 window composition (VERDICT r9 #1): 6 core + the six new
+    round-10 window composition (VERDICT r9 #1): 6 core + the seven new
     r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-    quality_rank_fusion, centroid_affinity, embedding_outliers) + the
-    five r6-deferred entries + 33 of the 40 r7-stale entries. The seven
-    alphabetically-last r7 entries (quality_quantile_filter, simhash,
-    span_dedup, stratified_sample, text_quality, token_totals,
-    url_dedup) spill to the r11 front — recorded here and at the
-    registry's _ROUND_FRONT comment."""
+    quality_rank_fusion, centroid_affinity, embedding_outliers,
+    events_stream_drift) + the five r6-deferred entries + 32 of the 40
+    r7-stale entries. The eight alphabetically-last r7 entries
+    (pack_documents, quality_quantile_filter, simhash, span_dedup,
+    stratified_sample, text_quality, token_totals, url_dedup) spill to
+    the r11 front — recorded here and at the registry's _ROUND_FRONT
+    comment."""
     from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
 
     window = list(QUERIES)[:50]
     # new this round — first driver grade must happen now
     for k in ("mixture_drift", "boilerplate_ngrams", "dup_cluster_stats",
               "quality_rank_fusion", "centroid_affinity",
-              "embedding_outliers"):
+              "embedding_outliers", "events_stream_drift"):
         assert k in window, k
     # the r6-deferred five lead the backlog
     for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
@@ -177,12 +178,12 @@ def test_driver_window_rotation_r10():
         assert k in window, k
     # representative r7-stale entries now in the window
     for k in ("min_cut", "knn_bruteforce", "events_stream_windowed",
-              "pack_documents", "curation_pipeline", "nucleus_select"):
+              "interval_merge", "curation_pipeline", "nucleus_select"):
         assert k in window, k
-    # the named r11 spill-over seven — NOT in the window
-    for k in ("quality_quantile_filter", "simhash", "span_dedup",
-              "stratified_sample", "text_quality", "token_totals",
-              "url_dedup"):
+    # the named r11 spill-over eight — NOT in the window
+    for k in ("pack_documents", "quality_quantile_filter", "simhash",
+              "span_dedup", "stratified_sample", "text_quality",
+              "token_totals", "url_dedup"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
@@ -346,3 +347,37 @@ def test_embedding_outliers_planted(spark):
     assert rows[3]["dist"] == rows[4]["dist"] == 1.0
     assert (rows[3]["pr"], rows[4]["pr"]) == (0.0, 1.0)
     assert (rows[3]["is_outlier"], rows[4]["is_outlier"]) == (False, True)
+
+
+def test_windowed_type_drift_planted(spark):
+    """PSI arithmetic against closed forms on a batch frame (the same
+    expressions the streaming plan projects): a uniform window scores
+    exactly 0 (p_t == r for every type), a one-type window scores the
+    hand-computed smoothed PSI, and empty ``types`` raises."""
+    import datetime as dt
+
+    from pysparkflow.streaming.events import windowed_type_drift
+
+    types = ["a", "b"]
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = (
+        # window 0: uniform — 3 of each type
+        [(base, "a") for _ in range(3)]
+        + [(base, "b") for _ in range(3)]
+        # window 1: all 'a' (4 events)
+        + [(base + dt.timedelta(hours=1), "a") for _ in range(4)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["n_a"]: r for r in windowed_type_drift(df, types).collect()}
+    uni, skew = out[3], out[4]
+    assert (uni["n_a"], uni["n_b"], uni["n_events"], uni["psi"]) == (
+        3, 3, 6, 0.0)
+    p_a = (4 + 0.5) / (4 + 1.0)
+    p_b = 0.5 / (4 + 1.0)
+    expect = (p_a - 0.5) * math.log(p_a / 0.5) + (p_b - 0.5) * math.log(
+        p_b / 0.5)
+    assert (skew["n_b"], skew["n_events"]) == (0, 4)
+    assert skew["psi"] == pytest.approx(round(expect, 6), abs=1e-9)
+    assert skew["psi"] > 0.5  # a total mix collapse reads as major drift
+    with pytest.raises(ValueError, match="non-empty"):
+        windowed_type_drift(df, [])
