@@ -665,6 +665,7 @@ def cluster_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
     source_col: str = "source",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Duplication-cluster composition audit: (cluster_size, n_clusters,
     n_cross_source, n_docs) — for each near-dup cluster size, how many
@@ -681,13 +682,21 @@ def cluster_stats(
 
     ``clusters`` is dedup_resolution's (doc_id, keep_id) output — the
     pair-graph closure, orders of magnitude smaller than the corpus —
-    so it is BROADCAST onto the documents projection to pick up the
-    source column; the per-cluster and per-size aggregates then run on
-    cluster-table-sized inputs. Zero corpus-sized exchanges: the corpus
-    side is a two-column scan probed by a broadcast hash join."""
+    so by default it is BROADCAST onto the documents projection to pick
+    up the source column; the per-cluster and per-size aggregates then
+    run on cluster-table-sized inputs. Zero corpus-sized exchanges: the
+    corpus side is a two-column scan probed by a broadcast hash join.
+
+    ``broadcast`` gates that hint (ADVICE r10): under mass duplication
+    the resolved-cluster table approaches corpus scale and a forced
+    broadcast would OOM the executors instead of degrading — pass
+    ``False`` (e.g. when the caller knows dup_rate is high or the pair
+    graph exceeded the size-gated driver union-find and went through
+    distributed CC) to fall back to a shuffle hash join on doc_id."""
+    c = clusters.select("doc_id", "keep_id")
     labeled = docs.select(
         F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
-    ).join(F.broadcast(clusters.select("doc_id", "keep_id")), "doc_id")
+    ).join(F.broadcast(c) if broadcast else c, "doc_id")
     per_cluster = labeled.groupBy("keep_id").agg(
         F.count("*").alias("sz"),
         F.countDistinct("source").alias("n_sources"),

@@ -116,7 +116,16 @@ def rank_fusion(
     One exchange: every window shares the same partitioning key, so
     Catalyst plans a single hash-partitioned exchange followed by one
     sort per signal. ``keep`` compares the ROUNDED fused score, so the
-    decision is replayable from the published column alone."""
+    decision is replayable from the published column alone.
+
+    NULL signals (e.g. a NULL text row feeding a size()/division
+    expression) rank WORST: the window ordering is pinned
+    ``asc_nulls_first`` — the same total-decision contract as
+    quality_classify's reject-unscorable rule — rather than left to the
+    engine default (Spark defaults NULLS FIRST but DuckDB defaults
+    NULLS LAST, so an unpinned ordering silently diverges from the
+    oracle instead of failing loudly; ADVICE r10). Oracles must spell
+    ``ORDER BY sig ASC NULLS FIRST``."""
     if not signals:
         raise ValueError("signals must be non-empty")
     if set(signals) != set(weights):
@@ -134,7 +143,12 @@ def rank_fusion(
     )
     fused = None
     for name in sorted(signals):
-        w = Window.partitionBy("partition").orderBy(f"_s_{name}", "id")
+        # asc_nulls_first is Spark's asc default — pinned so the contract
+        # (NULL signal ranks worst) survives engines whose default is
+        # NULLS LAST (see docstring)
+        w = Window.partitionBy("partition").orderBy(
+            F.col(f"_s_{name}").asc_nulls_first(), F.col("id").asc()
+        )
         term = F.lit(weights[name] / total_w) * F.percent_rank().over(w)
         fused = term if fused is None else fused + term
     out = base.select(

@@ -731,11 +731,16 @@ def centroid_affinity(
     after runs on |groups| rows.
 
     Cross-engine contract: centroids are ROUNDED to ``round_to`` before
-    the cosine (exact decimal inputs, so the dot/norm fold order can't
-    leak ulps past the final rounding); the cosine itself is
-    functions/vector.cosine_similarity (try_divide + coalesce — a
-    zero centroid, e.g. a group of exactly-opposed vectors, gets
-    affinity 0.0, not a job kill)."""
+    the cosine, so both engines fold IDENTICAL double inputs (6-dp
+    decimals are not exactly representable in binary, so fold-order
+    ulps can still reach the cosine — a value landing within an ulp of
+    a 5e-7 rounding boundary could flip between engines; the guarantee
+    is the same probabilistic rounded-number contract as the repo's
+    other 6-dp columns, NOT exactness, and rank-gates built on this
+    column must replay the published rounding, as tools/r10b_scale.py
+    does). The cosine itself is functions/vector.cosine_similarity
+    (try_divide + coalesce — a zero centroid, e.g. a group of
+    exactly-opposed vectors, gets affinity 0.0, not a job kill)."""
     cent = (
         emb.select(
             F.col(group_col).alias("grp"),

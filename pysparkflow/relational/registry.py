@@ -5828,13 +5828,15 @@ WITH sig AS (
            / len(regexp_split_to_array(trim(text), '\s+')) AS wlen_sig
   FROM documents
 ), ranked AS (
+  -- NULLS FIRST pinned to match the operator's asc_nulls_first contract
+  -- (NULL signal ranks worst); DuckDB's ORDER BY default is NULLS LAST
   SELECT doc_id, source,
          0.5 * percent_rank() OVER
-               (PARTITION BY source ORDER BY len_sig, doc_id)
+               (PARTITION BY source ORDER BY len_sig NULLS FIRST, doc_id)
        + 0.3 * percent_rank() OVER
-               (PARTITION BY source ORDER BY uniq_sig, doc_id)
+               (PARTITION BY source ORDER BY uniq_sig NULLS FIRST, doc_id)
        + 0.2 * percent_rank() OVER
-               (PARTITION BY source ORDER BY wlen_sig, doc_id) AS f
+               (PARTITION BY source ORDER BY wlen_sig NULLS FIRST, doc_id) AS f
   FROM sig
 )
 SELECT doc_id, source, round(f, 6) AS fused, round(f, 6) >= 0.5 AS keep

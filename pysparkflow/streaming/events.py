@@ -442,6 +442,21 @@ def windowed_type_drift(
     bit-for-bit."""
     if not types:
         raise ValueError("types must be non-empty")
+    # the per-type counts become n_{t} columns and feed generated oracle
+    # SQL (registry._events_stream_drift_sql): types must be unique,
+    # identifier-safe, and none may be 'events' (n_events is the total
+    # column) — validated here so a bad domain fails loudly instead of
+    # colliding aliases or breaking the generated SQL (ADVICE r10)
+    import re as _re
+
+    if len(set(types)) != len(types):
+        raise ValueError(f"duplicate types: {sorted(types)}")
+    for t in types:
+        if t == "events" or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            raise ValueError(
+                f"type {t!r} is not a safe n_<type> column alias "
+                "(identifier chars only, and 'events' is reserved)"
+            )
     counts = [
         F.count_if(F.col("event_type") == t).alias(f"n_{t}") for t in types
     ]

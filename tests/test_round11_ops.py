@@ -1,0 +1,123 @@
+"""Round-11 additions: the four ADVICE r10 closures (rank_fusion NULL
+ordering pin, windowed_type_drift alias validation, cluster_stats
+broadcast gate, centroid_affinity docstring) and the semantic_dedup
+operator (SemDeDup-style cluster-bucketed embedding dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- ADVICE r10 #1: rank_fusion NULL-signal ordering ------------------
+
+
+def test_rank_fusion_null_signal_ranks_worst(spark):
+    """A NULL signal value ranks WORST (asc_nulls_first pinned): the
+    null-signal doc gets the lowest percent_rank and is dropped at
+    keep_frac=0.5, matching what a NULLS FIRST oracle replays."""
+    from pysparkflow.llmops.quality_model import rank_fusion
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, "a", 1.0), (4, "a", 9.0)],
+        "doc_id long, source string, sig double",
+    )
+    out = rank_fusion(
+        df,
+        signals={"s": F.col("sig")},
+        weights={"s": 1.0},
+        keep_frac=0.5,
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    # null first => fused ranks: 2 -> 0.0, 3 -> 1/3, 1 -> 2/3, 4 -> 1.0
+    assert rows[2]["fused"] == 0.0 and rows[2]["keep"] is False
+    assert rows[4]["fused"] == 1.0 and rows[4]["keep"] is True
+    assert rows[1]["keep"] is True and rows[3]["keep"] is False
+
+
+def test_rank_fusion_null_matches_nulls_first_oracle(spark):
+    """The pinned ordering replays in DuckDB with explicit NULLS FIRST —
+    the divergence ADVICE r10 flagged (engine-default NULLS placement)
+    is now a deterministic contract."""
+    import duckdb
+
+    from pysparkflow.llmops.quality_model import rank_fusion
+
+    data = [(1, "a", 5.0), (2, "a", None), (3, "b", None), (4, "b", 2.0)]
+    df = spark.createDataFrame(data, "doc_id long, source string, sig double")
+    got = {
+        (r["id"], r["partition"]): (r["fused"], r["keep"])
+        for r in rank_fusion(
+            df, {"s": F.col("sig")}, {"s": 1.0}, keep_frac=0.5
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, source VARCHAR, sig DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", data)
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(
+            """
+            SELECT doc_id, source, round(f, 6) AS fused,
+                   round(f, 6) >= 0.5 AS keep
+            FROM (
+              SELECT doc_id, source,
+                     1.0 * percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY sig NULLS FIRST, doc_id) AS f
+              FROM t)
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+# --- ADVICE r10 #2: windowed_type_drift alias validation ---------------
+
+
+def test_windowed_type_drift_rejects_unsafe_types(spark):
+    from pysparkflow.streaming.events import windowed_type_drift
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("timestamp").alias("ts"), F.lit("a").alias("event_type"))
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        windowed_type_drift(stream, ["a", "a"])
+    with pytest.raises(ValueError, match="reserved"):
+        windowed_type_drift(stream, ["a", "events"])
+    with pytest.raises(ValueError, match="alias"):
+        windowed_type_drift(stream, ["a", "b-c"])
+    with pytest.raises(ValueError, match="alias"):
+        windowed_type_drift(stream, ["a", "1x"])
+    # the happy path still constructs
+    windowed_type_drift(stream, ["a", "b_2", "C"])
+
+
+# --- ADVICE r10 #3: cluster_stats broadcast gate -----------------------
+
+
+def test_cluster_stats_shuffle_fallback_matches_broadcast(spark):
+    """broadcast=False degrades to a shuffle join with identical output
+    — the escape hatch for mass-duplication corpora where the resolved
+    cluster table approaches corpus scale."""
+    from pysparkflow.llmops.dedup import cluster_stats
+
+    docs = spark.createDataFrame(
+        [(i, "s1" if i % 2 else "s2") for i in range(1, 11)],
+        "doc_id long, source string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, keep_id long",
+    )
+    a = sorted(map(tuple, cluster_stats(clusters, docs).collect()))
+    b = sorted(
+        map(tuple, cluster_stats(clusters, docs, broadcast=False).collect())
+    )
+    assert a == b and a
+    # and the hint really is absent from the un-broadcast plan
+    plan = cluster_stats(clusters, docs, broadcast=False)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in plan
