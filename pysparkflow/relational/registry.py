@@ -4342,16 +4342,24 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
 
 
-def _kmeans_oracle_sql(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
-    """Unrolled Lloyd rounds (MATERIALIZED per the DuckDB CTE-inlining
-    gotcha): same init, same sequential-fold distance (list_aggregate
-    'sum' is a left fold — verified bit-identical to python/Spark's
-    sequential aggregate), same first-argmin tie-break, same rounded
-    centroid state, same keep-old-on-empty-cluster rule."""
-    dist = (
-        "list_aggregate(list_transform(list_zip(e.v, c.c), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
-    )
+# the Lloyd distance fold, shared by every kmeans-derived oracle:
+# list_aggregate 'sum' is a left fold — verified bit-identical to
+# python/Spark's sequential aggregate
+_KMEANS_DIST_SQL = (
+    "list_aggregate(list_transform(list_zip(e.v, c.c), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')"
+)
+
+
+def _kmeans_cte_prefix(k: int, rounds: int) -> str:
+    """The unrolled-Lloyd CTE chain (MATERIALIZED per the DuckDB
+    CTE-inlining gotcha) ending at ``clF`` (the final centroid table):
+    same init, same sequential-fold distance, same first-argmin
+    tie-break, same rounded centroid state, same
+    keep-old-on-empty-cluster rule as llmops/kmeans.py. Shared by the
+    kmeans_embeddings and semantic_dedup oracles — one definition of
+    the clustering semantics."""
+    dist = _KMEANS_DIST_SQL
     parts = [
         f"""WITH e AS MATERIALIZED (
   SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -4396,14 +4404,88 @@ c{r} AS MATERIALIZED (
         f""",
 clF AS MATERIALIZED (
   SELECT cid, list(cval ORDER BY dim) AS c FROM c{rounds} GROUP BY cid
-)
+)"""
+    )
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """Final (id, cluster, dist) assignment over the shared Lloyd CTE
+    chain (see _kmeans_cte_prefix)."""
+    return (
+        _kmeans_cte_prefix(k, rounds)
+        + f"""
 SELECT id, CAST(cid AS INTEGER) AS cluster, round(dist, 6) AS dist FROM (
   SELECT id, cid, dist,
          row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
-  FROM (SELECT e.id, c.cid, {dist} AS dist FROM e CROSS JOIN clF c)
+  FROM (SELECT e.id, c.cid, {_KMEANS_DIST_SQL} AS dist FROM e CROSS JOIN clF c)
 ) WHERE rn = 1"""
     )
-    return "".join(parts)
+
+
+# production SemDeDup thresholds sit near 0.95 on trained-encoder
+# embeddings; the synthetic testdata embeddings are near-random (within-
+# cluster max cosines top out ~0.5-0.6), so the registry entry pins the
+# threshold where the gate actually splits this data (drops 2/500 at
+# sf0.001, 10/500 at sf0.01, ~30/2000 at sf0.1) — the knob, not the
+# semantics
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (llmops/semdedup.py): k-means
+    the embeddings (k=8, 4 Lloyd rounds — the proven kmeans_embeddings
+    clustering), then a vector is a semantic duplicate iff its max
+    cosine to any SAME-CLUSTER vector with a smaller id reaches the
+    threshold. The cluster bucketing is what makes embedding dedup
+    tractable at 100 TB (k grows with the corpus, per-cluster quadratic
+    work stays bounded); the kernel emits per-vector partial maxima,
+    never pairs, so output is O(N) under any duplication rate.
+    ``keep`` gates on the ROUNDED published max_prior_cosine."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb,
+        k=_KMEANS_K,
+        rounds=_KMEANS_ROUNDS,
+        threshold=_SEMDEDUP_THRESHOLD,
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    k: int = _KMEANS_K,
+    rounds: int = _KMEANS_ROUNDS,
+    threshold: float = _SEMDEDUP_THRESHOLD,
+) -> str:
+    """Shared Lloyd CTE chain (one definition of the clustering
+    semantics — _kmeans_cte_prefix), final assignment, then the
+    upper-triangular within-cluster max cosine and the rounded-column
+    keep gate. list_cosine_similarity vs the kernel's normalize-then-
+    matmul is the embedding_near_dups-proven 4-dp equivalence."""
+    return (
+        _kmeans_cte_prefix(k, rounds)
+        + f""",
+asn AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           row_number() OVER (PARTITION BY id ORDER BY dist ASC, cid ASC) AS rn
+    FROM (SELECT e.id, c.cid, {_KMEANS_DIST_SQL} AS dist FROM e CROSS JOIN clF c)
+  ) WHERE rn = 1
+),
+ev AS MATERIALIZED (
+  SELECT e.id, e.v, a.cid FROM e JOIN asn a ON a.id = e.id
+),
+mx AS (
+  SELECT b.id AS id, round(max(list_cosine_similarity(a.v, b.v)), 4) AS m
+  FROM ev a JOIN ev b ON a.cid = b.cid AND a.id < b.id
+  GROUP BY b.id
+)
+SELECT ev.id AS id, CAST(ev.cid AS INTEGER) AS cluster,
+       mx.m AS max_prior_cosine,
+       coalesce(mx.m < {threshold}, TRUE) AS keep
+FROM ev LEFT JOIN mx ON mx.id = ev.id"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -6102,6 +6184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "stream_merge_state": q_stream_merge_state,
     "kmeans_embeddings": q_kmeans_embeddings,
+    "semantic_dedup": q_semantic_dedup,
     "activity_islands": q_activity_islands,
     "interval_merge": q_interval_merge,
     "contamination_score": q_contamination_score,
@@ -6258,6 +6341,7 @@ ORACLE_SQL: dict[str, str] = {
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
     "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
+    "semantic_dedup": _semantic_dedup_oracle_sql(),
     "activity_islands": _Q_ACTIVITY_ISLANDS_SQL,
     "interval_merge": _Q_INTERVAL_MERGE_SQL,
     "contamination_score": _Q_CONTAMINATION_SCORE_SQL,

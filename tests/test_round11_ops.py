@@ -121,3 +121,95 @@ def test_cluster_stats_shuffle_fallback_matches_broadcast(spark):
     # and the hint really is absent from the un-broadcast plan
     plan = cluster_stats(clusters, docs, broadcast=False)._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in plan
+
+
+# --- semantic_dedup (SemDeDup, VERDICT r10 #5) --------------------------
+
+
+def _planted_emb(spark):
+    """Two well-separated directions; within each, planted near-parallel
+    copies (paraphrases) plus one orthogonal-ish singleton."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=8)
+    base_b = rng.normal(size=8)
+    base_b -= base_b @ base_a / (base_a @ base_a) * base_a  # orthogonal
+    rows = []
+    # ids 1..3: copies of direction A (cosine ~1 to each other)
+    for i, eps in [(1, 0.0), (2, 1e-3), (3, 2e-3)]:
+        v = base_a + eps * base_b
+        rows.append((i, [float(x) for x in v]))
+    # ids 4..5: copies of direction B
+    for i, eps in [(4, 0.0), (5, 1e-3)]:
+        v = base_b + eps * base_a
+        rows.append((i, [float(x) for x in v]))
+    # id 6: an isolated mixture, far from both in cosine
+    rows.append((6, [float(x) for x in (0.5 * base_a - 0.5 * base_b)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_planted_paraphrases(spark):
+    """Planted near-parallel copies are dropped, cluster-minimum ids and
+    isolated vectors survive, and the keep decision replays from the
+    published rounded column."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    emb = _planted_emb(spark)
+    out = semantic_dedup(emb, k=2, rounds=2, threshold=0.99, chunk_rows=2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 6
+    # the first id of each paraphrase group survives; later copies drop
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["max_prior_cosine"] >= 0.99
+    assert rows[3]["keep"] is False
+    assert rows[4]["keep"] is True or rows[4]["max_prior_cosine"] is None or rows[4]["max_prior_cosine"] < 0.99
+    # keep replays from the published column
+    for r in rows.values():
+        m = r["max_prior_cosine"]
+        assert r["keep"] == (m is None or m < 0.99)
+
+
+def test_semantic_dedup_prior_rule_exact(spark):
+    """max_prior_cosine equals the numpy upper-triangular within-cluster
+    max at 4 dp, for every vector — chunking (chunk_rows=2 forces cross-
+    block pairs in both id directions) must not change the answer."""
+    import numpy as np
+
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=6)]) for i in range(1, 21)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, k=3, rounds=2, threshold=0.5, chunk_rows=2)
+    got = {r["id"]: r["max_prior_cosine"] for r in out.collect()}
+    clusters = {r["id"]: r["cluster"] for r in out.collect()}
+    X = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+    for i, v in X.items():
+        priors = [
+            float(
+                X[j] @ v / (np.linalg.norm(X[j]) * np.linalg.norm(v))
+            )
+            for j in X
+            if j < i and clusters[j] == clusters[i]
+        ]
+        want = round(max(priors), 4) if priors else None
+        assert got[i] == pytest.approx(want) if want is not None else got[i] is None
+
+
+def test_semantic_dedup_output_is_per_vector(spark):
+    """Output is O(N): exactly one row per input vector regardless of
+    duplication rate (an all-duplicates corpus must not blow up)."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    n = 50
+    rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-9]) for i in range(1, n + 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, k=2, rounds=1, threshold=0.9, chunk_rows=8)
+    rws = out.collect()
+    assert len(rws) == n
+    kept = [r["id"] for r in rws if r["keep"]]
+    # mass duplication: only the cluster-minimum ids survive
+    assert len(kept) <= 2 and 1 in kept
