@@ -6440,76 +6440,79 @@ _ALWAYS_IN_CORE = [
     "edge_symmetrize",
     "groupagg_pricing",
 ]
-# round 10 front (VERDICT r9 #1): the stale backlog, recomputed from
-# CORRECTNESS_r01..r09 (last driver-green round per entry): the five
-# r6-deferred entries (documented here last round) lead, then 32 of the
-# 40 entries whose most recent driver-green row is r7, plus the SEVEN
-# new r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-# quality_rank_fusion, centroid_affinity, embedding_outliers,
-# events_stream_drift — never driver-graded; new entries always front).
-# 6 core + 7 new + 5 r6 + 32 r7 = the full 50-slot window; the eight r7
-# entries that do not fit — pack_documents, quality_quantile_filter,
-# simhash, span_dedup, stratified_sample, text_quality, token_totals,
-# url_dedup, alphabetically last of the r7 cohort — SPILL TO ROUND 11
-# and must lead its front (pinned by
-# tests/test_round10_ops.py::test_driver_window_rotation_r10).
+# ROTATION CONTRACT (restated in round 11, VERDICT r10 #2): with ~150
+# registry entries, a 50-slot driver window, 6 always-in core repeats,
+# and a handful of new entries per round, the steady-state horizon is
+# THREE rounds — every entry's driver-green CORRECTNESS row is at most
+# 3 rounds old (not the 2 the original r4 comment implied; the
+# arithmetic is (151 - 6 core) / ~44 net regrade slots ≈ 3.3). To keep
+# the horizon from growing, new-entry additions are capped at ~3 per
+# round — each new entry displaces a stale regrade 1:1.
+#
+# round 11 front (VERDICT r10 #1): the eight r7 spillovers named by the
+# r10 rotation comment LEAD (now the oldest driver rows, pinned by
+# tests/test_round11_ops.py::test_driver_window_rotation_r11), then the
+# one new r11 entry (semantic_dedup — never driver-graded; new entries
+# always front), then the 35 alphabetically-first of the 44 entries
+# whose most recent driver-green row is r8. The nine alphabetically-
+# last r8 entries — snapshot_diff, sql_revenue, sssp_bounded,
+# temperature_mixture, tfidf_terms, triangle_count, weighted_sample,
+# window_suite, zscore_anomaly — SPILL TO ROUND 12 and must lead its
+# front. 6 core + 8 r7 + 1 new + 35 r8 = the full 50-slot window.
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
 # sampled plans have no equality oracle (the driver would record a
 # weaker rows-only row); their banded verification lives in
 # TOLERANCE_ORACLES / ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
-    # new in round 10 (never driver-graded; appended as they land)
-    "mixture_drift",
-    "boilerplate_ngrams",
-    "dup_cluster_stats",
-    "quality_rank_fusion",
-    "centroid_affinity",
-    "embedding_outliers",
-    "events_stream_drift",
-    # deferred from the r6 backlog by r9's slot count (VERDICT r9 #1)
-    "stream_merge_state",
-    "token_budget_select",
-    "topk_per_group",
-    "unpivot_metrics",
-    "zorder_layout",
-    # last driver-graded in round 7 (the complete 40-entry backlog
-    # minus the eight alphabetically-last entries — pack_documents,
-    # quality_quantile_filter, simhash, span_dedup, stratified_sample,
-    # text_quality, token_totals, url_dedup — which spill to round 11
-    # and must lead its front)
-    "activity_islands",
-    "bm25_score",
-    "bpe_token_count",
-    "cluster_sample",
-    "cluster_split",
-    "contamination_score",
-    "copurchase_similarity",
-    "curation_pipeline",
-    "decontaminate",
-    "dedup_ngram_jaccard",
-    "doc_fingerprints",
-    "doc_repetition",
-    "editdist_pairs",
-    "embedding_near_dups",
-    "embedding_near_dups_lsh",
-    "events_stream_dedup",
-    "events_stream_enrich",
-    "events_stream_join",
-    "events_stream_sessions",
-    "events_stream_windowed",
-    "hash_split",
-    "incremental_dedup",
-    "incremental_near_dup",
-    "interval_merge",
-    "knn_bruteforce",
-    "knn_graph",
-    "knn_ivf",
-    "knn_ivf_recall",
-    "knn_lsh",
-    "lang_id",
-    "min_cut",
-    "nucleus_select",
+    # the pinned r11 spillovers (last driver-graded round 7)
+    "pack_documents",
+    "quality_quantile_filter",
+    "simhash",
+    "span_dedup",
+    "stratified_sample",
+    "text_quality",
+    "token_totals",
+    "url_dedup",
+    # new in round 11 (never driver-graded)
+    "semantic_dedup",
+    # last driver-graded in round 8 (the 44-entry cohort minus the nine
+    # alphabetically-last, which spill to round 12 and lead its front)
+    "asof_join",
+    "binaryfile_ingest",
+    "bloom_prefiltered_join",
+    "bpe_merge_candidates",
+    "cohort_retention",
+    "cube",
+    "curation_pipeline_v2",
+    "curation_pipeline_v3",
+    "dedup_keep_best",
+    "dedup_resolution",
+    "doc_chunking",
+    "events_stream_stateful",
+    "funnel_conversion",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "heavy_hitters",
+    "latest_per_key",
+    "lm_unigram_score",
+    "mad_anomaly",
+    "mode_per_group",
+    "multimodal_decode",
+    "multimodal_features",
+    "mutual_information",
+    "orc_roundtrip",
+    "percentiles",
+    "pii_scrub",
+    "pivot_events",
+    "png_decode",
+    "psi_drift",
+    "quality_classify",
+    "range_join",
+    "rolling_30d_spend",
+    "salted_skew_join",
+    "scd2_history",
+    "session_paths",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

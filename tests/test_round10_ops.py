@@ -150,44 +150,21 @@ def test_source_overlap_sampled_configuration():
 
 
 def test_driver_window_rotation_r10():
-    """The driver grades the FIRST 50 keys of queries(); pin the
-    round-10 window composition (VERDICT r9 #1): 6 core + the seven new
-    r10 entries (mixture_drift, boilerplate_ngrams, dup_cluster_stats,
-    quality_rank_fusion, centroid_affinity, embedding_outliers,
-    events_stream_drift) + the five r6-deferred entries + 32 of the 40
-    r7-stale entries. The eight alphabetically-last r7 entries
-    (pack_documents, quality_quantile_filter, simhash, span_dedup,
-    stratified_sample, text_quality, token_totals, url_dedup) spill to
-    the r11 front — recorded here and at the registry's _ROUND_FRONT
-    comment."""
-    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+    """The r10 window itself was graded and committed
+    (CORRECTNESS_r10.json, 50/50); what survives of the r10 contract is
+    the SPILLOVER PIN — the eight alphabetically-last r7 entries the
+    r10 window could not fit must lead the r11 front. The full r11
+    window composition is pinned by
+    tests/test_round11_ops.py::test_driver_window_rotation_r11; this
+    test keeps the handoff honest (the pinned eight occupy the very
+    first post-core slots)."""
+    from pysparkflow.relational.registry import _ROUND_FRONT
 
-    window = list(QUERIES)[:50]
-    # new this round — first driver grade must happen now
-    for k in ("mixture_drift", "boilerplate_ngrams", "dup_cluster_stats",
-              "quality_rank_fusion", "centroid_affinity",
-              "embedding_outliers", "events_stream_drift"):
-        assert k in window, k
-    # the r6-deferred five lead the backlog
-    for k in ("stream_merge_state", "token_budget_select", "topk_per_group",
-              "unpivot_metrics", "zorder_layout"):
-        assert k in window, k
-    # always-in core
-    for k in ("max_flow", "bfs_distances", "dedup_exact",
-              "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
-        assert k in window, k
-    # representative r7-stale entries now in the window
-    for k in ("min_cut", "knn_bruteforce", "events_stream_windowed",
-              "interval_merge", "curation_pipeline", "nucleus_select"):
-        assert k in window, k
-    # the named r11 spill-over eight — NOT in the window
-    for k in ("pack_documents", "quality_quantile_filter", "simhash",
-              "span_dedup", "stratified_sample", "text_quality",
-              "token_totals", "url_dedup"):
-        assert k not in window, k
-    # tolerance-gated sketches must never occupy hash-window slots
-    assert not set(TOLERANCE_ORACLES) & set(window)
-    assert len(window) == len(set(window)) == 50
+    assert _ROUND_FRONT[:8] == [
+        "pack_documents", "quality_quantile_filter", "simhash",
+        "span_dedup", "stratified_sample", "text_quality",
+        "token_totals", "url_dedup",
+    ]
 
 
 def test_boilerplate_ngrams_planted(spark):

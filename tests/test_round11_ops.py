@@ -213,3 +213,75 @@ def test_semantic_dedup_output_is_per_vector(spark):
     kept = [r["id"] for r in rws if r["keep"]]
     # mass duplication: only the cluster-minimum ids survive
     assert len(kept) <= 2 and 1 in kept
+
+
+# --- driver-window rotation (VERDICT r10 #1/#2) -------------------------
+
+
+def test_driver_window_rotation_r11():
+    """The driver grades the FIRST 50 keys of queries(); pin the
+    round-11 window composition: 6 always-in core + the eight pinned r7
+    spillovers LEADING + the one new r11 entry (semantic_dedup — the
+    ~3-per-round new-entry cap of the restated 3-round rotation
+    contract) + the 35 alphabetically-first r8-stale entries. The nine
+    alphabetically-last r8 entries spill to the ROUND-12 front —
+    recorded here and at the registry's _ROUND_FRONT comment."""
+    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+
+    window = list(QUERIES)[:50]
+    # the pinned r7 spillovers — first driver grade since round 7
+    for k in ("pack_documents", "quality_quantile_filter", "simhash",
+              "span_dedup", "stratified_sample", "text_quality",
+              "token_totals", "url_dedup"):
+        assert k in window, k
+    # new this round
+    assert "semantic_dedup" in window
+    # always-in core
+    for k in ("max_flow", "bfs_distances", "dedup_exact",
+              "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
+        assert k in window, k
+    # representative r8-stale entries now in the window
+    for k in ("asof_join", "range_join", "salted_skew_join",
+              "heavy_hitters", "psi_drift", "mutual_information",
+              "percentiles", "multimodal_decode", "pivot_events"):
+        assert k in window, k
+    # the named r12 spill-over nine — NOT in the window, must lead r12
+    for k in ("snapshot_diff", "sql_revenue", "sssp_bounded",
+              "temperature_mixture", "tfidf_terms", "triangle_count",
+              "weighted_sample", "window_suite", "zscore_anomaly"):
+        assert k not in window, k
+    # tolerance-gated sketches must never occupy hash-window slots
+    assert not set(TOLERANCE_ORACLES) & set(window)
+    assert len(window) == len(set(window)) == 50
+
+
+def test_rotation_horizon_is_three_rounds():
+    """The restated contract (VERDICT r10 #2): after this rotation no
+    entry's most recent driver-green row may be older than 3 rounds.
+    Computed from the committed CORRECTNESS_r*.json history plus the
+    r11 window that the driver will grade this round."""
+    import json
+    import os
+
+    last: dict[str, int] = {}
+    for r in range(1, 11):
+        path = f"/root/repo/CORRECTNESS_r{r:02d}.json"
+        if not os.path.exists(path):
+            continue
+        for k in json.load(open(path)):
+            last[k] = r
+    from pysparkflow.relational.registry import (
+        QUERIES,
+        TOLERANCE_ORACLES,
+        ORACLE_SQL,
+    )
+
+    window = set(list(QUERIES)[:50])
+    for k in window:
+        last[k] = 11  # graded this round by construction
+    for k, r in last.items():
+        if k not in QUERIES:
+            continue  # renamed/removed entries from early rounds
+        if k in TOLERANCE_ORACLES or k not in ORACLE_SQL:
+            continue  # banded/rows-only entries live outside the window
+        assert 11 - r <= 3, f"{k} last driver-graded r{r} (> 3 rounds stale)"
