@@ -109,3 +109,60 @@ def test_adjudicate_pair_memo_builder_resamples_cold(spark, monkeypatch):
     ]
     bench._adjudicate_flags(spark, "", timings, flags, run_query=None)
     assert calls == ["pairs", "flow"]
+
+
+def test_choose_candidate_medians_decide(tmp_path):
+    """The medians-decide rule (VERDICT r10 #4): the candidate whose
+    per-query medians win is chosen even when its probe flagged
+    degraded — and the artifact says which signal decided."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "choose_candidate", "/root/repo/tools/choose_candidate.py"
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    qs = [f"q{i}" for i in range(10)]
+    fast_but_flagged = {
+        "queries": {q: 1.0 for q in qs},
+        "host_flag": "degraded",
+        "total_sec": 10.0,
+    }
+    slow_but_ok = {
+        "queries": {q: 1.3 for q in qs},
+        "host_flag": "ok",
+        "total_sec": 13.0,
+    }
+    winner, chosen_by, scores = cc.choose(
+        {"cand1": slow_but_ok, "cand2": fast_but_flagged}
+    )
+    assert winner == "cand2" and chosen_by == "medians"
+    assert scores["cand1"]["median_score"] > scores["cand2"]["median_score"]
+    # score tie -> the probe breaks it, and the artifact records that
+    winner2, chosen_by2, _ = cc.choose(
+        {
+            "a": {"queries": {q: 1.0 for q in qs}, "host_flag": "degraded",
+                  "total_sec": 10.0},
+            "b": {"queries": {q: 1.0 for q in qs}, "host_flag": "ok",
+                  "total_sec": 10.0},
+        }
+    )
+    assert winner2 == "b" and chosen_by2 == "probe"
+
+
+def test_committed_round_snapshots_carry_chosen_by():
+    """From round 11 on, the committed closing snapshot must be
+    self-describing: bench_queries_r{N}.json (N >= 11) carries the
+    chosen_by field stamped by tools/choose_candidate.py."""
+    import glob
+    import json
+    import re
+
+    for path in glob.glob("/root/repo/bench_queries_r*.json"):
+        m = re.fullmatch(r".*bench_queries_r(\d+)\.json", path)
+        if not m or int(m.group(1)) < 11:
+            continue
+        snap = json.load(open(path))
+        assert "chosen_by" in snap, path
+        assert snap["chosen_by"] in ("medians", "probe"), path
+        assert "candidate_scores" in snap, path

@@ -1,0 +1,94 @@
+"""Closing-bench candidate selection — the medians-decide rule, encoded
+(VERDICT r10 #2 "what's wrong" / #4 "next round").
+
+Round 10's headline number was chosen by a measurement-policy precedent
+that lived only in prose: per-query MEDIANS decide between closing-bench
+candidates, and the host-calibration probe bracket is the tie-break
+signal, not a veto (cand11 was flagged "degraded" by its probe yet its
+per-query medians beat every "ok" candidate — the probes bracket the
+run's edges, the 150 per-query samples ARE the run). This tool encodes
+that rule so the committed snapshot is self-describing: the chosen
+artifact carries ``chosen_by`` ("medians" when the score ordering
+decided, "probe" when a score tie was broken by host_flag/total) plus
+every candidate's score, so the judge can re-derive the choice.
+
+Scoring: for each query in the common set, the per-query median across
+candidates is the host-noise-robust reference; a candidate's score is
+the MEDIAN over queries of (its time / that reference). The minimum
+score wins. This is deliberately per-query-normalized — a candidate
+that is 1.02x on every query beats one that is 0.9x on ninety queries
+and 3x on ten (the latter is a drift window, exactly what the rule
+exists to reject).
+
+Usage: python tools/choose_candidate.py OUT.json CAND1.json CAND2.json ...
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+
+
+def choose(cands: dict[str, dict]) -> tuple[str, str, dict[str, dict]]:
+    """(winner_name, chosen_by, scores) over {name: side-file dict}."""
+    if not cands:
+        raise ValueError("no candidates")
+    qsets = [set(c["queries"]) for c in cands.values()]
+    common = sorted(set.intersection(*qsets))
+    if not common:
+        raise ValueError("no common query set across candidates")
+    ref = {
+        q: statistics.median(c["queries"][q] for c in cands.values())
+        for q in common
+    }
+    scores: dict[str, dict] = {}
+    for name, c in cands.items():
+        ratios = [c["queries"][q] / ref[q] for q in common if ref[q] > 0]
+        scores[name] = {
+            "median_score": round(statistics.median(ratios), 4),
+            "host_flag": c.get("host_flag"),
+            "host_ratio": c.get("host_ratio_vs_quiet_ref"),
+            "total_sec": c.get("total_sec"),
+        }
+    best = min(s["median_score"] for s in scores.values())
+    # scores within 0.5% are a tie — per-query medians can't separate
+    # candidates closer than scheduler noise; fall back to the probe
+    tied = [n for n, s in scores.items() if s["median_score"] <= best + 0.005]
+    if len(tied) == 1:
+        return tied[0], "medians", scores
+    rank = {"ok": 0, None: 1, "degraded": 2}
+    tied.sort(
+        key=lambda n: (
+            rank.get(scores[n]["host_flag"], 1),
+            scores[n]["total_sec"] if scores[n]["total_sec"] is not None else 1e18,
+            n,
+        )
+    )
+    return tied[0], "probe", scores
+
+
+def main() -> int:
+    out_path, cand_paths = sys.argv[1], sys.argv[2:]
+    cands = {p: json.load(open(p)) for p in cand_paths}
+    winner, chosen_by, scores = choose(cands)
+    snapshot = dict(cands[winner])
+    snapshot["chosen_by"] = chosen_by
+    snapshot["chosen_candidate"] = winner
+    snapshot["candidate_scores"] = scores
+    with open(out_path, "w") as fh:
+        json.dump(snapshot, fh, indent=1)
+        fh.write("\n")
+    for n in sorted(scores, key=lambda n: scores[n]["median_score"]):
+        s = scores[n]
+        mark = " <== chosen" if n == winner else ""
+        print(
+            f"{n}: median {s['median_score']:.4f}  host {s['host_flag']}"
+            f"  total {s['total_sec']}{mark}"
+        )
+    print(f"chosen_by: {chosen_by} -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
