@@ -14,6 +14,13 @@ calibration, and the HEADLINE subset of query timings only; the full
 per-query map is written to bench_queries_latest.json (committed per
 round) and its path is referenced from the final line.
 
+Closing-round candidate selection: run >= 3 complete candidates (each
+with SPARK_GRAFT_BENCH_OUT=bench_queries_r{N}_cand{i}.json), then
+`python tools/choose_candidate.py bench_queries_r{N}.json <cands...>`
+— per-query MEDIANS decide, the probe bracket only breaks ties, and
+the chosen snapshot carries `chosen_by` + every candidate's score
+(VERDICT r10 #4; the rule's r10 precedent is recorded in SCALING.md).
+
 Expected stderr noise: `WindowExec: No Partition Defined for Window
 operation` prints a handful of times per run. ALL FOUR sources are
 windows over BOUNDED intermediates by design (VERDICT r8/r9 — verified
