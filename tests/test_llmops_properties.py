@@ -111,3 +111,50 @@ def test_decontaminate_partitions_corpus(corpus_texts, eval_texts):
     all_ids = {r.doc_id for r in corpus.collect()}
     assert flagged | clean == all_ids
     assert flagged & clean == set()
+
+
+_vec = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+    min_size=4, max_size=4,
+)
+_emb_corpus = st.lists(_vec, min_size=3, max_size=14)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_emb_corpus, st.floats(min_value=0.1, max_value=0.99))
+def test_semantic_dedup_invariants_any_corpus(vecs, threshold):
+    """For ANY embedding corpus (including zero vectors and duplicate
+    directions) and any threshold: one output row per vector; every
+    cluster's minimum id has a NULL prior (and is kept); the keep flag
+    replays from the published rounded column; chunking is
+    answer-invariant (chunk_rows=2 forces cross-block pairs in both id
+    directions; chunk_rows=10^6 puts each cluster in one block)."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    spark = _get_spark()
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    k = min(2, len(vecs))
+    out = semantic_dedup(
+        emb, k=k, rounds=2, threshold=threshold, chunk_rows=2
+    ).collect()
+    assert len(out) == len(vecs)
+    rows = {r["id"]: r for r in out}
+    for cluster in {r["cluster"] for r in out}:
+        first = min(i for i, r in rows.items() if r["cluster"] == cluster)
+        assert rows[first]["max_prior_cosine"] is None
+        assert rows[first]["keep"] is True
+    for r in out:
+        m = r["max_prior_cosine"]
+        assert r["keep"] == (m is None or m < threshold)
+        if m is not None:
+            assert -1.0 - 1e-9 <= m <= 1.0 + 1e-9
+    big = semantic_dedup(
+        emb, k=k, rounds=2, threshold=threshold, chunk_rows=1_000_000
+    ).collect()
+    assert {r["id"]: (r["cluster"], r["max_prior_cosine"], r["keep"])
+            for r in big} == {
+        r["id"]: (r["cluster"], r["max_prior_cosine"], r["keep"]) for r in out
+    }
