@@ -99,3 +99,82 @@ def contamination_score(
             (F.col("n_hits") / F.col("n_shingles")).alias("contamination"),
         )
     )
+
+
+def semantic_contamination(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bench_rows: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-level decontamination — the semantic counterpart of the
+    shingle-based pass above: a corpus document is contaminated when its
+    embedding sits too close to ANY benchmark embedding, catching the
+    paraphrased/reformatted eval leakage that exact n-gram overlap
+    misses (the same lexical-vs-semantic gap semantic_dedup closes for
+    dedup).
+
+    Returns one row per corpus vector (TOTAL — clean rows carry the
+    evidence too): (id, max_bench_cosine, contaminated) where
+    ``max_bench_cosine`` is the 4-dp-rounded max cosine to any benchmark
+    vector (NULL iff the benchmark is empty) and ``contaminated`` gates
+    on the ROUNDED published column (the repo's replay discipline).
+
+    Scale shape (100 TB corpus, benchmarks of 10^3-10^6 vectors): the
+    benchmark matrix is collected once to the driver (SIZE-GATED at
+    ``max_bench_rows`` — a benchmark is an eval suite, not a corpus;
+    the gate raises rather than silently OOMing, the dedup_resolution
+    house pattern), L2-normalized, and shipped in the task closure;
+    the corpus side is ONE map-only Arrow pass — a single BLAS matmul
+    per batch emitting the per-row max. Zero exchanges, zero joins,
+    embarrassingly parallel; output is O(N) at any contamination rate.
+
+    Zero-norm rows on either side use the house 1e-300 norm clamp
+    (cosine 0 — a zero vector is close to nothing)."""
+    import numpy as np
+
+    n_bench = bench_emb.count()
+    if n_bench > max_bench_rows:
+        raise ValueError(
+            f"benchmark has {n_bench} rows > max_bench_rows="
+            f"{max_bench_rows}: collect would not be benchmark-sized. "
+            "Raise the gate explicitly if the driver can hold it."
+        )
+    bench = [r[0] for r in bench_emb.select(vec_col).collect()]
+    out_schema = "id long, max_bench_cosine double"
+    corpus = corpus_emb.select(F.col(id_col).alias("id"), F.col(vec_col))
+    if not bench:
+        scored = corpus.select(
+            "id", F.lit(None).cast("double").alias("max_bench_cosine")
+        )
+    else:
+        B = np.asarray(bench, dtype=np.float64)
+        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                X /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+                )
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"],
+                        "max_bench_cosine": (X @ B.T).max(axis=1),
+                    }
+                )
+
+        scored = corpus.mapInPandas(score, out_schema)
+    scored = scored.select(
+        "id", F.round("max_bench_cosine", 4).alias("max_bench_cosine")
+    )
+    return scored.withColumn(
+        "contaminated",
+        F.coalesce(
+            F.col("max_bench_cosine") >= F.lit(float(threshold)), F.lit(False)
+        ),
+    )

@@ -4732,6 +4732,48 @@ FROM hits h JOIN den d USING (doc_id)
 """
 
 
+# flags 1/444 at sf0.001, 3/450 at sf0.01, 28/1801 at sf0.1 on the
+# synthetic near-random embeddings (production thresholds sit higher on
+# trained encoders — the knob, not the semantics; same note as
+# _SEMDEDUP_THRESHOLD)
+_SEMCONTAM_THRESHOLD = 0.45
+
+
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (llmops/decontam.py::
+    semantic_contamination): label-0 embeddings stand in for the
+    benchmark; every other vector gets the 4-dp max cosine to any
+    benchmark vector and a gate on that ROUNDED column — catching the
+    paraphrased eval leakage n-gram decontaminate misses. The benchmark
+    matrix is size-gated-collected + closure-shipped; the corpus side
+    is ONE map-only Arrow BLAS pass, zero exchanges."""
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("label") == 0)
+    corpus = emb.where(F.col("label") != 0)
+    return semantic_contamination(
+        corpus, bench, threshold=_SEMCONTAM_THRESHOLD
+    )
+
+
+_Q_SEMANTIC_CONTAMINATION_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label <> 0
+), b AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label = 0
+), mx AS (
+  SELECT c.vec_id AS id, round(max(list_cosine_similarity(c.v, b.v)), 4) AS m
+  FROM c CROSS JOIN b GROUP BY c.vec_id
+)
+SELECT c.vec_id AS id, mx.m AS max_bench_cosine,
+       coalesce(mx.m >= {_SEMCONTAM_THRESHOLD}, FALSE) AS contaminated
+FROM c LEFT JOIN mx ON mx.id = c.vec_id
+"""
+
+
 def q_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor Jaccard on the part<->order bipartite graph
     (operators/cooccurrence.py): parts sharing >= 2 orders, scored by
@@ -6188,6 +6230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "activity_islands": q_activity_islands,
     "interval_merge": q_interval_merge,
     "contamination_score": q_contamination_score,
+    "semantic_contamination": q_semantic_contamination,
     "copurchase_similarity": q_copurchase_similarity,
     "nucleus_select": q_nucleus_select,
     "hash_split": q_hash_split,
@@ -6345,6 +6388,7 @@ ORACLE_SQL: dict[str, str] = {
     "activity_islands": _Q_ACTIVITY_ISLANDS_SQL,
     "interval_merge": _Q_INTERVAL_MERGE_SQL,
     "contamination_score": _Q_CONTAMINATION_SCORE_SQL,
+    "semantic_contamination": _Q_SEMANTIC_CONTAMINATION_SQL,
     "copurchase_similarity": _Q_COPURCHASE_SQL,
     "nucleus_select": _Q_NUCLEUS_SELECT_SQL,
     "hash_split": _Q_HASH_SPLIT_SQL,
@@ -6452,13 +6496,15 @@ _ALWAYS_IN_CORE = [
 # round 11 front (VERDICT r10 #1): the eight r7 spillovers named by the
 # r10 rotation comment LEAD (now the oldest driver rows, pinned by
 # tests/test_round11_ops.py::test_driver_window_rotation_r11), then the
-# one new r11 entry (semantic_dedup — never driver-graded; new entries
-# always front), then the 35 alphabetically-first of the 44 entries
-# whose most recent driver-green row is r8. The nine alphabetically-
-# last r8 entries — snapshot_diff, sql_revenue, sssp_bounded,
-# temperature_mixture, tfidf_terms, triangle_count, weighted_sample,
-# window_suite, zscore_anomaly — SPILL TO ROUND 12 and must lead its
-# front. 6 core + 8 r7 + 1 new + 35 r8 = the full 50-slot window.
+# two new r11 entries (semantic_dedup, semantic_contamination — never
+# driver-graded; new entries always front, and two is inside the
+# contract's ~3 cap), then the 34 alphabetically-first of the 44
+# entries whose most recent driver-green row is r8. The TEN
+# alphabetically-last r8 entries — session_paths, snapshot_diff,
+# sql_revenue, sssp_bounded, temperature_mixture, tfidf_terms,
+# triangle_count, weighted_sample, window_suite, zscore_anomaly —
+# SPILL TO ROUND 12 and must lead its front.
+# 6 core + 8 r7 + 2 new + 34 r8 = the full 50-slot window.
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
 # sampled plans have no equality oracle (the driver would record a
@@ -6476,7 +6522,8 @@ _ROUND_FRONT = [
     "url_dedup",
     # new in round 11 (never driver-graded)
     "semantic_dedup",
-    # last driver-graded in round 8 (the 44-entry cohort minus the nine
+    "semantic_contamination",
+    # last driver-graded in round 8 (the 44-entry cohort minus the ten
     # alphabetically-last, which spill to round 12 and lead its front)
     "asof_join",
     "binaryfile_ingest",
@@ -6512,7 +6559,6 @@ _ROUND_FRONT = [
     "rolling_30d_spend",
     "salted_skew_join",
     "scd2_history",
-    "session_paths",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

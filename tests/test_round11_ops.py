@@ -1,7 +1,9 @@
 """Round-11 additions: the four ADVICE r10 closures (rank_fusion NULL
 ordering pin, windowed_type_drift alias validation, cluster_stats
 broadcast gate, centroid_affinity docstring) and the semantic_dedup
-operator (SemDeDup-style cluster-bucketed embedding dedup)."""
+operators (semantic_dedup — SemDeDup-style cluster-bucketed embedding
+dedup — and semantic_contamination — embedding-level benchmark
+decontamination)."""
 
 from __future__ import annotations
 
@@ -221,11 +223,12 @@ def test_semantic_dedup_output_is_per_vector(spark):
 def test_driver_window_rotation_r11():
     """The driver grades the FIRST 50 keys of queries(); pin the
     round-11 window composition: 6 always-in core + the eight pinned r7
-    spillovers LEADING + the one new r11 entry (semantic_dedup — the
-    ~3-per-round new-entry cap of the restated 3-round rotation
-    contract) + the 35 alphabetically-first r8-stale entries. The nine
-    alphabetically-last r8 entries spill to the ROUND-12 front —
-    recorded here and at the registry's _ROUND_FRONT comment."""
+    spillovers LEADING + the two new r11 entries (semantic_dedup,
+    semantic_contamination — inside the restated contract's ~3-per-
+    round new-entry cap) + the 34 alphabetically-first r8-stale
+    entries. The ten alphabetically-last r8 entries spill to the
+    ROUND-12 front — recorded here and at the registry's _ROUND_FRONT
+    comment."""
     from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
 
     window = list(QUERIES)[:50]
@@ -236,6 +239,7 @@ def test_driver_window_rotation_r11():
         assert k in window, k
     # new this round
     assert "semantic_dedup" in window
+    assert "semantic_contamination" in window
     # always-in core
     for k in ("max_flow", "bfs_distances", "dedup_exact",
               "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
@@ -245,10 +249,11 @@ def test_driver_window_rotation_r11():
               "heavy_hitters", "psi_drift", "mutual_information",
               "percentiles", "multimodal_decode", "pivot_events"):
         assert k in window, k
-    # the named r12 spill-over nine — NOT in the window, must lead r12
-    for k in ("snapshot_diff", "sql_revenue", "sssp_bounded",
-              "temperature_mixture", "tfidf_terms", "triangle_count",
-              "weighted_sample", "window_suite", "zscore_anomaly"):
+    # the named r12 spill-over ten — NOT in the window, must lead r12
+    for k in ("session_paths", "snapshot_diff", "sql_revenue",
+              "sssp_bounded", "temperature_mixture", "tfidf_terms",
+              "triangle_count", "weighted_sample", "window_suite",
+              "zscore_anomaly"):
         assert k not in window, k
     # tolerance-gated sketches must never occupy hash-window slots
     assert not set(TOLERANCE_ORACLES) & set(window)
@@ -285,3 +290,64 @@ def test_rotation_horizon_is_three_rounds():
         if k in TOLERANCE_ORACLES or k not in ORACLE_SQL:
             continue  # banded/rows-only entries live outside the window
         assert 11 - r <= 3, f"{k} last driver-graded r{r} (> 3 rounds stale)"
+
+
+# --- semantic_contamination (embedding-level decontamination) -----------
+
+
+def test_semantic_contamination_planted(spark):
+    """Closed-form plants: a corpus copy of a benchmark direction is
+    flagged (cosine exactly 1.0); an orthogonal vector scores exactly
+    0.0; a 45-degree mixture scores exactly 0.7071; the gate replays
+    from the published rounded column."""
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of bench axis 0
+            (2, [0.0, 0.0, 3.0, 0.0]),   # orthogonal to both
+            (3, [1.0, 1.0, 0.0, 0.0]),   # 45 deg to both -> 0.7071
+            (4, [0.0] * 4),              # zero vector -> cosine 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r["id"]: r
+        for r in semantic_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert rows[1]["max_bench_cosine"] == 1.0 and rows[1]["contaminated"]
+    assert rows[2]["max_bench_cosine"] == 0.0 and not rows[2]["contaminated"]
+    assert rows[3]["max_bench_cosine"] == 0.7071 and not rows[3]["contaminated"]
+    assert rows[4]["max_bench_cosine"] == 0.0 and not rows[4]["contaminated"]
+    for r in rows.values():
+        m = r["max_bench_cosine"]
+        assert r["contaminated"] == (m is not None and m >= 0.9)
+
+
+def test_semantic_contamination_empty_benchmark_and_size_gate(spark):
+    """Empty benchmark: every row NULL + not contaminated (total
+    contract). Oversized benchmark: the size gate raises instead of
+    collecting a corpus to the driver."""
+    import pytest as _pytest
+
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    empty = corpus.where("vec_id < 0")
+    rows = semantic_contamination(corpus, empty, threshold=0.5).collect()
+    assert len(rows) == 2
+    assert all(
+        r["max_bench_cosine"] is None and r["contaminated"] is False
+        for r in rows
+    )
+    with _pytest.raises(ValueError, match="max_bench_rows"):
+        semantic_contamination(
+            corpus, corpus, threshold=0.5, max_bench_rows=1
+        )

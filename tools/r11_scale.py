@@ -148,13 +148,81 @@ def _check_mass_dup(spark, n: int) -> str:
     )
 
 
+def _check_semantic_contamination(spark, n: int) -> str:
+    """Planted mixture grid vs a 64-axis benchmark (dim 64): corpus row
+    i targets axis a = i % 64 with class m = (i // 64) % 3 —
+
+    * m=0: c * e_a                 -> max bench cosine exactly 1.0
+    * m=1: e_a + e_{a+1}           -> exactly 1/sqrt(2)  = 0.7071
+    * m=2: e_a + 3 * e_{a+1}       -> exactly 3/sqrt(10) = 0.9487
+
+    All IEEE-exact (unit/3x components, 4-bit-fraction scales), so the
+    histogram is a closed form: n/3 per class, and at threshold 0.9 the
+    contaminated count is exactly 2n/3 (classes 1.0 and 0.9487). The
+    corpus side is one map-only BLAS pass — no exchange to misattribute."""
+    n = (n // 192) * 192
+    bench = spark.range(64).select(
+        (F.col("id") + 1_000_000_000).alias("vec_id"),
+        F.array(
+            *[
+                F.when(F.col("id") == d, F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .cast("float")
+                for d in range(64)
+            ]
+        ).alias("embedding"),
+    )
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    a = (F.col("vec_id") % 64).cast("int")
+    m = ((F.col("vec_id") / 64).cast("long") % 3).cast("int")
+    c = F.lit(1.0) + (((F.col("vec_id") / 192).cast("long") % 16).cast("double") / F.lit(16.0))
+    comp = []
+    for d in range(64):
+        on_a = F.when(m == 0, c).otherwise(F.lit(1.0))
+        on_next = F.when(m == 1, F.lit(1.0)).when(m == 2, F.lit(3.0)).otherwise(F.lit(0.0))
+        comp.append(
+            F.when(a == d, on_a)
+            .when((a + 1) % 64 == d, on_next)
+            .otherwise(F.lit(0.0))
+            .cast("float")
+        )
+    corpus = base.select("vec_id", F.array(*comp).alias("embedding"))
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    t0 = time.time()
+    hist = {
+        (r["max_bench_cosine"], r["contaminated"]): r["cnt"]
+        for r in semantic_contamination(corpus, bench, threshold=0.9)
+        .groupBy("max_bench_cosine", "contaminated")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    dt = time.time() - t0
+    expect = {
+        (1.0, True): n // 3,
+        (0.7071, False): n // 3,
+        (0.9487, True): n // 3,
+    }
+    assert hist == expect, f"histogram mismatch: {hist} != {expect}"
+    return (
+        f"semantic_contamination: n={n} corpus x 64-axis benchmark -> "
+        f"exact 3-class histogram (1.0 / 0.9487 / 0.7071, {2 * n // 3} "
+        f"flagged) in {dt:.1f}s, map-only"
+    )
+
+
 def main() -> int:
     n1 = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     n2 = int(sys.argv[2]) if len(sys.argv) > 2 else 960_000
+    n3 = int(sys.argv[3]) if len(sys.argv) > 3 else 1_008_000
     spark = get_spark(
         app_name="r11-scale", master="local[32]", shuffle_partitions=32
     )
-    for line in (_check_closed_form(spark, n1), _check_mass_dup(spark, n2)):
+    for line in (
+        _check_closed_form(spark, n1),
+        _check_mass_dup(spark, n2),
+        _check_semantic_contamination(spark, n3),
+    ):
         print(f"[r11_scale] {line}")
     spark.stop()
     return 0
