@@ -135,14 +135,17 @@ def semantic_contamination(
     (cosine 0 — a zero vector is close to nothing)."""
     import numpy as np
 
-    n_bench = bench_emb.count()
-    if n_bench > max_bench_rows:
+    # gate + fetch in ONE action: collect at most max_bench_rows + 1
+    # rows — an overflow row proves the benchmark is over the gate
+    # without a separate count() job or an unbounded collect
+    bench_rows = bench_emb.select(vec_col).limit(max_bench_rows + 1).collect()
+    if len(bench_rows) > max_bench_rows:
         raise ValueError(
-            f"benchmark has {n_bench} rows > max_bench_rows="
-            f"{max_bench_rows}: collect would not be benchmark-sized. "
-            "Raise the gate explicitly if the driver can hold it."
+            f"benchmark exceeds max_bench_rows={max_bench_rows}: collect "
+            "would not be benchmark-sized. Raise the gate explicitly if "
+            "the driver can hold it."
         )
-    bench = [r[0] for r in bench_emb.select(vec_col).collect()]
+    bench = [r[0] for r in bench_rows]
     out_schema = "id long, max_bench_cosine double"
     corpus = corpus_emb.select(F.col(id_col).alias("id"), F.col(vec_col))
     if not bench:
