@@ -351,3 +351,30 @@ def test_semantic_contamination_empty_benchmark_and_size_gate(spark):
         semantic_contamination(
             corpus, corpus, threshold=0.5, max_bench_rows=1
         )
+
+
+def test_semantic_contamination_plan_is_map_only(spark, sf_dir):
+    """The 100 TB contract in the physical plan: the corpus side is ONE
+    Arrow pass over the scan — ZERO exchanges (the benchmark travels in
+    the task closure, not through a join)."""
+    from pysparkflow.relational.registry import QUERIES
+
+    df = QUERIES["semantic_contamination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_semantic_contamination_empty_corpus(spark):
+    """Empty corpus: empty output with the pinned schema (totality over
+    the other side too)."""
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = semantic_contamination(emb.where("vec_id < 0"), emb, threshold=0.5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "id", "max_bench_cosine", "contaminated"
+    ]
