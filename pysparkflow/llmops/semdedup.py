@@ -18,11 +18,13 @@ pieces:
   rounds) followed by the map-only ``assign_clusters`` pass (centroids
   travel as plan literals);
 * within-cluster scoring — the blocked-BLAS kernel shape of
-  ``llmops/similarity.embedding_cosine_pairs``: clusters are
-  hash-chunked to <= ``chunk_rows`` vectors (a tiny per-cluster count +
-  broadcast join, NOT a row_number window that would sort-shuffle the
-  corpus), chunk pairs meet in one cluster-keyed equi-join, and each
-  block pair is one Arrow-batched numpy matmul.
+  ``llmops/similarity.embedding_cosine_pairs``: each cluster is
+  hash-chunked into ceil(n/chunk_rows) buckets (~``chunk_rows``
+  vectors each in expectation — pmod of a seeded hash, a tiny
+  per-cluster count + broadcast join, NOT a row_number window that
+  would sort-shuffle the corpus), chunk pairs meet in one
+  cluster-keyed equi-join, and each block pair is one Arrow-batched
+  numpy matmul.
 
 Duplicate rule (the paper's upper-triangular max): a vector is a
 semantic duplicate iff its max cosine to any SAME-CLUSTER vector with a
