@@ -132,9 +132,15 @@ def semantic_contamination(
     embarrassingly parallel; output is O(N) at any contamination rate.
 
     Zero-norm rows on either side use the house 1e-300 norm clamp
-    (cosine 0 — a zero vector is close to nothing)."""
+    (cosine 0 — a zero vector is close to nothing); a NULL corpus
+    embedding (failed embedder row) scores NULL and is not contaminated
+    — the same answer the SQL oracle's NULL-ignoring max gives — and
+    NULL benchmark rows are dropped from the matrix. ``id_col`` must be
+    integral (the kernels move ids as int64); a non-integral id raises
+    up front instead of dying in the Arrow worker."""
     import numpy as np
 
+    _require_integral_id(corpus_emb, id_col)
     # gate + fetch in ONE action: collect at most max_bench_rows + 1
     # rows — an overflow row proves the benchmark is over the gate
     # without a separate count() job or an unbounded collect
@@ -145,9 +151,11 @@ def semantic_contamination(
             "would not be benchmark-sized. Raise the gate explicitly if "
             "the driver can hold it."
         )
-    bench = [r[0] for r in bench_rows]
+    bench = [r[0] for r in bench_rows if r[0] is not None]
     out_schema = "id long, max_bench_cosine double"
-    corpus = corpus_emb.select(F.col(id_col).alias("id"), F.col(vec_col))
+    corpus = corpus_emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col)
+    )
     if not bench:
         scored = corpus.select(
             "id", F.lit(None).cast("double").alias("max_bench_cosine")
@@ -160,14 +168,23 @@ def semantic_contamination(
             import pandas as pd
 
             for pdf in batches:
-                X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-                X /= np.maximum(
-                    np.linalg.norm(X, axis=1, keepdims=True), 1e-300
-                )
+                # NULL embeddings stay inside the single pass: masked
+                # out of the matmul, emitted as Arrow nulls (a second
+                # JVM-side NULL branch would re-scan the corpus)
+                notna = pdf[vec_col].notna().to_numpy()
+                out = np.full(len(pdf), None, dtype=object)
+                if notna.any():
+                    X = np.asarray(
+                        list(pdf[vec_col][notna]), dtype=np.float64
+                    )
+                    X /= np.maximum(
+                        np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+                    )
+                    out[notna] = (X @ B.T).max(axis=1)
                 yield pd.DataFrame(
                     {
                         "id": pdf["id"],
-                        "max_bench_cosine": (X @ B.T).max(axis=1),
+                        "max_bench_cosine": pd.array(out, dtype="Float64"),
                     }
                 )
 
@@ -181,3 +198,17 @@ def semantic_contamination(
             F.col("max_bench_cosine") >= F.lit(float(threshold)), F.lit(False)
         ),
     )
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The embedding-space kernels move ids as int64 (numpy fromiter /
+    Arrow 'id long' schemas); reject non-integral id columns with a
+    clear error instead of an Arrow worker crash."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"id_col {id_col!r} must be an integral type for the int64 "
+            f"kernel id path, got {dt.simpleString()}"
+        )

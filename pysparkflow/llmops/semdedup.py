@@ -78,9 +78,26 @@ def semantic_dedup(
     cluster-first vectors and singleton clusters); ``keep`` is True iff
     that rounded max is NULL or below ``threshold``. Deduplicating a
     corpus = semi-join its documents on the kept ids.
+
+    Preconditions (inherited from the kmeans building block):
+    ``id_col`` must be integral (ids move as int64 through the kernel;
+    validated up front) and embeddings must be NON-NULL fixed-dim
+    arrays — a NULL embedding has no position in the space, so it
+    belongs in an upstream filter, exactly as for kmeans_embeddings.
     """
+    from pysparkflow.engine.cache import track
+    from pysparkflow.llmops.decontam import _require_integral_id
+
+    _require_integral_id(emb, id_col)
     cents = kmeans_fit(emb, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col)
-    assigned = assign_clusters(emb, cents, id_col=id_col, vec_col=vec_col)
+    # one tracked persist of the assignment: it feeds THREE consumers
+    # (the per-cluster counts, the chunked block build, and the final
+    # output join) — unpersisted, each would replay the k x dim
+    # distance fold over the corpus scan. Released by the caller via
+    # engine/cache.release_tracked, the kmeans_fit convention.
+    assigned = track(
+        assign_clusters(emb, cents, id_col=id_col, vec_col=vec_col)
+    )
     # hash-chunk clusters to bound block size (same discipline as
     # embedding_cosine_pairs: per-cluster counts are k rows, broadcast
     # back; no corpus-wide sort)

@@ -449,10 +449,15 @@ def windowed_type_drift(
     # colliding aliases or breaking the generated SQL (ADVICE r10)
     import re as _re
 
-    if len(set(types)) != len(types):
-        raise ValueError(f"duplicate types: {sorted(types)}")
+    # compare case-FOLDED: Spark and DuckDB resolve columns case-
+    # insensitively, so n_Click vs n_click (or n_Events vs n_events)
+    # is an AMBIGUOUS_REFERENCE at analysis, not a distinct alias
+    if len({t.lower() for t in types}) != len(types):
+        raise ValueError(f"duplicate types (case-insensitive): {sorted(types)}")
     for t in types:
-        if t == "events" or not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+        if t.lower() == "events" or not _re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_]*", t
+        ):
             raise ValueError(
                 f"type {t!r} is not a safe n_<type> column alias "
                 "(identifier chars only, and 'events' is reserved)"

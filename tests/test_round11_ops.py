@@ -284,6 +284,12 @@ def test_rotation_horizon_is_three_rounds():
     window = set(list(QUERIES)[:50])
     for k in window:
         last[k] = 11  # graded this round by construction
+    # a brand-new oracled entry with NO history must be IN the window —
+    # otherwise it is invisible to the staleness loop below forever
+    # (never graded, never fronted: exactly the forgotten-rotation case)
+    for k in ORACLE_SQL:
+        if k in QUERIES and k not in last:
+            assert k in window, f"{k} is oracled but never graded and not fronted"
     for k, r in last.items():
         if k not in QUERIES:
             continue  # renamed/removed entries from early rounds
@@ -378,3 +384,87 @@ def test_semantic_contamination_empty_corpus(spark):
     assert [f.name for f in out.schema.fields] == [
         "id", "max_bench_cosine", "contaminated"
     ]
+
+
+# --- round-11 code-review fixes ------------------------------------------
+
+
+def test_windowed_type_drift_rejects_case_collisions(spark):
+    """Spark/DuckDB resolve columns case-insensitively: 'Events' would
+    collide with n_events and 'Click'/'click' would be ambiguous —
+    the guard must fold case (code-review r11)."""
+    from pysparkflow.streaming.events import windowed_type_drift
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.col("timestamp").alias("ts"), F.lit("a").alias("event_type"))
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        windowed_type_drift(stream, ["a", "Events"])
+    with pytest.raises(ValueError, match="duplicate"):
+        windowed_type_drift(stream, ["click", "Click"])
+
+
+def test_embedding_kernels_reject_non_integral_ids(spark):
+    """String ids would die deep in the Arrow worker ('id long' kernel
+    schemas); both embedding-space operators raise up front instead
+    (code-review r11)."""
+    from pysparkflow.llmops.decontam import semantic_contamination
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="integral"):
+        semantic_contamination(emb, emb, threshold=0.5)
+    with pytest.raises(ValueError, match="integral"):
+        semantic_dedup(emb, k=2, rounds=1, threshold=0.5)
+
+
+def test_semantic_contamination_null_embedding_total(spark):
+    """A NULL corpus embedding scores NULL / not-contaminated inside the
+    single map pass — matching the oracle's NULL-ignoring max — and an
+    int (not long) id column still works, with the same LongType output
+    on both the empty- and non-empty-benchmark paths (code-review r11)."""
+    from pyspark.sql.types import LongType
+
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(9, [1.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    out = semantic_contamination(corpus, bench, threshold=0.9)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["max_bench_cosine"] is None
+    assert rows[2]["contaminated"] is False
+    assert rows[1]["max_bench_cosine"] == 1.0 and rows[1]["contaminated"]
+    assert isinstance(out.schema["id"].dataType, LongType)
+    empty = semantic_contamination(corpus, bench.where("vec_id < 0"), 0.9)
+    assert isinstance(empty.schema["id"].dataType, LongType)
+    # the one-pass contract survives the NULL handling
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_assignment_is_persisted(spark):
+    """The assignment feeds three consumers; it must be a tracked
+    persist so collect does not replay the k x dim distance fold per
+    consumer (code-review r11)."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(1, 9)],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(emb, k=2, rounds=1, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert out.count() == 8
+    from pysparkflow.engine.cache import release_tracked
+
+    release_tracked()

@@ -42,6 +42,18 @@ def choose(cands: dict[str, dict]) -> tuple[str, str, dict[str, dict]]:
         q: statistics.median(c["queries"][q] for c in cands.values())
         for q in common
     }
+    zero_ref = sorted(q for q in common if ref[q] <= 0)
+    if zero_ref:
+        # a zero reference median means most candidates recorded 0.0 for
+        # the query (malformed side file, or a future sub-ms entry) —
+        # dropping it from scoring is fine, but never silently
+        print(
+            f"[choose_candidate] WARNING: {len(zero_ref)} queries with "
+            f"zero reference median excluded from scoring: {zero_ref[:8]}",
+            file=sys.stderr,
+        )
+    if len(zero_ref) == len(common):
+        raise ValueError("every common query has a zero reference median")
     scores: dict[str, dict] = {}
     for name, c in cands.items():
         ratios = [c["queries"][q] / ref[q] for q in common if ref[q] > 0]
