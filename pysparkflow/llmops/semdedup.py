@@ -41,7 +41,12 @@ from the published table alone (the embedding_outliers discipline).
 The max-then-round guarantee is the repo's probabilistic
 rounded-contract: engines fold cosines in different orders, so a max
 landing within an ulp of a 5e-5 rounding boundary could flip; away
-from boundaries the rounded values agree.
+from boundaries the rounded values agree. Zero-norm embeddings
+normalize to the zero vector (cosine 0, the shared-kernel contract in
+llmops/_veckernel.py) — a documented CARVE-OUT from the DuckDB
+oracle's list_cosine_similarity, which is NaN/undefined on zero
+vectors; the graded testdata contains none and the pathological
+battery pins the kernel-side convention.
 
 Reference parity: the reference engine has no embedding operators; this
 is part of the training-data-pipeline surface the brief layers on top
@@ -56,6 +61,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pysparkflow.llmops._veckernel import l2_normalize_rows
 from pysparkflow.llmops.kmeans import assign_clusters, kmeans_fit
 
 ROUND_DECIMALS = 4
@@ -95,8 +101,14 @@ def semantic_dedup(
     # output join) — unpersisted, each would replay the k x dim
     # distance fold over the corpus scan. Released by the caller via
     # engine/cache.release_tracked, the kmeans_fit convention.
+    # id pinned to long here (ADVICE r11): the kernel's partial output
+    # declares `id long`, so without the cast the final join compared
+    # int-vs-long via implicit cast and the published schema varied
+    # with the input's integral width (semantic_contamination already
+    # pins long; now both do)
     assigned = track(
         assign_clusters(emb, cents, id_col=id_col, vec_col=vec_col)
+        .withColumn("id", F.col("id").cast("long"))
     )
     # hash-chunk clusters to bound block size (same discipline as
     # embedding_cosine_pairs: per-cluster counts are k rows, broadcast
@@ -109,9 +121,15 @@ def semantic_dedup(
             F.ceil(F.col("n_in") / F.lit(chunk_rows)).cast("long"),
         ),
     )
-    blocks = chunked.groupBy("cluster", "chunk").agg(
-        F.collect_list(F.struct(F.col("id"), F.col("_v").alias("v"))).alias(
-            "blk"
+    # tracked persist (ADVICE r11): `blocks` feeds BOTH sides of the
+    # chunk-pair self-join — unpersisted, the collect_list aggregation
+    # ran twice per action. Released with the assignment via the
+    # caller's release_tracked, the kmeans_fit convention.
+    blocks = track(
+        chunked.groupBy("cluster", "chunk").agg(
+            F.collect_list(
+                F.struct(F.col("id"), F.col("_v").alias("v"))
+            ).alias("blk")
         )
     )
     a = blocks.select(
@@ -132,18 +150,16 @@ def semantic_dedup(
                 pdf["blk_a"], pdf["blk_b"], pdf["chunk_a"], pdf["chunk_b"]
             ):
                 ia = np.fromiter((r["id"] for r in blk_a), dtype=np.int64)
-                Xa = np.asarray([r["v"] for r in blk_a], dtype=np.float64)
-                Xa /= np.maximum(
-                    np.linalg.norm(Xa, axis=1, keepdims=True), 1e-300
+                Xa = l2_normalize_rows(
+                    np.asarray([r["v"] for r in blk_a], dtype=np.float64)
                 )
                 same = ka == kb
                 if same:
                     ib, Xb = ia, Xa
                 else:
                     ib = np.fromiter((r["id"] for r in blk_b), dtype=np.int64)
-                    Xb = np.asarray([r["v"] for r in blk_b], dtype=np.float64)
-                    Xb /= np.maximum(
-                        np.linalg.norm(Xb, axis=1, keepdims=True), 1e-300
+                    Xb = l2_normalize_rows(
+                        np.asarray([r["v"] for r in blk_b], dtype=np.float64)
                     )
                 S = Xa @ Xb.T
                 # priors of the b side: a.id < b.id (covers every ordered

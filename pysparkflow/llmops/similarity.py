@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from pysparkflow.engine.cache import track
 from pysparkflow.functions.vector import cosine_similarity
+from pysparkflow.llmops._veckernel import l2_normalize_rows
 
 
 def knn_bruteforce(
@@ -212,16 +213,16 @@ def embedding_cosine_pairs(
                 pdf["chunk_a"], pdf["chunk_b"],
             ):
                 ia = np.fromiter((r["id"] for r in blk_a), dtype=np.int64)
-                Xa = np.asarray([r["v"] for r in blk_a], dtype=np.float64)
-                Xa /= np.maximum(np.linalg.norm(Xa, axis=1, keepdims=True), 1e-300)
+                Xa = l2_normalize_rows(
+                    np.asarray([r["v"] for r in blk_a], dtype=np.float64)
+                )
                 same = ca == cb and ka == kb
                 if same:
                     ib, Xb = ia, Xa
                 else:
                     ib = np.fromiter((r["id"] for r in blk_b), dtype=np.int64)
-                    Xb = np.asarray([r["v"] for r in blk_b], dtype=np.float64)
-                    Xb /= np.maximum(
-                        np.linalg.norm(Xb, axis=1, keepdims=True), 1e-300
+                    Xb = l2_normalize_rows(
+                        np.asarray([r["v"] for r in blk_b], dtype=np.float64)
                     )
                 S = Xa @ Xb.T
                 mask = S >= thr

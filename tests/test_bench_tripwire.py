@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import importlib.util
 import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
 
 
 def _load_bench():
-    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    spec = importlib.util.spec_from_file_location("bench", str(REPO / "bench.py"))
     mod = importlib.util.module_from_spec(spec)
     sys.modules["bench"] = mod
     spec.loader.exec_module(mod)
@@ -118,7 +121,7 @@ def test_choose_candidate_medians_decide(tmp_path):
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
-        "choose_candidate", "/root/repo/tools/choose_candidate.py"
+        "choose_candidate", str(REPO / "tools" / "choose_candidate.py")
     )
     cc = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(cc)
@@ -158,7 +161,7 @@ def test_committed_round_snapshots_carry_chosen_by():
     import json
     import re
 
-    for path in glob.glob("/root/repo/bench_queries_r*.json"):
+    for path in glob.glob(str(REPO / "bench_queries_r*.json")):
         m = re.fullmatch(r".*bench_queries_r(\d+)\.json", path)
         if not m or int(m.group(1)) < 11:
             continue

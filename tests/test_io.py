@@ -73,7 +73,10 @@ def test_committed_raw_fixtures(spark):
     """The raw-format fixture files described by FIXTURES.md §5."""
     import networkx as nx
 
-    dg = read_dimacs(spark, "/root/repo/fixtures/raw/dimacs_small.max")
+    from pathlib import Path
+
+    fixtures = Path(__file__).resolve().parents[1] / "fixtures" / "raw"
+    dg = read_dimacs(spark, str(fixtures / "dimacs_small.max"))
     assert dg.sources == [11] and dg.sinks == [16]
     from pysparkflow.algo.maxflow import MaxFlowConfig, max_flow
 
@@ -83,7 +86,7 @@ def test_committed_raw_fixtures(spark):
         G.add_edge(r["u"], r["v"], capacity=r["cap"])
     assert res.value == nx.maximum_flow_value(G, 11, 16)
 
-    g = read_adjacency(spark, "/root/repo/fixtures/raw/adjacency_small.tsv.gz")
+    g = read_adjacency(spark, str(fixtures / "adjacency_small.tsv.gz"))
     edges = sorted((r["u"], r["v"]) for r in g.edges.collect())
     assert (13, 13) not in edges          # self-loop dropped
     assert all(u != 99 and v != 99 for u, v in edges)  # long line rejected

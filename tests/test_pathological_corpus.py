@@ -422,3 +422,93 @@ def test_round11_battery_semantic_dedup_zero_vectors(spark):
     for r in rows.values():
         m = r["max_prior_cosine"]
         assert r["keep"] == (m is None or m < 0.9)
+
+
+def test_round12_battery_veckernel_contract():
+    """The shared normalize helper (llmops/_veckernel.py, VERDICT r11
+    #4): zero rows stay zero; subnormal-SQUARE rows keep IEEE unit
+    vectors; full-underflow rows (every square -> 0) land in the zero
+    branch instead of the old clamp's 1e100 garbage."""
+    import numpy as np
+
+    from pysparkflow.llmops._veckernel import l2_normalize_rows
+
+    X = np.array(
+        [
+            [3.0, 4.0],        # ordinary
+            [0.0, 0.0],        # exact zero
+            [1e-160, 0.0],     # square is subnormal (1e-320) but nonzero
+            [1e-200, 0.0],     # square underflows to 0 -> zero branch
+        ]
+    )
+    out = l2_normalize_rows(X)
+    assert np.allclose(out[0], [0.6, 0.8])
+    assert (out[1] == 0).all()
+    assert np.allclose(out[2], [1.0, 0.0])  # IEEE, not clamp-rescaled
+    assert (out[3] == 0).all()  # old clamp produced [1e100, 0] here
+    # input not mutated
+    assert X[0, 0] == 3.0 and X[2, 0] == 1e-160
+
+
+def test_round12_battery_semantic_dedup_subnormal(spark):
+    """Subnormal-magnitude embeddings through the semdedup kernel: two
+    parallel copies at 1e-160 (squares subnormal, norms nonzero) are
+    TRUE duplicates (prior cosine 1.0 -> drop the later id); rows at
+    1e-200 (computed norm underflows to 0) take the zero-vector branch
+    — cosine 0 to everything, kept at any positive threshold."""
+    from pysparkflow.llmops.semdedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1e-160, 0.0, 0.0, 0.0]),
+            (2, [2e-160, 0.0, 0.0, 0.0]),   # parallel to id 1
+            (3, [1e-200, 0.0, 0.0, 0.0]),   # full underflow -> zero branch
+            (4, [1e-200, 0.0, 0.0, 0.0]),
+            (5, [0.0, 1.0, 0.0, 0.0]),      # ordinary anchor
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["id"]: r for r in
+            semantic_dedup(emb, k=1, rounds=1, threshold=0.9).collect()}
+    assert len(rows) == 5
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["max_prior_cosine"] == 1.0
+    # zero-branch rows: cosine 0 to every prior, never dropped
+    assert rows[3]["keep"] is True and rows[3]["max_prior_cosine"] == 0.0
+    assert rows[4]["keep"] is True and rows[4]["max_prior_cosine"] == 0.0
+    for r in rows.values():
+        m = r["max_prior_cosine"]
+        assert r["keep"] == (m is None or m < 0.9)
+
+
+def test_round12_battery_semantic_contamination_subnormal(spark):
+    """Same pins through the decontamination kernel: a subnormal-square
+    corpus row parallel to a benchmark vector scores cosine 1.0
+    (contaminated); a full-underflow row scores 0 (clean); NULL
+    embeddings stay NULL/clean; a zero-norm BENCHMARK row is inert
+    (cosine 0 against everything, flags nothing)."""
+    from pysparkflow.llmops.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1e-160, 0.0]),   # parallel to the benchmark direction
+            (2, [1e-200, 0.0]),   # zero branch
+            (3, None),            # failed embedder row
+            (4, [0.0, 1.0]),      # orthogonal
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(10, [2.0, 0.0]), (11, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["id"]: r for r in
+            semantic_contamination(corpus, bench, threshold=0.9).collect()}
+    assert rows[1]["contaminated"] is True
+    assert rows[1]["max_bench_cosine"] == 1.0
+    assert rows[2]["contaminated"] is False
+    assert rows[2]["max_bench_cosine"] == 0.0
+    assert rows[3]["contaminated"] is False
+    assert rows[3]["max_bench_cosine"] is None
+    assert rows[4]["contaminated"] is False
+    assert rows[4]["max_bench_cosine"] == 0.0

@@ -150,21 +150,20 @@ def test_source_overlap_sampled_configuration():
 
 
 def test_driver_window_rotation_r10():
-    """The r10 window itself was graded and committed
-    (CORRECTNESS_r10.json, 50/50); what survives of the r10 contract is
-    the SPILLOVER PIN — the eight alphabetically-last r7 entries the
-    r10 window could not fit must lead the r11 front. The full r11
-    window composition is pinned by
-    tests/test_round11_ops.py::test_driver_window_rotation_r11; this
-    test keeps the handoff honest (the pinned eight occupy the very
-    first post-core slots)."""
-    from pysparkflow.relational.registry import _ROUND_FRONT
+    """The r10 contract's spillover pin was HONORED and graded: the
+    eight alphabetically-last r7 entries it named led the r11 front and
+    carry hash-match rows in the committed CORRECTNESS_r11.json. Pinned
+    against the artifact (not _ROUND_FRONT, which has since rotated to
+    the r12 composition — tests/test_round12_ops.py)."""
+    import json
+    from pathlib import Path
 
-    assert _ROUND_FRONT[:8] == [
-        "pack_documents", "quality_quantile_filter", "simhash",
-        "span_dedup", "stratified_sample", "text_quality",
-        "token_totals", "url_dedup",
-    ]
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r11.json"
+    graded = json.loads(art.read_text())
+    for k in ("pack_documents", "quality_quantile_filter", "simhash",
+              "span_dedup", "stratified_sample", "text_quality",
+              "token_totals", "url_dedup"):
+        assert graded[k]["hash_match"], k
 
 
 def test_boilerplate_ngrams_planted(spark):

@@ -165,7 +165,14 @@ def test_semantic_dedup_planted_paraphrases(spark):
     assert rows[1]["keep"] is True
     assert rows[2]["keep"] is False and rows[2]["max_prior_cosine"] >= 0.99
     assert rows[3]["keep"] is False
-    assert rows[4]["keep"] is True or rows[4]["max_prior_cosine"] is None or rows[4]["max_prior_cosine"] < 0.99
+    # id 4 is its direction-B cluster's minimum id: no smaller
+    # same-cluster vector exists, so the prior is NULL and it survives
+    # (the concrete pin ADVICE r11 asked for — the old three-way OR was
+    # satisfiable by any outcome)
+    assert rows[4]["keep"] is True and rows[4]["max_prior_cosine"] is None
+    assert rows[5]["keep"] is False and rows[5]["max_prior_cosine"] >= 0.99
+    # ids 4 and 5 share a cluster distinct from the direction-A ids
+    assert rows[4]["cluster"] == rows[5]["cluster"] != rows[1]["cluster"]
     # keep replays from the published column
     for r in rows.values():
         m = r["max_prior_cosine"]
@@ -221,81 +228,20 @@ def test_semantic_dedup_output_is_per_vector(spark):
 
 
 def test_driver_window_rotation_r11():
-    """The driver grades the FIRST 50 keys of queries(); pin the
-    round-11 window composition: 6 always-in core + the eight pinned r7
-    spillovers LEADING + the two new r11 entries (semantic_dedup,
-    semantic_contamination — inside the restated contract's ~3-per-
-    round new-entry cap) + the 34 alphabetically-first r8-stale
-    entries. The ten alphabetically-last r8 entries spill to the
-    ROUND-12 front — recorded here and at the registry's _ROUND_FRONT
-    comment."""
-    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+    """The r11 window itself was graded and committed
+    (CORRECTNESS_r11.json, 50/50); what survives of the r11 contract is
+    the SPILLOVER PIN — the ten alphabetically-last r8 entries the r11
+    window could not fit must lead the r12 front (after the always-in
+    core). The full r12 window composition and the 3-round horizon are
+    pinned by tests/test_round12_ops.py; this test keeps the handoff
+    honest."""
+    from pysparkflow.relational.registry import _ROUND_FRONT
 
-    window = list(QUERIES)[:50]
-    # the pinned r7 spillovers — first driver grade since round 7
-    for k in ("pack_documents", "quality_quantile_filter", "simhash",
-              "span_dedup", "stratified_sample", "text_quality",
-              "token_totals", "url_dedup"):
-        assert k in window, k
-    # new this round
-    assert "semantic_dedup" in window
-    assert "semantic_contamination" in window
-    # always-in core
-    for k in ("max_flow", "bfs_distances", "dedup_exact",
-              "dedup_minhash_lsh", "edge_symmetrize", "groupagg_pricing"):
-        assert k in window, k
-    # representative r8-stale entries now in the window
-    for k in ("asof_join", "range_join", "salted_skew_join",
-              "heavy_hitters", "psi_drift", "mutual_information",
-              "percentiles", "multimodal_decode", "pivot_events"):
-        assert k in window, k
-    # the named r12 spill-over ten — NOT in the window, must lead r12
-    for k in ("session_paths", "snapshot_diff", "sql_revenue",
-              "sssp_bounded", "temperature_mixture", "tfidf_terms",
-              "triangle_count", "weighted_sample", "window_suite",
-              "zscore_anomaly"):
-        assert k not in window, k
-    # tolerance-gated sketches must never occupy hash-window slots
-    assert not set(TOLERANCE_ORACLES) & set(window)
-    assert len(window) == len(set(window)) == 50
-
-
-def test_rotation_horizon_is_three_rounds():
-    """The restated contract (VERDICT r10 #2): after this rotation no
-    entry's most recent driver-green row may be older than 3 rounds.
-    Computed from the committed CORRECTNESS_r*.json history plus the
-    r11 window that the driver will grade this round."""
-    import json
-    import os
-
-    last: dict[str, int] = {}
-    for r in range(1, 11):
-        path = f"/root/repo/CORRECTNESS_r{r:02d}.json"
-        if not os.path.exists(path):
-            continue
-        for k in json.load(open(path)):
-            last[k] = r
-    from pysparkflow.relational.registry import (
-        QUERIES,
-        TOLERANCE_ORACLES,
-        ORACLE_SQL,
-    )
-
-    window = set(list(QUERIES)[:50])
-    for k in window:
-        last[k] = 11  # graded this round by construction
-    # a brand-new oracled entry with NO history must be IN the window —
-    # otherwise it is invisible to the staleness loop below forever
-    # (never graded, never fronted: exactly the forgotten-rotation case)
-    for k in ORACLE_SQL:
-        if k in QUERIES and k not in last:
-            assert k in window, f"{k} is oracled but never graded and not fronted"
-    for k, r in last.items():
-        if k not in QUERIES:
-            continue  # renamed/removed entries from early rounds
-        if k in TOLERANCE_ORACLES or k not in ORACLE_SQL:
-            continue  # banded/rows-only entries live outside the window
-        assert 11 - r <= 3, f"{k} last driver-graded r{r} (> 3 rounds stale)"
+    assert _ROUND_FRONT[:10] == [
+        "session_paths", "snapshot_diff", "sql_revenue", "sssp_bounded",
+        "temperature_mixture", "tfidf_terms", "triangle_count",
+        "weighted_sample", "window_suite", "zscore_anomaly",
+    ]
 
 
 # --- semantic_contamination (embedding-level decontamination) -----------

@@ -171,7 +171,9 @@ def test_registry_ivf_pins_match_numpy_oracle():
     engine output (round-2/3 ADVICE)."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     from ivf_oracle import compute_pins
 
     from pysparkflow.relational.registry import _KNN_IVF_PINNED_ROWS

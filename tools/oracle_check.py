@@ -184,8 +184,18 @@ def main() -> int:
         import json
         import os
 
+        # one committed artifact per scale factor: sf0.01 keeps the
+        # historical LOCAL name; sf0.001/sf0.1 get SF-suffixed names
+        # (ORACLE_CHECK_SF01.json closes the "correct at the benched
+        # scale" loop — VERDICT r11 #6)
+        base = os.path.basename(os.path.normpath(sf_dir))
+        fname = {
+            "sf0.01": "ORACLE_CHECK_LOCAL.json",
+            "sf0.001": "ORACLE_CHECK_SF0001.json",
+            "sf0.1": "ORACLE_CHECK_SF01.json",
+        }.get(base, f"ORACLE_CHECK_{base.replace('.', '_')}.json")
         out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "ORACLE_CHECK_LOCAL.json")
+                           fname)
         with open(out, "w") as fh:
             json.dump(
                 {
