@@ -16,6 +16,7 @@ Usage: python tools/quiet_floor.py <query> [query ...]
 from __future__ import annotations
 
 import importlib.util
+import os
 import sys
 import time
 from pathlib import Path
@@ -56,24 +57,33 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     bench._warm_streaming(spark)
+    n_samples = int(os.environ.get("QUIET_FLOOR_SAMPLES", "2"))
     rows = []
     for name in names:
         fn = QUERIES[name]
         samples = []
-        for _ in range(2):
+        probes = []
+        for _ in range(n_samples):
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
             release_tracked()
-        rows.append((name, samples, min(samples)))
-        print(f"[floor] {name}: samples={samples} min={min(samples):.2f}s",
-              file=sys.stderr)
+            # per-sample probe: on a flapping host the MIN sample is the
+            # floor claim, and its adjacent probe is its quietness
+            # evidence (min-of-N through noise converges to the floor)
+            probes.append(bench._host_calibration()["matmul_sec"])
+        rows.append((name, samples, min(samples), probes))
+        print(
+            f"[floor] {name}: samples={samples} min={min(samples):.2f}s "
+            f"probes={probes}",
+            file=sys.stderr,
+        )
     cal_after = bench._host_calibration()
     flag, ratio = bench._host_flag(cal_before, cal_after)
     print(f"host: {flag} ratio={ratio} before={cal_before} after={cal_after}")
-    for name, samples, floor in rows:
-        print(f"{name}\t{samples}\t{floor}")
+    for name, samples, floor, probes in rows:
+        print(f"{name}\t{samples}\t{floor}\tprobes={probes}")
 
 
 if __name__ == "__main__":
