@@ -336,12 +336,19 @@ def embedding_near_dups_lsh(
     nrm = emb.select(
         F.col(id_col).alias("id"),
         F.transform(
-            # norm clamped: a zero vector normalizes to the zero vector
-            # (cos 0 with everything, below any positive threshold)
-            # instead of an ANSI divide-by-zero killing the job
+            # try_divide + coalesce (the functions/vector.py r9 pattern,
+            # aligned with the _veckernel zero-branch): a zero COMPUTED
+            # norm — true zero vectors and full-underflow rows whose
+            # squares all flush to 0 — normalizes to the zero vector
+            # (cos 0 with everything); any nonzero norm divides
+            # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
+            # underflow rows by 1e-300, manufacturing ~1e100 elements
+            # and false near-dup pairs.
             F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)),
+            lambda x: F.coalesce(
+                F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),
+                F.lit(0.0),
+            ),
         ).alias("nv"),
     )
     nrm = track(nrm)
@@ -413,12 +420,19 @@ def knn_graph(
     nrm = emb.select(
         F.col(id_col).alias("id"),
         F.transform(
-            # norm clamped: a zero vector normalizes to the zero vector
-            # (cos 0 with everything, below any positive threshold)
-            # instead of an ANSI divide-by-zero killing the job
+            # try_divide + coalesce (the functions/vector.py r9 pattern,
+            # aligned with the _veckernel zero-branch): a zero COMPUTED
+            # norm — true zero vectors and full-underflow rows whose
+            # squares all flush to 0 — normalizes to the zero vector
+            # (cos 0 with everything); any nonzero norm divides
+            # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
+            # underflow rows by 1e-300, manufacturing ~1e100 elements
+            # and false near-dup pairs.
             F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-300)),
+            lambda x: F.coalesce(
+                F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),
+                F.lit(0.0),
+            ),
         ).alias("nv"),
     )
     nrm = track(nrm)
@@ -500,9 +514,7 @@ def _fit_centroids_sample(
         # fit — callers early-return an empty result on []
         return []
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    _n = np.linalg.norm(X, axis=1, keepdims=True)
-    _n[_n == 0] = 1.0  # zero sample vectors stay zero, not NaN
-    X = X / _n
+    X = l2_normalize_rows(X)  # shared zero/subnormal contract
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(8):
@@ -512,7 +524,7 @@ def _fit_centroids_sample(
             members = X[assign == k]
             if len(members):
                 c = members.mean(axis=0)
-                C[k] = c / (np.linalg.norm(c) or 1.0)
+                C[k] = l2_normalize_rows(c[None])[0]
     return C.tolist()
 
 

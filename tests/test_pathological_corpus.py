@@ -512,3 +512,39 @@ def test_round12_battery_semantic_contamination_subnormal(spark):
     assert rows[3]["max_bench_cosine"] is None
     assert rows[4]["contaminated"] is False
     assert rows[4]["max_bench_cosine"] == 0.0
+
+
+def test_round12_battery_lsh_and_knngraph_underflow_rows(spark):
+    """The two Catalyst-side normalizers (embedding_near_dups_lsh,
+    knn_graph) follow the shared zero/subnormal contract after the r12
+    fix: a full-underflow row (every square flushes to 0, computed norm
+    0) normalizes to the ZERO vector via try_divide+coalesce — cosine 0
+    to everything — instead of the old greatest(norm, 1e-300) clamp
+    manufacturing ~1e100 elements and false near-dup pairs."""
+    from pysparkflow.llmops.similarity import embedding_near_dups_lsh, knn_graph
+
+    dim = 8
+    rows = [
+        (1, [1e-200] * dim),           # full underflow -> zero branch
+        (2, [1e-200] * dim),           # identical underflow twin
+        (3, [1.0] + [0.0] * (dim - 1)),
+        (4, [1.0] + [1e-6] * (dim - 1)),  # true near-dup of id 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dups_lsh(
+            emb, threshold=0.9, n_bits=8, bands=4, dim=dim
+        ).collect()
+    }
+    # underflow rows pair with NOTHING (cos 0 < any positive threshold);
+    # pre-fix they scored cos ~inf against each other and everything
+    assert all(1 not in p and 2 not in p for p in pairs)
+    if (3, 4) in pairs:  # LSH recall < 1; when found, the cosine is real
+        assert pairs[(3, 4)] > 0.9
+    g = knn_graph(emb, k=2, n_bits=8, bands=4, dim=dim).collect()
+    for r in g:
+        assert r["cosine"] == r["cosine"]  # no NaN
+        assert abs(r["cosine"]) <= 1.0 + 1e-12  # no 1e100 garbage edges
+        if {r["id"], r["neighbor"]} & {1, 2}:
+            assert abs(r["cosine"]) <= 1e-9

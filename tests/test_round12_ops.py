@@ -200,6 +200,13 @@ def test_driver_window_rotation_r12():
     r9_front = window[18:]
     assert len(r9_front) == 32
     assert r9_front == sorted(r9_front)
+    # tolerance-gated sketches must never occupy hash-window slots (the
+    # invariant carried from the r11 composition test): the driver would
+    # record a weaker rows-only row for them
+    from pysparkflow.relational.registry import TOLERANCE_ORACLES
+
+    assert not set(TOLERANCE_ORACLES) & set(window)
+    assert len(window) == len(set(window)) == 50
 
 
 def test_rotation_horizon_r12():
