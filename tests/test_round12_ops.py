@@ -243,3 +243,58 @@ def test_rotation_horizon_r12():
         and 12 - r > 3
     }
     assert not stale, f"entries beyond the 3-round horizon after r12: {stale}"
+
+
+def test_bpe_oracle_cte_matches_kernel_fuzz():
+    """The DuckDB one-merge-per-step recursive CTE (the bpe_encode
+    oracle's core) reproduces encode_word EXACTLY on randomized words —
+    the committed form of the equivalence argument in bpe.py's
+    application note. Seeded, so deterministic in CI."""
+    import random
+
+    import duckdb
+
+    from pysparkflow.llmops.bpe import DEFAULT_MERGES, encode_word
+
+    rng = random.Random(12)
+    alpha = "theandingorst"  # letters dense in the merge table
+    words = list(
+        {
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 14)))
+            for _ in range(300)
+        }
+    )
+    whens = " ".join(
+        f"WHEN toks[i] = '{l}' AND toks[i+1] = '{r}' THEN {i + 1}"
+        for i, (l, r) in enumerate(DEFAULT_MERGES)
+    )
+    rk = f"CASE {whens} END"
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = f"""
+WITH RECURSIVE
+vocab(word) AS (VALUES {vals}),
+enc(word, toks) AS (
+  SELECT word, string_split(word, '') FROM vocab
+  UNION ALL
+  SELECT word,
+         list_concat(list_concat(list_slice(toks, 1, pos - 1),
+                                 [toks[pos] || toks[pos + 1]]),
+                     list_slice(toks, pos + 2, len(toks)))
+  FROM (
+    SELECT word, toks, list_position(rks, list_aggregate(rks, 'min')) AS pos
+    FROM (SELECT word, toks,
+                 list_transform(range(1, len(toks)), i -> {rk}) AS rks
+          FROM enc)
+  ) WHERE pos IS NOT NULL
+)
+SELECT word, toks FROM (
+  SELECT word, toks,
+         list_aggregate(list_transform(range(1, len(toks)), i -> {rk}),
+                        'min') AS more
+  FROM enc
+) WHERE more IS NULL
+"""
+    got = dict(duckdb.sql(sql).fetchall())
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == encode_word(w, DEFAULT_MERGES), w
