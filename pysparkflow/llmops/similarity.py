@@ -344,6 +344,13 @@ def embedding_near_dups_lsh(
             # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
             # underflow rows by 1e-300, manufacturing ~1e100 elements
             # and false near-dup pairs.
+            # NULL handling (ADVICE r12): the coalesce also maps NULL
+            # ELEMENTS — and vectors whose norm folds to NULL — to 0.0
+            # components rather than propagating NULL. That is the
+            # module's documented precondition (embeddings must be
+            # non-NULL, the semdedup contract); a partially-NULL row is
+            # malformed input and participates as if its NULL dims were
+            # zero instead of poisoning the whole similarity pass.
             F.col(vec_col),
             lambda x: F.coalesce(
                 F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),
@@ -428,6 +435,13 @@ def knn_graph(
             # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
             # underflow rows by 1e-300, manufacturing ~1e100 elements
             # and false near-dup pairs.
+            # NULL handling (ADVICE r12): the coalesce also maps NULL
+            # ELEMENTS — and vectors whose norm folds to NULL — to 0.0
+            # components rather than propagating NULL. That is the
+            # module's documented precondition (embeddings must be
+            # non-NULL, the semdedup contract); a partially-NULL row is
+            # malformed input and participates as if its NULL dims were
+            # zero instead of poisoning the whole similarity pass.
             F.col(vec_col),
             lambda x: F.coalesce(
                 F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),

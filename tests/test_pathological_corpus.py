@@ -548,3 +548,40 @@ def test_round12_battery_lsh_and_knngraph_underflow_rows(spark):
         assert abs(r["cosine"]) <= 1.0 + 1e-12  # no 1e100 garbage edges
         if {r["id"], r["neighbor"]} & {1, 2}:
             assert abs(r["cosine"]) <= 1e-9
+
+
+def test_round13_battery_bpe_train_hostile_corpora(spark):
+    """bpe_train / bpe_train_encode are TOTAL over corpora the trainer
+    can learn nothing from: a wordless corpus (digits/CJK/punct only —
+    the pinned [a-z] word model sees zero words) trains to an EMPTY
+    merge list and encodes every doc to totals of 0; an all-single-char
+    corpus has no adjacent pairs and also trains empty but still
+    counts words; a corpus with fewer learnable pairs than n_merges
+    stops early and the chain encodes with the short list."""
+    from pysparkflow.llmops.bpe import bpe_train, bpe_train_encode
+
+    wordless = spark.createDataFrame(
+        [(1, "1234 --- 99"), (2, "東京 АБВ"), (3, "")],
+        "doc_id long, text string",
+    )
+    assert bpe_train(wordless, n_merges=4) == []
+    out = {r["id"]: r for r in bpe_train_encode(wordless, 4).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert r["n_words"] == 0 and r["n_bpe_tokens"] == 0
+        assert r["max_token"] is None
+
+    single = spark.createDataFrame(
+        [(1, "a b c a"), (2, "z")], "doc_id long, text string"
+    )
+    assert bpe_train(single, n_merges=4) == []
+    out = {r["id"]: r for r in bpe_train_encode(single, 4).collect()}
+    assert out[1]["n_words"] == 4 and out[1]["n_bpe_tokens"] == 4
+    assert out[2]["n_bpe_tokens"] == 1
+
+    tiny = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    learned = bpe_train(tiny, n_merges=99)
+    assert learned == [("a", "b", 2)]  # early stop after the only pair
+    out = bpe_train_encode(tiny, 99).collect()[0]
+    assert out["n_words"] == 2 and out["n_bpe_tokens"] == 2
+    assert out["max_token"] == "ab"

@@ -228,20 +228,21 @@ def test_semantic_dedup_output_is_per_vector(spark):
 
 
 def test_driver_window_rotation_r11():
-    """The r11 window itself was graded and committed
-    (CORRECTNESS_r11.json, 50/50); what survives of the r11 contract is
-    the SPILLOVER PIN — the ten alphabetically-last r8 entries the r11
-    window could not fit must lead the r12 front (after the always-in
-    core). The full r12 window composition and the 3-round horizon are
-    pinned by tests/test_round12_ops.py; this test keeps the handoff
-    honest."""
-    from pysparkflow.relational.registry import _ROUND_FRONT
+    """The r11 contract's spillover pin was HONORED and graded: the ten
+    alphabetically-last r8 entries it named led the r12 front and carry
+    hash-match rows in the committed CORRECTNESS_r12.json. Pinned
+    against the artifact (not _ROUND_FRONT, which has since rotated to
+    the r13 composition — tests/test_round13_ops.py)."""
+    import json
+    from pathlib import Path
 
-    assert _ROUND_FRONT[:10] == [
-        "session_paths", "snapshot_diff", "sql_revenue", "sssp_bounded",
-        "temperature_mixture", "tfidf_terms", "triangle_count",
-        "weighted_sample", "window_suite", "zscore_anomaly",
-    ]
+    art = Path(__file__).resolve().parents[1] / "CORRECTNESS_r12.json"
+    graded = json.loads(art.read_text())
+    for k in ("session_paths", "snapshot_diff", "sql_revenue",
+              "sssp_bounded", "temperature_mixture", "tfidf_terms",
+              "triangle_count", "weighted_sample", "window_suite",
+              "zscore_anomaly"):
+        assert graded[k]["hash_match"], k
 
 
 # --- semantic_contamination (embedding-level decontamination) -----------

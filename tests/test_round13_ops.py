@@ -1,0 +1,320 @@
+"""Round-13 operators: the BPE training->application CHAIN (learn a
+merge list from the corpus, encode with it — VERDICT r12 #2), the
+pinned lowercase-ASCII word-model contract (VERDICT r12 #5), and the
+r13 driver-window rotation pins.
+
+The trainer tests plant corpora with closed-form known merges, pin the
+well-formedness equivalence the no-recursion DuckDB training oracle
+relies on (round-n dictionary state == encode_word under the learned
+list), and fuzz the oracle's independent CTE trainer against the Python
+trainer on randomized corpora — all SQL DERIVED from the registry's own
+builders (the ADVICE r12 anti-drift rule).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from pysparkflow.llmops.bpe import (
+    _merge_pass,
+    bpe_document_tokens,
+    bpe_train,
+    bpe_train_encode,
+    encode_word,
+    train_merges,
+    word_frequencies,
+)
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+# --------------------------------------------------------------- trainer
+
+def test_train_merges_planted_closed_form():
+    # corpus: "aaab" x3, "ab" x2 -> round 1 pairs: (a,a) 6, (a,b) 5,
+    # adopt (a,a); round 2 state: [aa,a,b] x3, [a,b] x2 -> pairs
+    # (aa,a) 3, (a,b) 5 -> adopt (a,b); round 3: [aa,ab] x3, [ab] x2
+    # -> (aa,ab) 3 -> adopt; round 4: [aaab] x3 -> no pair left in
+    # "aaab"... only single tokens remain -> early stop.
+    m = train_merges([("aaab", 3), ("ab", 2)], 10)
+    assert m == [("a", "a", 6), ("a", "b", 5), ("aa", "ab", 3)]
+
+
+def test_train_merges_tie_break_is_count_desc_then_pair():
+    # "he" x2 and "th" x2: pairs (h,e) 2 and (t,h) 2 — tie broken by
+    # (lhs, rhs) ascending, so (h,e) is adopted first
+    m = train_merges([("he", 2), ("th", 2)], 2)
+    assert [(l, r) for l, r, _ in m] == [("h", "e"), ("t", "h")]
+
+
+def test_train_merges_early_stop_and_empty():
+    assert train_merges([("a", 5), ("b", 2)], 4) == []
+    assert train_merges([], 4) == []
+    # stops as soon as every word is a single token
+    assert train_merges([("ab", 1)], 99) == [("a", "b", 1)]
+
+
+def test_trained_state_equals_encode_word():
+    """The equivalence the no-recursion DuckDB training oracle rests
+    on (bpe.py's application note): for a TRAINED (well-formed) list,
+    applying the adopted merges in order exhaustively — the trainer's
+    own dictionary state — equals the greedy lowest-rank-first
+    encode_word replay."""
+    wf = [
+        ("therein", 4), ("thereby", 2), ("inherent", 3), ("rent", 7),
+        ("earnest", 1), ("tin", 9), ("a", 2), ("be", 5),
+    ]
+    learned = train_merges(wf, 12)
+    merges = [(l, r) for l, r, _ in learned]
+    for w, _ in wf:
+        state = list(w)
+        for l, r in merges:
+            state = _merge_pass(state, l, r)
+        assert state == encode_word(w, merges), w
+
+
+def test_merge_pass_single_pass_is_exhaustive():
+    # one left-to-right pass of a single rule leaves no applicable
+    # occurrence (the closed-form argument in _merge_pass's docstring)
+    cases = [
+        (list("aaaa"), "a", "a", ["aa", "aa"]),
+        (list("aaa"), "a", "a", ["aa", "a"]),
+        (list("aab"), "a", "b", ["a", "ab"]),
+        (list("bbaa"), "b", "a", ["b", "ba", "a"]),
+    ]
+    for toks, l, r, want in cases:
+        out = _merge_pass(toks, l, r)
+        assert out == want
+        assert _merge_pass(out, l, r) == out  # fixpoint after one pass
+
+
+def test_bpe_train_oracle_cte_matches_trainer_fuzz():
+    """The DuckDB macro-generated training CTE chain (the
+    bpe_train_merges oracle's core) re-learns EXACTLY the merges the
+    Python trainer adopts, on randomized corpora — and its round-n
+    dictionary state matches encode_word under the learned list. SQL
+    derived from the registry's own builder. Seeded, deterministic."""
+    import random
+
+    import duckdb
+
+    from pysparkflow.relational.registry import _bpe_train_cte
+
+    rng = random.Random(13)
+    alpha = "abcdet"
+    for trial in range(4):
+        docs = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(40)
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(docs))
+        )
+        n = 6
+        got = con.sql(
+            _bpe_train_cte(n)
+            + "SELECT CAST(rank AS INT), lhs, rhs, n FROM merges ORDER BY rank"
+        ).fetchall()
+        # independent python trainer over the same word model
+        wf: dict[str, int] = {}
+        for d in docs:
+            for w in d.split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        exp = train_merges(sorted(wf.items()), n)
+        assert got == [
+            (i + 1, l, r, c) for i, (l, r, c) in enumerate(exp)
+        ], f"trial {trial}"
+        # the oracle's final dictionary state IS the learned-list encode
+        merges = [(l, r) for l, r, _ in exp]
+        state = dict(
+            con.sql(
+                _bpe_train_cte(n) + "SELECT word, toks FROM trained"
+            ).fetchall()
+        )
+        assert set(state) == set(wf)
+        for w in wf:
+            assert state[w] == encode_word(w, merges), (trial, w)
+        con.close()
+
+
+def test_bpe_train_spark_chain(spark, sf_dir):
+    # end-to-end on real parquet: learned merges are well-formed and
+    # bpe_train_encode's accounting equals bpe_document_tokens under
+    # the same learned list (the chain really feeds the encoder)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    learned = bpe_train(docs, n_merges=6)
+    assert len(learned) == 6
+    seen = {c for l, r, _ in learned for c in (l, r) if len(c) == 1}
+    produced = set()
+    for l, r, _ in learned:
+        assert len(l) == 1 or l in produced
+        assert len(r) == 1 or r in produced
+        produced.add(l + r)
+    # counts strictly positive and the corpus drives them
+    assert all(n > 0 for _, _, n in learned)
+    got = (
+        bpe_train_encode(docs, n_merges=6)
+        .orderBy("id")
+        .limit(50)
+        .collect()
+    )
+    merges = [(l, r) for l, r, _ in learned]
+    want = (
+        bpe_document_tokens(docs, merges).orderBy("id").limit(50).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bpe_train_max_vocab_gate(spark):
+    # 40 distinct all-letter words (digits would split away under the
+    # pinned word model and leave a tiny vocab)
+    docs = spark.createDataFrame(
+        [(i, "x" * (i + 1)) for i in range(40)], "doc_id int, text string"
+    )
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train(docs, n_merges=2, max_vocab=10)
+
+
+def test_bpe_train_encode_plan_is_arrow_batched(spark, sf_dir):
+    # the learned-list encode must ride the same vocab-sized Arrow
+    # seam as bpe_encode — never row-at-a-time Python
+    from pysparkflow.relational.registry import QUERIES
+
+    df = QUERIES["bpe_train_encode"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+
+# ----------------------------------------------- word-model contract pin
+
+def test_word_model_contract(spark):
+    """VERDICT r12 #5: the pinned lowercase-ASCII word model. Digits,
+    accented Latin, and non-Latin scripts are separators and contribute
+    ZERO words/tokens — identically in Spark and in the DuckDB oracle's
+    string_split_regex — and wordless docs surface totals of 0."""
+    import duckdb
+
+    rows = [
+        (1, "Café 42 naïve résumé"),  # accents split words
+        (2, "東京 123 АБВ"),        # CJK/Cyrillic/digits only
+        (3, "plain WORDS here"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(docs).collect()
+    }
+    # 'café' -> 'caf' + '', 'naïve' -> 'na' + 've', 'résumé' -> 'r'+'sum'+''
+    assert wf == {
+        "caf": 1, "na": 1, "ve": 1, "r": 1, "sum": 1,
+        "plain": 1, "words": 1, "here": 1,
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = dict(
+        con.sql(
+            """
+SELECT word, count(*) FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents
+) WHERE word <> '' GROUP BY word
+"""
+        ).fetchall()
+    )
+    assert oracle == wf  # the two engines' word models are in lockstep
+    con.close()
+    # doc 2 is wordless under the contract: totals 0, never NULL
+    acc = {
+        r["id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_document_tokens(docs).collect()
+    }
+    assert acc[2] == (0, 0) and acc[4] == (0, 0)
+    assert acc[3][0] == 3
+
+
+# --------------------------------------------------------------- rotation
+
+def test_driver_window_rotation_r13():
+    """VERDICT r12 #1: the r13 driver window leads with the twelve
+    pinned r9 spillovers, then the two new r13 entries, then the 30
+    alphabetically-first r10-cohort entries; the fourteen
+    alphabetically-last r10 entries spill to round 14."""
+    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+
+    window = list(QUERIES)[:50]
+    core = [
+        "max_flow", "bfs_distances", "dedup_exact", "dedup_minhash_lsh",
+        "edge_symmetrize", "groupagg_pricing",
+    ]
+    assert window[: len(core)] == core
+    spill_twelve = [
+        "rollup", "running_total", "scd2_temporal_join", "semi_join",
+        "sessionize", "set_except", "set_intersect", "simhash_near_dups",
+        "sliding_window_avg", "sort_limit", "source_overlap",
+        "video_frames",
+    ]
+    assert window[6:18] == spill_twelve
+    assert window[18:20] == ["bpe_train_merges", "bpe_train_encode"]
+    r14_spill = [
+        "knn_graph", "knn_ivf", "knn_ivf_recall", "knn_lsh", "lang_id",
+        "min_cut", "mixture_drift", "nucleus_select", "quality_rank_fusion",
+        "stream_merge_state", "token_budget_select", "topk_per_group",
+        "unpivot_metrics", "zorder_layout",
+    ]
+    assert not set(r14_spill) & set(window)
+    r10_front = window[20:]
+    assert len(r10_front) == 30
+    assert r10_front == sorted(r10_front)
+    assert not set(TOLERANCE_ORACLES) & set(window)
+    assert len(window) == len(set(window)) == 50
+
+
+def test_rotation_horizon_r13():
+    """After the r13 grade lands, no regularly-rotated entry's most
+    recent driver row may be older than 3 rounds — computed from ALL
+    committed CORRECTNESS_r*.json artifacts plus this round's window.
+    Includes the never-graded blind-spot check: a brand-new oracled
+    entry must be IN the window or it is invisible to the staleness
+    loop forever."""
+    last: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.stem.split("_r")[1])
+        for k in json.loads(f.read_text()):
+            last[k] = max(last.get(k, 0), rnd)
+    from pysparkflow.relational.registry import (
+        ORACLE_SQL,
+        QUERIES,
+        TOLERANCE_ORACLES,
+    )
+
+    window = set(list(QUERIES)[:50])
+    for k in ORACLE_SQL:
+        if k in QUERIES and k not in last:
+            assert k in window, f"{k} is oracled but never graded and not fronted"
+    for k in window:
+        last[k] = 13
+    stale = {
+        k: r
+        for k, r in last.items()
+        if k in QUERIES
+        and k in ORACLE_SQL
+        and k not in TOLERANCE_ORACLES
+        and 13 - r > 3
+    }
+    assert not stale, f"entries beyond the 3-round horizon after r13: {stale}"

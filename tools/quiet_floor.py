@@ -45,7 +45,11 @@ def main() -> None:
     from pysparkflow.relational.registry import QUERIES, TABLES, load_table
     from pysparkflow.session import get_spark
 
-    sf_dir = "/root/testdata/sf0.1"
+    # ADVICE r12: scale-factor directory is overridable, matching the
+    # bench's own env contract
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     cal_before = bench._host_calibration()
     spark = get_spark(
         app_name="quiet-floor", master="local[32]", shuffle_partitions=32
