@@ -236,7 +236,18 @@ def bpe_document_tokens(
     Word model: the pinned lowercase-ASCII contract (see
     word_frequencies) — non-Latin text contributes zero tokens."""
     base = docs.select(F.col(id_col).alias("id"), *[F.col(c) for c in keep_cols])
-    wd = (
+    wd = _word_doc_counts(docs, id_col, text_col)
+    return _document_tokens_from_wd(base, wd, merges, keep_cols)
+
+
+def _word_doc_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, word, cnt) — the one tokenizing corpus pass the whole BPE
+    family hangs off: training's word-frequency dictionary is a word
+    sum over it, and the encode join reads it directly. Word model:
+    the pinned lowercase-ASCII contract (see word_frequencies)."""
+    return (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(
@@ -247,6 +258,16 @@ def bpe_document_tokens(
         .groupBy("id", "word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def _document_tokens_from_wd(
+    base: DataFrame,
+    wd: DataFrame,
+    merges: Sequence[Tuple[str, str]],
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-doc accounting from a prebuilt (id, word, cnt) table — the
+    shared back half of bpe_document_tokens and bpe_train_encode."""
     enc = encode_words(wd.select("word").distinct(), merges)
     per_doc = (
         wd.join(enc.select("word", "n_tokens", "tokens"), "word")
@@ -391,10 +412,31 @@ def bpe_train_encode(
 ) -> DataFrame:
     """The full train->apply chain: learn ``n_merges`` rules from the
     corpus, then encode the SAME corpus with the learned list via the
-    vocab-sized Arrow kernel (bpe_document_tokens). Proves the training
-    output drives the encoder — the gap VERDICT r12 #2 named. Same
-    per-doc accounting schema as bpe_document_tokens."""
-    merges = [(l, r) for l, r, _ in bpe_train(docs, n_merges, text_col)]
-    return bpe_document_tokens(
-        docs, merges, id_col=id_col, text_col=text_col
+    vocab-sized Arrow kernel. Proves the training output drives the
+    encoder — the gap VERDICT r12 #2 named. Same per-doc accounting
+    schema as bpe_document_tokens.
+
+    ONE tokenizing corpus pass, not two: the (id, word, cnt) table is
+    built once and cached; the training dictionary is a word-keyed sum
+    over it and the encode join reads it directly — at 100 TB the text
+    scan + explode is the dominant cost and must not run twice."""
+    from pysparkflow.engine.cache import track
+
+    wd = track(_word_doc_counts(docs, id_col, text_col))
+    max_vocab = 5_000_000
+    rows = (
+        wd.groupBy("word")
+        .agg(F.sum("cnt").alias("freq"))
+        .limit(max_vocab + 1)
+        .collect()
     )
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"bpe_train_encode: vocabulary exceeds max_vocab={max_vocab}"
+        )
+    learned = train_merges(
+        [(r["word"], r["freq"]) for r in rows], n_merges
+    )
+    merges = [(l, r) for l, r, _ in learned]
+    base = docs.select(F.col(id_col).alias("id"))
+    return _document_tokens_from_wd(base, wd, merges)
