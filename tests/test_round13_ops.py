@@ -92,6 +92,38 @@ def test_merge_pass_single_pass_is_exhaustive():
         assert _merge_pass(out, l, r) == out  # fixpoint after one pass
 
 
+def test_trained_lists_are_well_formed_fuzz():
+    """The lemma the no-recursion DuckDB training oracle rests on,
+    pinned as a property: ANY trained list is well-formed — every
+    operand is a single character or the output of a strictly earlier
+    rule (a pair can only be counted once both operands exist in the
+    dictionary state). Well-formedness is what makes in-order
+    exhaustive application equal the greedy encode (bpe.py's
+    application note). Seeded, deterministic."""
+    import random
+
+    rng = random.Random(1301)
+    alpha = "abcde"
+    for trial in range(20):
+        wf = [
+            (
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10))),
+                rng.randint(1, 9),
+            )
+            for _ in range(rng.randint(1, 30))
+        ]
+        learned = train_merges(wf, rng.randint(1, 12))
+        produced: set = set()
+        for lhs, rhs, n in learned:
+            assert n > 0
+            for tok in (lhs, rhs):
+                assert len(tok) == 1 or tok in produced, (trial, learned)
+            produced.add(lhs + rhs)
+        # outputs unique: no rule shadows another
+        outs = [l + r for l, r, _ in learned]
+        assert len(outs) == len(set(outs)), (trial, learned)
+
+
 def test_bpe_train_oracle_cte_matches_trainer_fuzz():
     """The DuckDB macro-generated training CTE chain (the
     bpe_train_merges oracle's core) re-learns EXACTLY the merges the
