@@ -391,17 +391,23 @@ def bpe_train(
     (llmops/dedup.py:307); corpora above ``max_vocab`` distinct words
     raise rather than silently degrade. Returns (lhs, rhs, n) rules in
     adoption order."""
-    rows = (
-        word_frequencies(docs, text_col)
-        .limit(int(max_vocab) + 1)
-        .collect()
+    vocab = _collect_vocab(
+        word_frequencies(docs, text_col), max_vocab, "bpe_train"
     )
+    return train_merges(vocab, n_merges)
+
+
+def _collect_vocab(freqs: DataFrame, max_vocab: int, who: str) -> list:
+    """Size-gated driver collect of a (word, freq) dictionary — the one
+    gate both trainer entry points share, so the limit arithmetic and
+    the error contract cannot drift between them."""
+    rows = freqs.limit(int(max_vocab) + 1).collect()
     if len(rows) > max_vocab:
         raise ValueError(
-            f"bpe_train: vocabulary exceeds max_vocab={max_vocab}; "
+            f"{who}: vocabulary exceeds max_vocab={max_vocab}; "
             "raise the gate or pre-filter the dictionary"
         )
-    return train_merges([(r["word"], r["freq"]) for r in rows], n_merges)
+    return [(r["word"], r["freq"]) for r in rows]
 
 
 def bpe_train_encode(
@@ -409,6 +415,7 @@ def bpe_train_encode(
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_vocab: int = 5_000_000,
 ) -> DataFrame:
     """The full train->apply chain: learn ``n_merges`` rules from the
     corpus, then encode the SAME corpus with the learned list via the
@@ -423,20 +430,12 @@ def bpe_train_encode(
     from pysparkflow.engine.cache import track
 
     wd = track(_word_doc_counts(docs, id_col, text_col))
-    max_vocab = 5_000_000
-    rows = (
-        wd.groupBy("word")
-        .agg(F.sum("cnt").alias("freq"))
-        .limit(max_vocab + 1)
-        .collect()
+    vocab = _collect_vocab(
+        wd.groupBy("word").agg(F.sum("cnt").alias("freq")),
+        max_vocab,
+        "bpe_train_encode",
     )
-    if len(rows) > max_vocab:
-        raise ValueError(
-            f"bpe_train_encode: vocabulary exceeds max_vocab={max_vocab}"
-        )
-    learned = train_merges(
-        [(r["word"], r["freq"]) for r in rows], n_merges
-    )
+    learned = train_merges(vocab, n_merges)
     merges = [(l, r) for l, r, _ in learned]
     base = docs.select(F.col(id_col).alias("id"))
     return _document_tokens_from_wd(base, wd, merges)

@@ -186,7 +186,6 @@ def test_bpe_train_spark_chain(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     learned = bpe_train(docs, n_merges=6)
     assert len(learned) == 6
-    seen = {c for l, r, _ in learned for c in (l, r) if len(c) == 1}
     produced = set()
     for l, r, _ in learned:
         assert len(l) == 1 or l in produced

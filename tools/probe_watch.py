@@ -46,7 +46,7 @@ def main() -> None:
     bench = _load_bench()
     ref = bench._REF_CAL["matmul_sec"]
     launched = 0
-    n_existing = len(list(REPO.glob(f"bench_queries_{tag}_cand*.json")))
+    failures = 0
     while True:
         cal = bench._host_calibration()
         ratio = round(cal["matmul_sec"] / ref, 2)
@@ -56,27 +56,59 @@ def main() -> None:
             "matmul_ratio": ratio,
             "action": "watch",
         }
-        if ratio < threshold and launched < max_cand:
-            idx = n_existing + launched + 1
-            out = f"bench_queries_{tag}_candq{idx}.json"
+        launch = ratio < threshold and launched < max_cand
+        if launch:
+            # index from a fresh scan of the candq namespace at launch
+            # time: a restarted or concurrent watcher, or files created
+            # after startup, cannot collide with (and overwrite) an
+            # earlier candidate
+            taken = [
+                int(p.stem.rsplit("candq", 1)[1])
+                for p in REPO.glob(f"bench_queries_{tag}_candq*.json")
+                if p.stem.rsplit("candq", 1)[1].isdigit()
+            ]
+            out = f"bench_queries_{tag}_candq{max(taken, default=0) + 1}.json"
             row["action"] = f"launch {out}"
-            trace.open("a").write(json.dumps(row) + "\n")
-            print(json.dumps(row), flush=True)
+        _record(trace, row)
+        if launch:
             env = dict(os.environ, SPARK_GRAFT_BENCH_OUT=out)
-            subprocess.run(
+            proc = subprocess.run(
                 [sys.executable, str(REPO / "bench.py")],
                 cwd=REPO,
                 env=env,
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )
-            launched += 1
+            # a crashed bench must not consume a scarce quiet-window
+            # slot silently: only a zero exit with the output file on
+            # disk counts as a candidate, and the trace says which
+            ok = proc.returncode == 0 and (REPO / out).exists()
+            _record(
+                trace,
+                {
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "action": (
+                        f"{'done' if ok else 'FAILED'} {out} "
+                        f"rc={proc.returncode}"
+                    ),
+                },
+            )
+            if ok:
+                launched += 1
+            else:
+                failures += 1
+                if failures >= 3:
+                    break
             continue
-        trace.open("a").write(json.dumps(row) + "\n")
-        print(json.dumps(row), flush=True)
         if launched >= max_cand:
             break
         time.sleep(interval)
+
+
+def _record(trace: Path, row: dict) -> None:
+    with trace.open("a") as fh:
+        fh.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
