@@ -3800,7 +3800,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_BPE_SQL = """
 WITH words AS (
   SELECT word, count(*) AS freq FROM (
-    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
     FROM documents
   ) WHERE word <> '' GROUP BY word
 ), pairs AS (
@@ -4317,6 +4317,76 @@ WITH exploded AS (
 SELECT label, dim, round(avg(val), 6) AS centroid,
        CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
 FROM exploded GROUP BY label, dim
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization report
+    (llmops/quantize.py::quantize_report): per-dimension min/max stats
+    (dim-sized exchange), ONE broadcast stats row, then a map-only
+    quantize/reconstruct pass and a single label-keyed aggregation.
+    ``sum_codes`` is the exact BIGINT sum of the group's uint8 codes —
+    a bit-level cross-engine fingerprint of the full code tensor; the
+    rounded error columns bound the 4x-compression loss. The oracle
+    replays the integer-first quantizer contract (module docstring)
+    with the same index-order list folds the kmeans oracle pins."""
+    from pysparkflow.llmops.quantize import quantize_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_report(emb, vec_col="embedding", group_col="label")
+
+
+_Q_EMBED_QUANTIZE_SQL = """
+WITH st AS (
+  SELECT CAST(i - 1 AS INTEGER) AS dim,
+         min(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
+         max(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  GROUP BY 1
+),
+srow AS (
+  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+  FROM st
+),
+pv AS (
+  SELECT label,
+         list_aggregate(list_transform(range(1, len(embedding) + 1), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(least(255, floor(
+                  (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                  / (mxs[i] - mns[i]))) AS INTEGER) END),
+           'sum') AS codes_sum,
+         round(list_aggregate(list_transform(
+             range(1, len(embedding) + 1), i ->
+             (CAST(embedding[i] AS DOUBLE) - (mns[i] +
+                (CASE WHEN mxs[i] = mns[i] THEN 0
+                      ELSE CAST(least(255, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                        / (mxs[i] - mns[i]))) AS INTEGER) END)
+                * (mxs[i] - mns[i]) / 255.0))
+             * (CAST(embedding[i] AS DOUBLE) - (mns[i] +
+                (CASE WHEN mxs[i] = mns[i] THEN 0
+                      ELSE CAST(least(255, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                        / (mxs[i] - mns[i]))) AS INTEGER) END)
+                * (mxs[i] - mns[i]) / 255.0))),
+           'sum') / len(embedding), 9) AS mse_vec,
+         list_aggregate(list_transform(
+             range(1, len(embedding) + 1), i ->
+             abs(CAST(embedding[i] AS DOUBLE) - (mns[i] +
+                (CASE WHEN mxs[i] = mns[i] THEN 0
+                      ELSE CAST(least(255, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                        / (mxs[i] - mns[i]))) AS INTEGER) END)
+                * (mxs[i] - mns[i]) / 255.0))),
+           'max') AS abs_vec
+  FROM embeddings, srow
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(codes_sum) AS BIGINT) AS sum_codes,
+       round(avg(mse_vec), 9) AS avg_mse,
+       round(max(abs_vec), 9) AS max_abs_err
+FROM pv GROUP BY label
 """
 
 
@@ -6247,7 +6317,7 @@ WITH RECURSIVE
 wd AS (
   SELECT doc_id, word, count(*) AS cnt FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+           unnest(string_split_regex(lower(text), '[^\p{{L}}]+')) AS word
     FROM documents
   ) WHERE word <> '' GROUP BY doc_id, word
 ),
@@ -6308,7 +6378,8 @@ def _bpe_train_cte(n_merges: int = _BPE_TRAIN_N_MERGES) -> str:
     implementation of llmops/bpe.py train_merges, sharing only the
     spec. Each round's apply step is ONE left-to-right non-overlapping
     pass, expressed as a list_reduce string fold over '|'-prefixed
-    tokens ('|' cannot occur in the pinned [a-z] word model): merging
+    tokens ('|' is not a letter, so it cannot occur in any \p{L}-model
+    word): merging
     appends just rhs (the last token becomes lhs||rhs), so a
     freshly-merged token can never re-match ends_with(acc, '|'||lhs) —
     bit-for-bit the _merge_pass rule, and one pass per rule IS
@@ -6352,7 +6423,7 @@ WITH
 wd AS MATERIALIZED (
   SELECT doc_id, word, count(*) AS cnt FROM (
     SELECT doc_id,
-           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+           unnest(string_split_regex(lower(text), '[^\p{{L}}]+')) AS word
     FROM documents
   ) WHERE word <> '' GROUP BY doc_id, word
 ),
@@ -6524,6 +6595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_percent_rank": q_quality_percent_rank,
     "ppr_related": q_ppr_related,
     "embedding_centroids": q_embedding_centroids,
+    "embedding_quantize": q_embedding_quantize,
     "stream_merge_state": q_stream_merge_state,
     "kmeans_embeddings": q_kmeans_embeddings,
     "semantic_dedup": q_semantic_dedup,
@@ -6686,6 +6758,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_percent_rank": _Q_PERCENT_RANK_SQL,
     "ppr_related": _ppr_oracle_sql(),
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
+    "embedding_quantize": _Q_EMBED_QUANTIZE_SQL,
     "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
     "semantic_dedup": _semantic_dedup_oracle_sql(),
@@ -6805,16 +6878,19 @@ _ALWAYS_IN_CORE = [
 # the r12 rotation comment LEAD (now exactly at the 3-round horizon,
 # pinned by tests/test_round12_ops.py::test_driver_window_rotation_r12
 # and tests/test_round13_ops.py::test_driver_window_rotation_r13), then
-# the two new r13 entries (bpe_train_merges, bpe_train_encode — never
-# driver-graded; new entries always front, and two is inside the
-# contract's ~3 cap), then the 30 alphabetically-first of the 44
-# entries whose most recent driver-green row is r10. The FOURTEEN
-# alphabetically-last r10 entries — knn_graph, knn_ivf, knn_ivf_recall,
-# knn_lsh, lang_id, min_cut, mixture_drift, nucleus_select,
-# quality_rank_fusion, stream_merge_state, token_budget_select,
-# topk_per_group, unpivot_metrics, zorder_layout — SPILL TO ROUND 14
-# and must lead its front.
-# 6 core + 12 r9 + 2 new + 30 r10 = the full 50-slot window.
+# the three new r13 entries (bpe_train_merges, bpe_train_encode,
+# embedding_quantize — never driver-graded; new entries always front,
+# and three sits exactly at the contract's ~3 cap; embedding_quantize's
+# addition displaced knn_bruteforce, the alphabetically-last of the 30
+# r10 regrades, into the round-14 spill 1:1), then the 29
+# alphabetically-first of the 44 entries whose most recent driver-green
+# row is r10. The FIFTEEN remaining r10 entries — knn_bruteforce,
+# knn_graph, knn_ivf, knn_ivf_recall, knn_lsh, lang_id, min_cut,
+# mixture_drift, nucleus_select, quality_rank_fusion,
+# stream_merge_state, token_budget_select, topk_per_group,
+# unpivot_metrics, zorder_layout — SPILL TO ROUND 14 and must lead its
+# front.
+# 6 core + 12 r9 + 3 new + 29 r10 = the full 50-slot window.
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
 # sampled plans have no equality oracle (the driver would record a
@@ -6837,8 +6913,9 @@ _ROUND_FRONT = [
     # new in round 13 (never driver-graded)
     "bpe_train_merges",
     "bpe_train_encode",
+    "embedding_quantize",
     # last driver-graded in round 10 (the 44-entry cohort minus the
-    # fourteen alphabetically-last, which spill to round 14 and lead it)
+    # fifteen alphabetically-last, which spill to round 14 and lead it)
     "activity_islands",
     "bm25_score",
     "boilerplate_ngrams",
@@ -6868,7 +6945,6 @@ _ROUND_FRONT = [
     "incremental_dedup",
     "incremental_near_dup",
     "interval_merge",
-    "knn_bruteforce",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

@@ -49,6 +49,9 @@ _CROSS_JOIN_OK = {
     "histogram_bins",
     "zorder_layout",
     "approx_distinct",
+    # 1-row per-dimension stats broadcast (llmops/quantize.py) — the
+    # nested-loop join is against a single broadcast row, by design
+    "embedding_quantize",
 }
 
 _DECLARATIVE = sorted(set(QUERIES) - _EXECUTING)
