@@ -29,8 +29,13 @@ adoption sequence and its exact counts are unchanged from check 1
 Pins the trainer loop itself at a vocabulary three orders beyond the
 graded corpora and reports per-round wall time (the vocab-sized cost).
 
-Usage: python tools/r13_scale.py [n_docs] [n_words]
-(defaults 2_000_000 200_000; smoke: python tools/r13_scale.py 40000 20000)
+Check 3 (embedding_quantize planted truth, default 1,996,800 vectors x
+64 dims): exact closed-form codes/sums and replayed-through-the-same-
+double-ops error expectations — see check3_quantize_planted.
+
+Usage: python tools/r13_scale.py [n_docs] [n_words] [n_vecs]
+(defaults 2_000_000 200_000 1_996_800; smoke:
+python tools/r13_scale.py 40000 20000 38400)
 """
 
 from __future__ import annotations
@@ -116,9 +121,75 @@ def check2_vocab_trainer(n_words: int) -> None:
     )
 
 
+def check3_quantize_planted(spark, n_vecs: int) -> None:
+    """embedding_quantize planted truth (llmops/quantize.py) at corpus
+    scale. 64-dim vectors over residue classes mod 3840 = lcm(256,3,10):
+
+      dims 0..61: value (i % 256) * 2^-8 — step and values are exact
+        binary floats, so code = i % 256 EXACTLY and reconstruction is
+        EXACT (zero error): pins the code arithmetic at scale.
+      dim 62: {0.0, 0.25, 1.0} by i % 3 — code {0, 63, 255}; the 0.25
+        rows carry the one nonzero error, whose expectation is replayed
+        in Python THROUGH THE SAME double ops (the r10 lesson: planted
+        expectations go through the operator's own rounding).
+      dim 63: constant 7.0 — the mx == mn guard branch at scale.
+
+    sum_codes per label is a closed-form BIGINT (exact equality at any
+    n divisible by 3840); avg_mse/max_abs_err replayed to 1e-9/exact.
+    The corpus-sized work is ONE map-only pass; the only exchanges are
+    dim-, row- and label-sized (plan audited in the registry entry)."""
+    from pysparkflow.llmops.quantize import quantize_report
+
+    n_vecs -= n_vecs % 3840
+    assert n_vecs > 0
+    t0 = time.time()
+    d = F.col("d")
+    i = F.col("id")
+    dim62 = (
+        F.when(i % 3 == 0, F.lit(0.0))
+        .when(i % 3 == 1, F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 10).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: F.when(d < 62, (i % 256).cast("double") * 0.00390625)
+            .when(d == 62, dim62)
+            .otherwise(F.lit(7.0)),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    got = {
+        r["label"]: r
+        for r in quantize_report(emb, "embedding", "label").collect()
+    }
+    mult = n_vecs // 3840
+    err = 0.25 - (0.0 + 63 * (1.0 - 0.0) / 255.0)
+    mse_vec = round((err * err) / 64, 9)
+    for lab in range(10):
+        res = [r for r in range(3840) if r % 10 == lab]
+        want_codes = mult * sum(
+            62 * (r % 256) + (0, 63, 255)[r % 3] for r in res
+        )
+        c1 = sum(1 for r in res if r % 3 == 1)
+        g = got[lab]
+        assert g["n_vecs"] == len(res) * mult, lab
+        assert g["sum_codes"] == want_codes, (lab, g["sum_codes"], want_codes)
+        assert abs(g["avg_mse"] - round(mse_vec * c1 / len(res), 9)) <= 1e-9
+        assert g["max_abs_err"] == round(abs(err), 9), lab
+    print(
+        f"check3 OK: quantize planted exact at {n_vecs} vectors x 64 dims "
+        f"({time.time() - t0:.1f}s)"
+    )
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     n_words = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    n_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 1_996_800
     from pysparkflow.session import get_spark
 
     spark = get_spark(
@@ -126,6 +197,7 @@ def main() -> None:
     )
     check1_corpus_training(spark, n_docs)
     check2_vocab_trainer(n_words)
+    check3_quantize_planted(spark, n_vecs)
     print("r13_scale PASSED")
 
 
