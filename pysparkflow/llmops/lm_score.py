@@ -39,12 +39,19 @@ def unigram_lm_scores(
     materialized intermediate (tracked persist — doc x vocab sized, far
     smaller than the text) that feeds BOTH the model aggregate and the
     scoring join; without it the two consumers would each re-scan and
-    re-tokenize the full corpus, doubling the dominant cost."""
+    re-tokenize the full corpus, doubling the dominant cost.
+
+    Word model: the shared Unicode-letter-run contract — a token is a
+    maximal ``\\p{L}`` run after lower(), in lockstep with the DuckDB
+    oracle; see llmops/bpe.py::word_frequencies for the full contract
+    incl. the two documented case-fold divergence classes. (The
+    whitespace tokenizers — tfidf/bm25/textstats — are script-neutral
+    by construction and unaffected.)"""
     from pysparkflow.engine.cache import track
 
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("t"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^\p{L}]+")).alias("t"),
     ).filter(F.col("t") != "")
     doc_tok = track(
         toks.groupBy(id_col, "t").agg(F.count("*").alias("n"))

@@ -3627,10 +3627,10 @@ def q_lm_unigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(load_table(spark, sf_dir, "documents"))
 
 
-_Q_LM_SCORE_SQL = """
+_Q_LM_SCORE_SQL = r"""
 WITH toks AS (
   SELECT doc_id, t
-  FROM documents, unnest(string_split_regex(lower(text), '[^a-z]+')) AS u(t)
+  FROM documents, unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS u(t)
   WHERE t <> ''),
 model AS (
   SELECT t, ln(count(*) / (SELECT count(*) * 1.0 FROM toks)) AS lp
@@ -3797,7 +3797,7 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_merge_candidates(load_table(spark, sf_dir, "documents"), k=30)
 
 
-_Q_BPE_SQL = """
+_Q_BPE_SQL = r"""
 WITH words AS (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS word
@@ -6312,7 +6312,7 @@ def _bpe_encode_cte() -> str:
     source of truth for both engines."""
     from pysparkflow.llmops.bpe import DEFAULT_MERGES
 
-    return f"""
+    return rf"""
 WITH RECURSIVE
 wd AS (
   SELECT doc_id, word, count(*) AS cnt FROM (
@@ -6372,7 +6372,7 @@ FROM c WHERE 100 * cum_toks <= 60 * tot
 
 
 def _bpe_train_cte(n_merges: int = _BPE_TRAIN_N_MERGES) -> str:
-    """Macro-generated BPE TRAINING replay (VERDICT r12 #2): n_merges
+    r"""Macro-generated BPE TRAINING replay (VERDICT r12 #2): n_merges
     chained (pair-count -> adopt-best -> apply) CTE blocks over the
     word-frequency dictionary — a genuinely independent second
     implementation of llmops/bpe.py train_merges, sharing only the
@@ -6418,7 +6418,7 @@ d{i} AS MATERIALIZED (
         f"SELECT * FROM b{j}" for j in range(1, n_merges + 1)
     )
     body = ",\n".join(blocks)
-    return f"""
+    return rf"""
 WITH
 wd AS MATERIALIZED (
   SELECT doc_id, word, count(*) AS cnt FROM (

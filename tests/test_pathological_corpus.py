@@ -552,24 +552,34 @@ def test_round12_battery_lsh_and_knngraph_underflow_rows(spark):
 
 def test_round13_battery_bpe_train_hostile_corpora(spark):
     """bpe_train / bpe_train_encode are TOTAL over corpora the trainer
-    can learn nothing from: a wordless corpus (digits/CJK/punct only —
-    the pinned [a-z] word model sees zero words) trains to an EMPTY
-    merge list and encodes every doc to totals of 0; an all-single-char
-    corpus has no adjacent pairs and also trains empty but still
-    counts words; a corpus with fewer learnable pairs than n_merges
-    stops early and the chain encodes with the short list."""
+    can learn nothing from: a wordless corpus (digits/punct only — the
+    \\p{L} word model sees zero words) trains to an EMPTY merge list
+    and encodes every doc to totals of 0; non-Latin LETTERS are words
+    under the round-13 Unicode contract and train real merges; an
+    all-single-char corpus has no adjacent pairs and trains empty but
+    still counts words; a corpus with fewer learnable pairs than
+    n_merges stops early and the chain encodes with the short list."""
     from pysparkflow.llmops.bpe import bpe_train, bpe_train_encode
 
     wordless = spark.createDataFrame(
-        [(1, "1234 --- 99"), (2, "東京 АБВ"), (3, "")],
+        [(1, "1234 --- 99"), (2, "42 !!! 7x7"), (3, "")],
         "doc_id long, text string",
     )
+    # doc 2 has the one letter 'x' — a word with no pairs; still
+    # nothing to train
     assert bpe_train(wordless, n_merges=4) == []
     out = {r["id"]: r for r in bpe_train_encode(wordless, 4).collect()}
     assert len(out) == 3
-    for r in out.values():
-        assert r["n_words"] == 0 and r["n_bpe_tokens"] == 0
-        assert r["max_token"] is None
+    assert out[1]["n_words"] == 0 and out[1]["n_bpe_tokens"] == 0
+    assert out[1]["max_token"] is None
+    assert out[3]["n_words"] == 0 and out[3]["max_token"] is None
+    assert out[2]["n_words"] == 1 and out[2]["n_bpe_tokens"] == 1
+    # non-Latin letters are WORDS now: the trainer learns from them
+    unicode_corpus = spark.createDataFrame(
+        [(1, "東京 東京 АБВ")], "doc_id long, text string"
+    )
+    learned = bpe_train(unicode_corpus, n_merges=2)
+    assert learned == [("東", "京", 2), ("А".lower(), "Б".lower(), 1)]
 
     single = spark.createDataFrame(
         [(1, "a b c a"), (2, "z")], "doc_id long, text string"

@@ -469,3 +469,49 @@ def test_quantize_pathological_shapes(spark):
     row = quantize_report(one, "embedding", "label").collect()[0]
     assert row["sum_codes"] == 0
     assert row["avg_mse"] == 0.0 and row["max_abs_err"] == 0.0
+
+
+def test_lm_score_shares_unicode_word_model(spark):
+    """lm_unigram_score tokenizes with the SAME \\p{L} letter-run model
+    as the BPE family (the module docstring's shared-contract note):
+    multilingual text scores identically in Spark and the DuckDB
+    oracle's replay, and token counts see Unicode words."""
+    import duckdb
+
+    from pysparkflow.llmops.lm_score import unigram_lm_scores
+
+    rows = [
+        (1, "café café москва"),
+        (2, "café 東京"),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["lm_score"])
+        for r in unigram_lm_scores(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        d: (n, s)
+        for d, n, s in con.sql(
+            r"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM documents,
+       unnest(string_split_regex(lower(text), '[^\p{L}]+')) AS u(t)
+  WHERE t <> ''),
+model AS (
+  SELECT t, ln(count(*) / (SELECT count(*) * 1.0 FROM toks)) AS lp
+  FROM toks GROUP BY t)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(lp), 4) AS lm_score
+FROM toks JOIN model USING (t) GROUP BY doc_id
+"""
+        ).fetchall()
+    }
+    assert got == oracle
+    assert got[1][0] == 3 and got[2][0] == 2  # unicode words counted
+    assert 3 not in got  # wordless doc absent, as at ASCII
+    con.close()
