@@ -48,7 +48,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_LEVELS = 255  # codes span 0..255 inclusive: uint8
+# Largest code value: codes span 0..MAX_CODE inclusive (MAX_CODE + 1
+# levels — uint8 for 255). ONE source of truth: the Spark clamp/scale/
+# dequant sites below AND the DuckDB oracle (registry.py builds
+# _Q_EMBED_QUANTIZE_SQL from this constant) all derive from it.
+MAX_CODE = 255
 
 
 def dim_stats_row(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -83,8 +87,25 @@ def quantize_report(
     every code in the group — a bit-level fingerprint of the whole code
     tensor; the two error columns bound what retrieval loses to the 4x
     compression. Empty input yields an empty report (the 1-row stats
-    broadcast cross-join is empty-safe)."""
+    broadcast cross-join is empty-safe).
+
+    PRECONDITION (the embeddings-table contract, same family as
+    semdedup's non-NULL rule): vectors are non-empty arrays of ONE
+    common dimension. A ragged shorter vector would zip against the
+    corpus-wide stats arrays with NULL values (its codes_sum goes NULL
+    and drops out of sum_codes while n_vecs still counts it — the
+    DuckDB oracle, which iterates each row's own length, would NOT
+    reproduce that); an empty vector yields codes_sum 0 / NULL mse /
+    0.0 max_abs_err without crashing (mse uses try_divide, the ANSI
+    data-zero rule). Neither shape occurs in a conforming table.
+
+    The quantize expression is evaluated ONCE per element: a first
+    zip_with computes the codes, a second zips them back with the
+    values to derive errors from the CODE, and one sequential struct
+    fold accumulates (sum, sum-of-squares, max) in index order — the
+    same left-fold the DuckDB oracle replays."""
     stats = dim_stats_row(emb, vec_col)
+    mc = F.lit(float(MAX_CODE))
     z = F.arrays_zip(
         F.col(vec_col).cast("array<double>").alias("v"),
         F.col("mns").alias("mn"),
@@ -92,34 +113,38 @@ def quantize_report(
     )
     code = lambda t: F.when(t["mx"] == t["mn"], F.lit(0)).otherwise(  # noqa: E731
         F.least(
-            F.lit(N_LEVELS),
-            F.floor(
-                (t["v"] - t["mn"]) * F.lit(255.0) / (t["mx"] - t["mn"])
-            ),
+            F.lit(MAX_CODE),
+            F.floor((t["v"] - t["mn"]) * mc / (t["mx"] - t["mn"])),
         )
     ).cast("int")
-    err = lambda t: t["v"] - (  # noqa: E731
-        t["mn"] + code(t) * (t["mx"] - t["mn"]) / F.lit(255.0)
+    qe = F.zip_with(
+        z,
+        F.transform(z, code),
+        lambda t, c: F.struct(
+            c.alias("c"),
+            (t["v"] - (t["mn"] + c * (t["mx"] - t["mn"]) / mc)).alias("e"),
+        ),
+    )
+    folded = F.aggregate(
+        qe,
+        F.struct(
+            F.lit(0).cast("long").alias("c"),
+            F.lit(0.0).alias("m"),
+            F.lit(0.0).alias("x"),
+        ),
+        lambda a, s: F.struct(
+            (a["c"] + s["c"]).alias("c"),
+            (a["m"] + s["e"] * s["e"]).alias("m"),
+            F.greatest(a["x"], F.abs(s["e"])).alias("x"),
+        ),
     )
     per_vec = emb.crossJoin(F.broadcast(stats)).select(
         F.col(group_col),
-        F.aggregate(
-            F.transform(z, code),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("codes_sum"),
+        folded["c"].alias("codes_sum"),
         F.round(
-            F.aggregate(
-                F.transform(z, lambda t: err(t) * err(t)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size(F.col(vec_col)),
-            9,
+            F.try_divide(folded["m"], F.size(F.col(vec_col))), 9
         ).alias("mse_vec"),
-        F.array_max(F.transform(z, lambda t: F.abs(err(t)))).alias(
-            "abs_vec"
-        ),
+        folded["x"].alias("abs_vec"),
     )
     return per_vec.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_vecs"),

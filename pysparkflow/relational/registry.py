@@ -4336,7 +4336,14 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_report(emb, vec_col="embedding", group_col="label")
 
 
-_Q_EMBED_QUANTIZE_SQL = """
+def _embed_quantize_sql() -> str:
+    """DuckDB replay of llmops/quantize.py built from the SAME
+    MAX_CODE constant (one source of truth, the DEFAULT_MERGES
+    pattern): identical float->double-first expression trees, CASE
+    guard on mx = mn, floor codes, index-order list folds."""
+    from pysparkflow.llmops.quantize import MAX_CODE as _N
+
+    return f"""
 WITH st AS (
   SELECT CAST(i - 1 AS INTEGER) AS dim,
          min(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS mn,
@@ -4352,33 +4359,33 @@ pv AS (
   SELECT label,
          list_aggregate(list_transform(range(1, len(embedding) + 1), i ->
            CASE WHEN mxs[i] = mns[i] THEN 0
-                ELSE CAST(least(255, floor(
-                  (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                ELSE CAST(least({_N}, floor(
+                  (CAST(embedding[i] AS DOUBLE) - mns[i]) * {_N}.0
                   / (mxs[i] - mns[i]))) AS INTEGER) END),
            'sum') AS codes_sum,
          round(list_aggregate(list_transform(
              range(1, len(embedding) + 1), i ->
              (CAST(embedding[i] AS DOUBLE) - (mns[i] +
                 (CASE WHEN mxs[i] = mns[i] THEN 0
-                      ELSE CAST(least(255, floor(
-                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                      ELSE CAST(least({_N}, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * {_N}.0
                         / (mxs[i] - mns[i]))) AS INTEGER) END)
-                * (mxs[i] - mns[i]) / 255.0))
+                * (mxs[i] - mns[i]) / {_N}.0))
              * (CAST(embedding[i] AS DOUBLE) - (mns[i] +
                 (CASE WHEN mxs[i] = mns[i] THEN 0
-                      ELSE CAST(least(255, floor(
-                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                      ELSE CAST(least({_N}, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * {_N}.0
                         / (mxs[i] - mns[i]))) AS INTEGER) END)
-                * (mxs[i] - mns[i]) / 255.0))),
+                * (mxs[i] - mns[i]) / {_N}.0))),
            'sum') / len(embedding), 9) AS mse_vec,
          list_aggregate(list_transform(
              range(1, len(embedding) + 1), i ->
              abs(CAST(embedding[i] AS DOUBLE) - (mns[i] +
                 (CASE WHEN mxs[i] = mns[i] THEN 0
-                      ELSE CAST(least(255, floor(
-                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+                      ELSE CAST(least({_N}, floor(
+                        (CAST(embedding[i] AS DOUBLE) - mns[i]) * {_N}.0
                         / (mxs[i] - mns[i]))) AS INTEGER) END)
-                * (mxs[i] - mns[i]) / 255.0))),
+                * (mxs[i] - mns[i]) / {_N}.0))),
            'max') AS abs_vec
   FROM embeddings, srow
 )
@@ -4388,6 +4395,7 @@ SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
        round(max(abs_vec), 9) AS max_abs_err
 FROM pv GROUP BY label
 """
+
 
 
 _KMEANS_K = 8
@@ -6758,7 +6766,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_percent_rank": _Q_PERCENT_RANK_SQL,
     "ppr_related": _ppr_oracle_sql(),
     "embedding_centroids": _Q_EMBED_CENTROIDS_SQL,
-    "embedding_quantize": _Q_EMBED_QUANTIZE_SQL,
+    "embedding_quantize": _embed_quantize_sql(),
     "stream_merge_state": _Q_STREAM_MERGE_STATE_SQL,
     "kmeans_embeddings": _kmeans_oracle_sql(),
     "semantic_dedup": _semantic_dedup_oracle_sql(),

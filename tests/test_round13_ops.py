@@ -469,6 +469,12 @@ def test_quantize_pathological_shapes(spark):
     row = quantize_report(one, "embedding", "label").collect()[0]
     assert row["sum_codes"] == 0
     assert row["avg_mse"] == 0.0 and row["max_abs_err"] == 0.0
+    # an EMPTY vector is out of the fixed-dim contract but must not
+    # crash (try_divide on the zero size): codes 0, NULL mse, 0 max
+    evec = spark.createDataFrame([(1, [], "x")], schema)
+    row = quantize_report(evec, "embedding", "label").collect()[0]
+    assert row["sum_codes"] == 0 and row["n_vecs"] == 1
+    assert row["avg_mse"] is None and row["max_abs_err"] == 0.0
 
 
 def test_lm_score_shares_unicode_word_model(spark):

@@ -143,7 +143,6 @@ def check3_quantize_planted(spark, n_vecs: int) -> None:
     n_vecs -= n_vecs % 3840
     assert n_vecs > 0
     t0 = time.time()
-    d = F.col("d")
     i = F.col("id")
     dim62 = (
         F.when(i % 3 == 0, F.lit(0.0))
