@@ -521,3 +521,57 @@ FROM toks JOIN model USING (t) GROUP BY doc_id
     assert got[1][0] == 3 and got[2][0] == 2  # unicode words counted
     assert 3 not in got  # wordless doc absent, as at ASCII
     con.close()
+
+
+def test_quantize_oracle_matches_spark_fuzz(spark):
+    """Seeded cross-engine fuzz (the bpe-fuzz pattern): on randomized
+    corpora — negatives, subnormal magnitudes, duplicate rows, a
+    constant dim — the Spark operator and the DuckDB oracle (both
+    derived from the same MAX_CODE constant) agree EXACTLY on every
+    column. Pins the contract against either side drifting."""
+    import random
+
+    import duckdb
+
+    from pysparkflow.llmops.quantize import quantize_report
+    from pysparkflow.relational.registry import _embed_quantize_sql
+
+    rng = random.Random(1313)
+    for trial in range(3):
+        dims = rng.choice([3, 5, 8])
+        rows = []
+        for i in range(rng.randint(5, 24)):
+            vec = [
+                rng.choice(
+                    [
+                        rng.uniform(-2, 2),
+                        rng.uniform(-1e-160, 1e-160),
+                        0.0,
+                        rng.uniform(100, 200),
+                    ]
+                )
+                for _ in range(dims)
+            ]
+            vec[dims - 1] = 42.0  # constant dim -> the mx==mn branch
+            rows.append((i, vec, f"g{i % 3}"))
+        if trial == 1:
+            rows += [(len(rows), rows[0][1], rows[0][2])]  # dup vector
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label string"
+        )
+        got = sorted(
+            tuple(r) for r in quantize_report(emb, "embedding", "label")
+            .select("label", "n_vecs", "sum_codes", "avg_mse", "max_abs_err")
+            .collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], "
+            "label VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO embeddings VALUES (?, ?, ?)", rows
+        )
+        want = sorted(tuple(r) for r in con.sql(_embed_quantize_sql()).fetchall())
+        assert got == want, f"trial {trial}"
+        con.close()
