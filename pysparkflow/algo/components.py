@@ -47,9 +47,11 @@ def connected_components(
         graph.edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
     if rows_hint is not None:
+        n_arcs = rows_hint
         arcs = sym.repartition(sized_partitions(rows_hint, sym), "b").persist()
     else:
-        arcs, _ = sized_cache(sym, "b")
+        arcs, n_arcs = sized_cache(sym, "b")
+    arc_parts = sized_partitions(n_arcs, sym)
     labels = (
         arcs.groupBy("a")
         .agg(F.min("b").alias("nb_min"))
@@ -59,12 +61,20 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    from pysparkflow.engine.partitioning import state_join_side
+
     for _ in range(max_iter):
+        # labels rows <= |V| <= n_arcs: broadcast-gated state sides keep
+        # the arc cache (and the vertex-sized left joins' stream sides)
+        # free of per-round exchanges (engine/partitioning.py)
         neighbor_min = arcs.join(
-            labels, arcs.b == labels.vertex
+            state_join_side(labels, n_arcs, arc_parts, "vertex"),
+            arcs.b == labels.vertex,
         ).groupBy("a").agg(F.min("component").alias("nbr_min"))
         stepped = labels.join(
-            neighbor_min, labels.vertex == neighbor_min.a, "left"
+            state_join_side(neighbor_min, n_arcs, arc_parts, "a"),
+            labels.vertex == neighbor_min.a,
+            "left",
         ).select(
             "vertex",
             F.least(
@@ -76,7 +86,11 @@ def connected_components(
             F.col("vertex").alias("lv"), F.col("component").alias("ll")
         )
         doubled = (
-            stepped.join(lookup, stepped.component == lookup.lv, "left")
+            stepped.join(
+                state_join_side(lookup, n_arcs, arc_parts, "lv"),
+                stepped.component == lookup.lv,
+                "left",
+            )
             .select(
                 "vertex",
                 F.least(

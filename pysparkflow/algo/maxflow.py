@@ -310,7 +310,13 @@ def max_flow(
     # tuned for relational scale, not a per-round frontier loop. A
     # separate persisted copy also leaves any caller-held cache of
     # g.edges intact when this one is released at the end.
-    n_edges = g.edges.count()
+    # with_super_nodes' fused aggregate already counted the edges — skip
+    # the extra count job (guide §1.2: don't recompute what's known)
+    n_edges = (
+        g.edges_count_hint
+        if g.edges_count_hint is not None
+        else g.edges.count()
+    )
     edges = g.edges.repartition(sized_partitions(n_edges, g.edges), "u").persist()
     edges.count()
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -367,7 +373,6 @@ def max_flow(
             _t = _time.time()
             paths_s, paths_t = stored
             frontier_s, frontier_t = paths_s, paths_t
-            n_s, n_t = paths_s.count(), paths_t.count()
             # stored pairs meeting at a vertex were not all accepted last
             # epoch — re-collect them before spending any rounds
             o = paths_t.select(
@@ -375,12 +380,19 @@ def max_flow(
                 F.col("verts").alias("o_verts"),
                 F.col("ress").alias("o_ress"),
             )
-            meets = (
+            meets_df = (
                 paths_s.join(o, "vertex")
                 .orderBy("vertex", F.xxhash64("verts"))
                 .limit(cfg.max_candidates)
-                .collect()
             )
+            # three independent jobs over the SAME checkpointed path
+            # state — submit concurrently (guide §2.6)
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                f_ns = pool.submit(paths_s.count)
+                f_nt = pool.submit(paths_t.count)
+                f_meets = pool.submit(meets_df.collect)
+                n_s, n_t = f_ns.result(), f_nt.result()
+                meets = f_meets.result()
             candidates = [(r, True) for r in meets]
             _seg("restart_meet", _t)
 
@@ -501,12 +513,14 @@ def max_flow(
         _t = _time.time()
         deltas = acceptor.flow_deltas()
         delta_df = spark.createDataFrame(deltas, schema="u long, v long, f long")
+        # lazy checkpoint + count: ONE job materializes the checkpoint and
+        # returns the count (eager=True + count was two)
         flows = (
             flows.unionAll(delta_df)
             .groupBy("u", "v")
             .agg(F.sum("f").alias("f"))
             .where(F.col("f") != 0)
-            .localCheckpoint()  # cut lineage each phase (iteration GC, §4)
+            .localCheckpoint(eager=False)  # cut lineage each phase (iteration GC, §4)
         )
         flow_edge_count = flows.count()
         _seg("flows_update", _t)
@@ -578,13 +592,10 @@ def _validate(edges: DataFrame, flows: DataFrame, s_id: int, t_id: int, total: i
     FIXTURES.md §6): capacity bounds (ff1/Edge.java:66-71) and per-vertex
     conservation with source/sink imbalance == reported value
     (ff1/Vertex.java:161-162)."""
-    bad_cap = (
+    bad_cap_df = (
         flows.join(edges, ["u", "v"])
         .where(F.abs(F.col("f")) > F.col("cap"))
-        .count()
     )
-    if bad_cap:
-        raise RuntimeError(f"capacity violated on {bad_cap} edges (ff1/Edge.java:66-71)")
     net = (
         flows.select(F.col("u").alias("id"), F.col("f").alias("out"))
         .unionAll(flows.select(F.col("v").alias("id"), (-F.col("f")).alias("out")))
@@ -592,7 +603,16 @@ def _validate(edges: DataFrame, flows: DataFrame, s_id: int, t_id: int, total: i
         .agg(F.sum("out").alias("net"))
         .where(F.col("net") != 0)
     )
-    rows = {int(r["id"]): int(r["net"]) for r in net.collect()}
+    # the two invariant checks are independent jobs over the small flows
+    # table — submit concurrently (guide §2.6)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cap = pool.submit(bad_cap_df.count)
+        f_net = pool.submit(net.collect)
+        bad_cap = f_cap.result()
+        net_rows = f_net.result()
+    if bad_cap:
+        raise RuntimeError(f"capacity violated on {bad_cap} edges (ff1/Edge.java:66-71)")
+    rows = {int(r["id"]): int(r["net"]) for r in net_rows}
     expected = {} if total == 0 else {s_id: total, t_id: -total}
     if rows != expected:
         raise RuntimeError(

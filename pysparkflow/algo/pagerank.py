@@ -58,16 +58,21 @@ def pagerank(
     the iterative scheduler floor). Semantics are unchanged where the
     precondition holds; leave False for general directed inputs.
     Returns (vertex, rank)."""
-    from pysparkflow.engine.partitioning import sized_cache
+    from pysparkflow.engine.partitioning import (
+        sized_cache,
+        sized_partitions,
+        state_join_side,
+    )
 
     # edge plan cached ONCE at the data-sized partition count (see
     # engine/partitioning.py; the arc table's partition count is every
     # round's map-side task count, measured 2x at local sf0.1) — the
     # outdegree agg and the arc join both read the cache, and since e is
     # hash-partitioned on u, neither needs a further exchange
-    e, _ = sized_cache(
+    e, n_edges = sized_cache(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
     )
+    arc_parts = sized_partitions(n_edges, edges)
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # static side: edges with outdegree attached, cached once (schimmy)
     arcs = e.join(deg, "u").persist()
@@ -92,9 +97,16 @@ def pagerank(
     ranks = verts.select("vertex", (F.lit(1.0) / n).alias("rank"))
     base = (1.0 - damping) / n
     for i in range(iterations):
+        # state_join_side: broadcast the |V|-row rank table (or
+        # co-partition it above the gate) so the cached arcs are never
+        # exchanged or sorted per round — the schimmy promise made
+        # physical (engine/partitioning.py)
         contrib = (
             arcs.join(
-                ranks.withColumnRenamed("vertex", "u"), "u"
+                state_join_side(
+                    ranks.withColumnRenamed("vertex", "u"), n, arc_parts, "u"
+                ),
+                "u",
             )
             .groupBy(F.col("v").alias("vertex"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
@@ -146,14 +158,19 @@ def personalized_pagerank(
 
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
-    from pysparkflow.engine.partitioning import sized_cache
+    from pysparkflow.engine.partitioning import (
+        sized_cache,
+        sized_partitions,
+        state_join_side,
+    )
 
     # edge plan cached once at the data-sized partition count (see
     # pagerank above); tracked so the caller's release_tracked frees it
     # — the returned lazy ranks plan still scans arcs, which scans e
-    e, _ = sized_cache(
+    e, n_edges = sized_cache(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), "u"
     )
+    arc_parts = sized_partitions(n_edges, edges)
     track(e)  # register the persisted copy for the caller's release
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # tracked persists: the returned lazy ranks plan still scans these;
@@ -187,8 +204,18 @@ def personalized_pagerank(
     # start from the restart vector itself (the t=0 walk distribution)
     ranks = verts.select("vertex", base.alias("rank"))
     for i in range(iterations):
+        # |V| <= n_edges (every vertex has outdegree >= 1): a safe bound
+        # for the broadcast gate (see pagerank above)
         contrib = (
-            arcs.join(ranks.withColumnRenamed("vertex", "u"), "u")
+            arcs.join(
+                state_join_side(
+                    ranks.withColumnRenamed("vertex", "u"),
+                    n_edges,
+                    arc_parts,
+                    "u",
+                ),
+                "u",
+            )
             .groupBy(F.col("v").alias("vertex"))
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
         )

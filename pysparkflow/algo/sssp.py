@@ -52,18 +52,23 @@ def bounded_sssp(
     exhausted the driver at cadence 8 — 4 keeps plan depth and
     broadcast lifetime bounded and leaves short runs (max_hops <= 4,
     the registry entry) checkpoint-free."""
-    from pysparkflow.engine.partitioning import sized_cache
+    from pysparkflow.engine.partitioning import (
+        sized_cache,
+        sized_partitions,
+        state_join_side,
+    )
 
     # arc table cached once at the data-sized partition count
     # (engine/partitioning.py): the partition count is every round's
     # map-side task count; sized_cache avoids computing the edge plan
     # twice for count + cache
-    arcs, _ = sized_cache(
+    arcs, n_arcs = sized_cache(
         edges.select(
             F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
         ),
         "u",
     )
+    arc_parts = sized_partitions(n_arcs, edges)
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(s), 0.0) for s in sources], "vertex long, dist double"
@@ -73,7 +78,15 @@ def bounded_sssp(
         # min over the union, so one groupBy replaces the former
         # per-round pre-aggregation + merge pair (one shuffle saved per
         # round; map-side partial agg still combines before the exchange)
-        cand = arcs.join(dist.withColumnRenamed("vertex", "u"), "u").select(
+        # dist rows <= |V| <= n_arcs: state_join_side broadcasts (or
+        # co-partitions) the dist side so the arc cache never reshuffles
+        # (engine/partitioning.py)
+        cand = arcs.join(
+            state_join_side(
+                dist.withColumnRenamed("vertex", "u"), n_arcs, arc_parts, "u"
+            ),
+            "u",
+        ).select(
             F.col("v").alias("vertex"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )

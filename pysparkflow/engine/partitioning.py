@@ -26,6 +26,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 ROWS_PER_PARTITION = 150_000
 
+# Per-round vertex-state join sides (ranks, dists, labels) up to this
+# many rows ship as an explicit broadcast: the static arc cache is then
+# streamed in place — no exchange, no per-round sort of the graph.
+# Above it, the state is co-partitioned onto the arc cache's partition
+# count instead, which still never reshuffles the arcs (the state side
+# pays its one exchange; a billion-vertex cluster run keeps state
+# distributed). Same size-gated discipline as maxflow's
+# _FLOW_BROADCAST_LIMIT. 2M rows of (long, double/long) is ~32 MB
+# broadcast — comfortable for driver and executors at any sane config.
+STATE_BROADCAST_ROWS = 2_000_000
+
 # streaming state stores are created per shuffle partition (a
 # stream-stream join opens FOUR per partition); at local sf0.1 the
 # 32-partition session default costs ~3.5s of store setup/commit per
@@ -75,6 +86,40 @@ def stream_state_partitions(
         # silently clamping a possibly-large stream to the floor of 4
         return sess
     return max(4, min(sess, n // rows_per_partition + 1))
+
+
+def state_join_side(
+    state: DataFrame,
+    upper_rows: int,
+    arc_partitions: int,
+    *key_cols: str,
+) -> DataFrame:
+    """The vertex-state side of a per-round ``static arc cache ⋈ state``
+    join, prepared so the ARC CACHE IS NEVER RESHUFFLED (the physical
+    half of the schimmy promise, guide §2.4/§3.1).
+
+    Without this, Catalyst plans the round join as a sort-merge join and
+    ``EnsureRequirements`` exchanges BOTH sides every round — the cached
+    arc table is re-partitioned and re-sorted once per iteration because
+    the state side arrives with session-count partitioning while the
+    cache holds the data-sized count (observed in the r13 pagerank plan:
+    ``Sort + Exchange`` over the 1.18M-row InMemoryTableScan in each of
+    the 10 unrolled rounds).
+
+    ``upper_rows`` is a caller-known BOUND on the state's row count
+    (exact vertex count where available, else the arc count). At or
+    under ``STATE_BROADCAST_ROWS`` the state ships as a broadcast: the
+    round plan becomes scan-cache -> BroadcastHashJoin -> partial agg ->
+    one state-sized exchange. Above it, the state is hash-repartitioned
+    on ``key_cols`` to ``arc_partitions`` so it co-partitions with the
+    cache (state pays its single exchange; the graph still never moves).
+    Join RESULTS are identical either way — only the physical strategy
+    changes."""
+    if upper_rows <= STATE_BROADCAST_ROWS:
+        from pyspark.sql import functions as F
+
+        return F.broadcast(state)
+    return state.repartition(arc_partitions, *key_cols)
 
 
 @contextmanager

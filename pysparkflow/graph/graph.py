@@ -98,6 +98,10 @@ class FlowGraph:
 
     spark: SparkSession
     edges: DataFrame  # (u BIGINT, v BIGINT, cap BIGINT)
+    # exact row count of ``edges`` when a builder already computed it
+    # (with_super_nodes' fused aggregate) — lets max_flow skip its own
+    # count job. None = unknown; consumers must count.
+    edges_count_hint: int | None = None
 
     @classmethod
     def from_edge_pairs(
@@ -131,26 +135,35 @@ class FlowGraph:
         sinks = [int(x) for x in sinks]
         if set(sources) & set(sinks):
             raise ValueError("sources and sinks must be disjoint (ff5/ApServer.java:92-99)")
-        hi = self.edges.agg(
-            F.greatest(F.max("v"), F.max(F.abs(F.col("u")))).alias("hi")
-        ).collect()[0]["hi"]
-        hi = int(hi or 0)
-        s_id, t_id = hi + 1, hi + 2
         spark = self.spark
         # per-terminal super-edge capacity: the terminal's incident-capacity
         # sum (flow through a vertex can never exceed it), floored at the
         # reference's constant — never silently caps a hub terminal's
-        # throughput the way a fixed "infinity" does
-        terms = set(sources) | set(sinks)
-        inc = (
-            self.edges.select(F.col("u").alias("id"), "cap")
-            .unionAll(self.edges.select(F.col("v").alias("id"), "cap"))
-            .where(F.col("id").isin([int(x) for x in terms]))
-            .groupBy("id")
-            .agg(F.sum("cap").alias("s"))
-            .collect()
-        )
-        inf_of = {int(r["id"]): max(int(r["s"]), INF_CAPACITY) for r in inc}
+        # throughput the way a fixed "infinity" does.
+        # ONE fused aggregation job computes the id high-water mark, every
+        # terminal's incident sum (conditional sums — a terminal is
+        # incident as u, as v, or never both per row since u < v), and
+        # the edge count (the count_hint max_flow consumes) — this was
+        # two sequential collect jobs before (guide §1.2: fewer passes).
+        terms = sorted(set(sources) | set(sinks))
+        aggs = [
+            F.greatest(F.max("v"), F.max(F.abs(F.col("u")))).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ] + [
+            F.sum(
+                F.when((F.col("u") == t) | (F.col("v") == t), F.col("cap"))
+            ).alias(f"_t{i}")
+            for i, t in enumerate(terms)
+        ]
+        row = self.edges.agg(*aggs).collect()[0]
+        hi = int(row["hi"] or 0)
+        s_id, t_id = hi + 1, hi + 2
+        n_base = int(row["n"])
+        inf_of = {
+            t: max(int(row[f"_t{i}"]), INF_CAPACITY)
+            for i, t in enumerate(terms)
+            if row[f"_t{i}"] is not None
+        }
         super_rows = [
             (min(s_id, x), max(s_id, x), inf_of.get(x, INF_CAPACITY))
             for x in sources
@@ -159,7 +172,15 @@ class FlowGraph:
             for x in sinks
         ]
         super_df = spark.createDataFrame(super_rows, schema="u long, v long, cap long")
-        return FlowGraph(spark, self.edges.unionAll(super_df)), s_id, t_id
+        return (
+            FlowGraph(
+                spark,
+                self.edges.unionAll(super_df),
+                edges_count_hint=n_base + len(super_rows),
+            ),
+            s_id,
+            t_id,
+        )
 
     def degrees(self) -> DataFrame:
         return degrees(self.edges)
