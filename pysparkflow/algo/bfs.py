@@ -30,15 +30,23 @@ def bfs_distances(
 ) -> DataFrame:
     """Hop distances from the source set. Returns (vertex BIGINT,
     distance INT) for every reached vertex; distance(source)=1."""
-    spark = graph.spark
-    # the doubled arc view is cached once (one materialization); every
-    # round's frontier join streams the in-memory columnar cache — the
-    # graph is never shuffled again (ff3 schimmy lesson)
-    arcs = (
-        graph.edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(graph.edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .persist()
+    from pysparkflow.engine.partitioning import (
+        sized_cache,
+        sized_partitions,
+        state_join_side,
     )
+
+    spark = graph.spark
+    # the doubled arc view is cached once at the data-sized partition
+    # count (one materialization; engine/partitioning.py — the partition
+    # count is every round's map-side task count); every round's
+    # frontier join streams the in-memory columnar cache — the graph is
+    # never shuffled again (ff3 schimmy lesson)
+    sym = graph.edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        graph.edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    arcs, n_arcs = sized_cache(sym, "src")
+    arc_parts = sized_partitions(n_arcs, sym)
     src_rows = [(int(x),) for x in dict.fromkeys(int(x) for x in sources)]
     # localCheckpoint per round: materializes AND truncates lineage so
     # planning cost stays flat across rounds (SURVEY.md §7.3)
@@ -58,11 +66,22 @@ def bfs_distances(
         if max_depth is not None and dist >= max_depth:
             break
         seen_nearby = frontier.unionAll(prev)
+        # frontier rows <= |V| <= n_arcs (and seen = two frontiers):
+        # broadcast-gated sides keep the arc cache unshuffled per round
+        # (engine/partitioning.py state_join_side) — without the
+        # explicit hint the checkpointed frontier's unknown size
+        # statistics force a sort-merge join that re-exchanges and
+        # re-sorts the cached graph every round
+        fr = state_join_side(frontier, n_arcs, arc_parts, "vertex")
         nxt = (
-            frontier.join(arcs, frontier.vertex == arcs.src)
+            arcs.join(fr, arcs.src == fr.vertex)
             .select(F.col("dst").alias("vertex"))
             .distinct()
-            .join(seen_nearby, "vertex", "left_anti")
+            .join(
+                state_join_side(seen_nearby, 2 * n_arcs, arc_parts, "vertex"),
+                "vertex",
+                "left_anti",
+            )
             .localCheckpoint()
         )
         n = nxt.count()

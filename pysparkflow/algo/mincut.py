@@ -53,17 +53,30 @@ def min_cut(
     g2, s_id, t_id = graph.with_super_nodes(sources, sinks)
     spark = g2.spark
 
+    from pysparkflow.engine.partitioning import sized_partitions, state_join_side
+
     arcs = _residual_arcs(g2.edges, res.flows, broadcast_flows=True).persist()
+    # one count job materializes the cache (the first BFS round would
+    # have paid that anyway) and bounds the broadcast gate below
+    n_res = arcs.count()
+    arc_parts = sized_partitions(n_res, arcs)
     # directed BFS over residual arcs: frontier-only shuffles, the arc
-    # table is scanned from cache each round (schimmy)
+    # table is scanned from cache each round (schimmy); the frontier and
+    # reach sides are broadcast-gated (state_join_side) so the cached
+    # residual arcs are never re-exchanged or re-sorted per round
     reach = spark.createDataFrame([(int(s_id),)], "vertex long").persist()
     frontier = reach
     while True:
+        fr = state_join_side(frontier, n_res, arc_parts, "vertex")
         nxt = (
-            frontier.join(arcs, frontier.vertex == arcs.src)
+            arcs.join(fr, fr.vertex == arcs.src)
             .select(F.col("dst").alias("vertex"))
             .distinct()
-            .join(reach, "vertex", "left_anti")
+            .join(
+                state_join_side(reach, n_res, arc_parts, "vertex"),
+                "vertex",
+                "left_anti",
+            )
             .localCheckpoint()
         )
         if not nxt.take(1):
