@@ -50,7 +50,7 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def _shingle_pairs_hashed(
-    df: DataFrame, id_col: str, text_col: str, n: int
+    df: DataFrame, id_col: str, text_col: str, n: int, keep: tuple[str, ...] = ()
 ) -> DataFrame:
     """(id, sh, h): the per-doc DISTINCT shingle inverted index with the
     shingle's ``portable_hash32 mod p`` value — distinct BY CONSTRUCTION
@@ -73,9 +73,15 @@ def _shingle_pairs_hashed(
     from pysparkflow.functions.text import portable_hash32
 
     sh_arr = F.array_distinct(shingles(text_col, n))
+    extra = [F.col(c) for c in keep]
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh_arr).alias("sh"))
-        .select("id", "sh", F.pmod(portable_hash32("sh"), F.lit(_MH_PRIME)).alias("h"))
+        df.select(F.col(id_col).alias("id"), *extra, F.explode(sh_arr).alias("sh"))
+        .select(
+            "id",
+            *extra,
+            "sh",
+            F.pmod(portable_hash32("sh"), F.lit(_MH_PRIME)).alias("h"),
+        )
     )
 
 
@@ -99,14 +105,44 @@ def _minhash_sig_from_hashed(hashed: DataFrame, num_hashes: int, seed: int) -> D
     return hashed.groupBy("id").agg(*aggs)
 
 
+def _minhash_sig_from_hashed_keyed(
+    hashed: DataFrame, num_hashes: int, seed: int, *extra_keys: str
+) -> DataFrame:
+    """``_minhash_sig_from_hashed`` with passthrough group keys (columns
+    functionally determined by ``id``, e.g. a side tag whose ids are
+    disjoint): identical per-id signatures, one aggregation pass."""
+    a, b = _affine_params(num_hashes, seed)
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a[i]) + F.lit(b[i]), F.lit(_MH_PRIME))).alias(
+            f"m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("id", *extra_keys).agg(*aggs)
+
+
 def _jaccard_verify(
-    sh: DataFrame, threshold: float, cands: DataFrame | None = None
+    sh: DataFrame,
+    threshold: float,
+    cands: DataFrame | None = None,
+    n_cands: int | None = None,
 ) -> DataFrame:
     """Exact shingle Jaccard over pairs from the inverted index ``sh``
     (id, sh). With ``cands`` (id_a, id_b), only those pairs are scored
     (the LSH verify path); without, every pair sharing >= 1 shingle is
     (the full inverted-index self-join). Returns (id_a, id_b, jaccard)
-    with id_a < id_b, jaccard >= threshold."""
+    with id_a < id_b, jaccard >= threshold.
+
+    ``n_cands`` is the caller-known row count of ``cands`` (the LSH
+    callers materialize and count it anyway). When the candidate set is
+    small (guide §3.1: checkpointed/persisted intermediates have no size
+    statistics, so Catalyst never broadcasts them on its own), the
+    cands-side and sizes-side joins ship as explicit broadcasts — the
+    inverted index is probed in place instead of being exchanged for a
+    sort-merge join. Results are identical either way."""
+    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
+
+    small = n_cands is not None and 2 * n_cands <= STATE_BROADCAST_ROWS
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
@@ -118,15 +154,22 @@ def _jaccard_verify(
             .agg(F.count("*").alias("n_common"))
         )
     else:
+        cside = F.broadcast(cands) if small else cands
         common = (
-            cands.join(a, "id_a")
+            cside.join(a, "id_a")
             .join(b, ["id_b", "sh"])
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("n_common"))
         )
+    sz_a = sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"})
+    sz_b = sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"})
+    if small:
+        # sizes is bounded by the candidate-id count (the callers' sh is
+        # candidate-pruned); broadcast it rather than exchanging common
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
     return (
-        common.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -136,6 +179,33 @@ def _jaccard_verify(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _pruned_index(
+    sh: DataFrame, cands: DataFrame, n_cands: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The inverted index restricted to docs that appear in a candidate
+    pair, MATERIALIZED once. ``_jaccard_verify`` reads the pruned index
+    from four places (a-side, b-side, and the two sizes joins); left as a
+    lazy semi-join the whole prune re-executes per consumer — and because
+    persisted/checkpointed inputs carry no size statistics, each rerun
+    plans as a full sort-merge exchange of the index (observed: 8 x
+    ``SortMergeJoin LeftSemi`` in the r13 incremental_near_dup plan, the
+    dominant shuffle). Candidate-id sets up to the broadcast gate ship as
+    an explicit broadcast, so the prune is one map-only probe of the
+    cached index; bigger sets fall back to the shuffled semi-join."""
+    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
+
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .unionByName(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    if 2 * n_cands <= STATE_BROADCAST_ROWS:
+        cand_ids = F.broadcast(cand_ids)
+    return track(
+        sh.join(cand_ids, "id", "semi").select("id", *extra_cols, "sh")
     )
 
 
@@ -248,15 +318,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    # verify candidates with exact shingle Jaccard over the PRUNED
-    # inverted index (AQE broadcasts the candidate-id side when small)
-    sh = hashed.join(cand_ids, "id", "semi").select("id", "sh")
-    return _jaccard_verify(sh, threshold, cands=cands)
+    # the count both materializes the tracked candidate set (one compute,
+    # every consumer below reads the cache) and gates the broadcasts in
+    # the pruned verify
+    n_cands = cands.count()
+    sh = _pruned_index(hashed, cands, n_cands)
+    return _jaccard_verify(sh, threshold, cands=cands, n_cands=n_cands)
 
 
 def simhash_signatures(
@@ -431,14 +498,28 @@ def incremental_minhash_flags(
     identical from the bucket join onward."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
-    sh_new = track(_shingle_pairs_hashed(new_docs, id_col, text_col, shingle_n))
-    sh_old = track(_shingle_pairs_hashed(corpus, id_col, text_col, shingle_n))
-    b_new = _minhash_band_rows(
-        _minhash_sig_from_hashed(sh_new, num_hashes, seed), bands, r
+    # ONE shingling pass over both sides (the ids are disjoint by
+    # contract, so a side tag rides along and the union costs nothing):
+    # the previous two per-side passes each scanned the full source and
+    # persisted a separate index — one scan, one cache, one signature
+    # aggregation instead of two of each (guide §1.2: fewer passes)
+    tagged = new_docs.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col),
+        F.lit(True).alias("is_new"),
+    ).unionByName(
+        corpus.select(
+            F.col(id_col).alias(id_col), F.col(text_col).alias(text_col),
+            F.lit(False).alias("is_new"),
+        )
     )
-    b_old = _minhash_band_rows(
-        _minhash_sig_from_hashed(sh_old, num_hashes, seed), bands, r
+    sh_all = track(
+        _shingle_pairs_hashed(tagged, id_col, text_col, shingle_n, keep=("is_new",))
     )
+    # ids are disjoint across sides, so grouping by (id, is_new) is the
+    # same per-side grouping the two separate aggregations computed
+    sig_all = _minhash_sig_from_hashed_keyed(sh_all, num_hashes, seed, "is_new")
+    b_new = _minhash_band_rows(sig_all.where(F.col("is_new")).drop("is_new"), bands, r)
+    b_old = _minhash_band_rows(sig_all.where(~F.col("is_new")).drop("is_new"), bands, r)
     # cands feeds both the id pruning and the final verify join; without
     # materializing it the whole bipartite band join would run twice
     cands = track(
@@ -448,18 +529,11 @@ def incremental_minhash_flags(
         .select("id_a", "id_b")
         .distinct()
     )
-    # explode the inverted index only for docs inside a candidate pair
-    cand_ids = (
-        cands.select(F.col("id_a").alias("id"))
-        .unionByName(cands.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
-    sh = (
-        sh_new.unionByName(sh_old)
-        .join(cand_ids, "id", "semi")
-        .select("id", "sh")
-    )
-    scored = _jaccard_verify(sh, threshold, cands=cands)
+    # explode the inverted index only for docs inside a candidate pair —
+    # materialized once and broadcast-gated (see _pruned_index)
+    n_cands = cands.count()
+    sh = _pruned_index(sh_all, cands, n_cands)
+    scored = _jaccard_verify(sh, threshold, cands=cands, n_cands=n_cands)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("id_a").orderBy(

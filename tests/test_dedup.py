@@ -178,3 +178,95 @@ def test_simhash_near_dups_matches_bruteforce(spark):
     }
     assert got == expect
     assert (0, 100, 0) in got and (1, 101, 0) in got  # planted exact copies
+
+
+def test_lsh_verify_probes_index_without_sort_merge(spark):
+    """Small candidate sets: the candidate prune and Jaccard verify must
+    probe the persisted inverted index via broadcast joins — the r13
+    before-plan re-ran the lazy semi-join prune per consumer, planning
+    8 SortMergeJoin LeftSemi exchanges of the full index (persisted
+    inputs carry no size statistics, so Catalyst never broadcasts them
+    unaided)."""
+    from pysparkflow.llmops.dedup import incremental_minhash_flags
+
+    docs = _docs(spark)
+    for out in (
+        minhash_lsh_pairs(docs, threshold=0.5),
+        incremental_minhash_flags(
+            docs.where("doc_id % 2 = 1"), docs.where("doc_id % 2 = 0"),
+            threshold=0.3,
+        ),
+    ):
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the band-bucket self-join (candidate generation over the
+        # corpus-sized banded index) legitimately stays a shuffle join;
+        # the prune and verify must not
+        assert "SortMergeJoin LeftSemi" not in plan, plan[:2000]
+        assert "ShuffledHashJoin LeftSemi" not in plan, plan[:2000]
+
+
+def test_incremental_minhash_fused_pass_matches_per_side(spark):
+    """The fused one-scan shingle pass (side tag + keyed signature agg)
+    must reproduce the two-per-side computation exactly: same flags,
+    same best match, same jaccard."""
+    from pysparkflow.llmops.dedup import (
+        _jaccard_verify,
+        _minhash_band_rows,
+        _minhash_sig_from_hashed,
+        _shingle_pairs_hashed,
+    )
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),
+        (2, "completely different words about spark shuffles and partitions here"),
+        (3, "nothing like anything in the standing corpus at all whatsoever"),
+        (4, base.replace("today", "tonight")),
+        (5, base.replace("dog", "cat")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    new_docs = docs.where("doc_id % 2 = 1")
+    corpus = docs.where("doc_id % 2 = 0")
+
+    # reference: the pre-fusion per-side pipeline, inlined
+    num_hashes, bands, r = 32, 8, 4
+    sh_new = _shingle_pairs_hashed(new_docs, "doc_id", "text", 3)
+    sh_old = _shingle_pairs_hashed(corpus, "doc_id", "text", 3)
+    b_new = _minhash_band_rows(
+        _minhash_sig_from_hashed(sh_new, num_hashes, 42), bands, r
+    )
+    b_old = _minhash_band_rows(
+        _minhash_sig_from_hashed(sh_old, num_hashes, 42), bands, r
+    )
+    cands = (
+        b_new.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(b_old.select(F.col("id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = sh_new.unionByName(sh_old).select("id", "sh")
+    ref = {
+        (r2["id_a"], r2["id_b"]): round(r2["jaccard"], 9)
+        for r2 in _jaccard_verify(sh, 0.3, cands=cands).collect()
+    }
+
+    from pysparkflow.llmops.dedup import incremental_minhash_flags
+
+    got_rows = incremental_minhash_flags(new_docs, corpus, threshold=0.3).collect()
+    # every flagged (id, match_id, jaccard) must appear in the reference
+    # pair scores, and the best-match selection must agree with a driver
+    # recomputation over the reference
+    best = {}
+    for (ia, ib), j in ref.items():
+        cur = best.get(ia)
+        if cur is None or (j, -ib) > (cur[1], -cur[0]):
+            best[ia] = (ib, j)
+    got = {r2["id"]: (r2["match_id"], round(r2["jaccard"], 9)) for r2 in got_rows}
+    assert got == best, (got, best)
