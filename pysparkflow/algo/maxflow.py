@@ -44,8 +44,12 @@ effect the reference gets from spraying many excesses per round.
 
 Scale notes (100 TB): the edge table shuffles once at build; per-round
 shuffles move only the frontier (thin rows: vertex + walk-prefix arrays).
-Frontiers are persisted per round so the planner has real size stats and
-auto-broadcasts the small side of every join. Driver traffic per phase is
+Checkpointed frontiers carry NO size statistics, so Catalyst would plan
+every round's join sort-merge and exchange the arc cache once per round;
+the driver loop instead gates explicit broadcasts on the frontier/visited
+counts it already tracks (engine/partitioning.STATE_BROADCAST_ROWS — the
+same schimmy discipline as the pagerank family), falling back to the
+shuffle join above the gate. Driver traffic per phase is
 the meet candidates (bounded by ``max_candidates``) and the accepted-flow
 deltas — both tiny. All randomness is hash-seeded (ff1/Vertex.java:60
 discipline), so task retries and speculative execution are safe.
@@ -246,6 +250,8 @@ def _extend(
     seed: int,
     rnd: int,
     max_path_len: int | None,
+    n_frontier: int | None = None,
+    n_own: int | None = None,
 ) -> DataFrame:
     """One frontier extension round (D4 + D5 + D10).
 
@@ -255,9 +261,21 @@ def _extend(
     already-visited vertex of the same side are dropped (anti-join = the
     ``idSet``/``fset`` membership rejection of D4, ff5/MapFF.java:83-101),
     then per new vertex keep the K hash-random best (D10,
-    ff1/Vertex.java:118-131 — deterministic seed per ff1 discipline)."""
+    ff1/Vertex.java:118-131 — deterministic seed per ff1 discipline).
+
+    ``n_frontier`` / ``n_own`` are caller-known row counts (the loop
+    counts every frontier anyway): under STATE_BROADCAST_ROWS the
+    frontier and the visited set ship as explicit broadcasts, so the
+    static residual-arc cache is probed in place — checkpointed inputs
+    carry no size statistics and Catalyst would otherwise exchange and
+    sort the arc cache for BOTH joins every round (guide §2.4/§3.1).
+    Join results are identical either way."""
+    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
+
     if max_path_len is not None:
         frontier = frontier.where(F.size("verts") <= max_path_len)
+    if n_frontier is not None and n_frontier <= STATE_BROADCAST_ROWS:
+        frontier = F.broadcast(frontier)
     if forward:
         ext = frontier.join(arcs, frontier.vertex == arcs.src).select(
             F.col("dst").alias("vertex"),
@@ -270,7 +288,10 @@ def _extend(
             F.concat(F.array(F.col("src")), F.col("verts")).alias("verts"),
             F.concat(F.array(F.col("res")), F.col("ress")).alias("ress"),
         )
-    ext = ext.join(own_paths.select("vertex"), "vertex", "left_anti")
+    visited = own_paths.select("vertex")
+    if n_own is not None and n_own <= STATE_BROADCAST_ROWS:
+        visited = F.broadcast(visited)
+    ext = ext.join(visited, "vertex", "left_anti")
     pick = F.xxhash64("verts", F.lit(seed + rnd))
     if k == 1:
         # hash-aggregate with map-side partial combine — no window sort
@@ -332,8 +353,12 @@ def max_flow(
     phase_cache: list[DataFrame] = []
 
     # stored-path state carried across acceptance epochs (incremental mode):
-    # consolidated, repaired, localCheckpointed path tables per side
-    stored: tuple[DataFrame, DataFrame] | None = None
+    # consolidated, repaired, localCheckpointed path tables per side, plus
+    # per-side row-count UPPER BOUNDS (repair only drops rows, so the
+    # accumulated visited counts stay valid) — the broadcast gates below
+    # need a bound, never an exact count (guide §3.1)
+    stored: tuple[DataFrame, DataFrame, int, int] | None = None
+    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
 
     _seg("init", _t_init)
     while cfg.max_phases is None or metrics.phases < cfg.max_phases:
@@ -364,6 +389,7 @@ def max_flow(
             frontier_t = spark.createDataFrame([seed_rows[1]], _FRONTIER_SCHEMA)
             paths_s, paths_t = frontier_s, frontier_t
             n_s, n_t = 1, 1
+            v_s, v_t = 1, 1  # accumulated visited-count upper bounds
             _seg("seed", _t)
         else:
             # incremental restart: stored paths survive (repaired against
@@ -371,7 +397,7 @@ def max_flow(
             # of re-growing the whole BFS tree (the ff5 master
             # re-extension, ff5/ReduceFF.java:72-115)
             _t = _time.time()
-            paths_s, paths_t = stored
+            paths_s, paths_t, v_s, v_t = stored
             frontier_s, frontier_t = paths_s, paths_t
             # stored pairs meeting at a vertex were not all accepted last
             # epoch — re-collect them before spending any rounds
@@ -380,6 +406,8 @@ def max_flow(
                 F.col("verts").alias("o_verts"),
                 F.col("ress").alias("o_ress"),
             )
+            if v_t <= STATE_BROADCAST_ROWS:
+                o = F.broadcast(o)
             meets_df = (
                 paths_s.join(o, "vertex")
                 .orderBy("vertex", F.xxhash64("verts"))
@@ -393,6 +421,7 @@ def max_flow(
                 f_meets = pool.submit(meets_df.collect)
                 n_s, n_t = f_ns.result(), f_nt.result()
                 meets = f_meets.result()
+            v_s, v_t = n_s, n_t  # exact post-repair counts tighten the bounds
             candidates = [(r, True) for r in meets]
             _seg("restart_meet", _t)
 
@@ -418,6 +447,8 @@ def max_flow(
                 cfg.seed,
                 rnd,
                 cfg.max_path_len,
+                n_frontier=n_s if extend_s else n_t,
+                n_own=v_s if extend_s else v_t,
             ).localCheckpoint()  # materialize + truncate lineage (one job)
             other = paths_t if extend_s else paths_s
             o = other.select(
@@ -425,6 +456,10 @@ def max_flow(
                 F.col("verts").alias("o_verts"),
                 F.col("ress").alias("o_ress"),
             )
+            if (v_t if extend_s else v_s) <= STATE_BROADCAST_ROWS:
+                # the opposite side's path table is bounded by its visited
+                # count — probe the fresh frontier in place for the meet
+                o = F.broadcast(o)
             meets_df = (
                 new_f.join(o, "vertex")
                 .orderBy("vertex", F.xxhash64("verts"))
@@ -447,8 +482,10 @@ def max_flow(
                 # schedules 32 x rounds map tasks of a few hundred rows
                 if extend_s:
                     paths_s = paths_s.unionAll(new_f).coalesce(n_shuffle)
+                    v_s += n_new
                 else:
                     paths_t = paths_t.unionAll(new_f).coalesce(n_shuffle)
+                    v_t += n_new
                 if meets:
                     candidates.extend((r, extend_s) for r in meets)
             if candidates:
@@ -555,6 +592,8 @@ def max_flow(
             stored = (
                 tagged.where(F.col("_side") == "s").drop("_side"),
                 tagged.where(F.col("_side") == "t").drop("_side"),
+                v_s,
+                v_t,
             )
         else:
             stored = None
@@ -581,19 +620,32 @@ def max_flow(
     phase_cache.clear()
     if cfg.validate:
         _t = _time.time()
-        _validate(edges, flows, s_id, t_id, total)
+        _validate(edges, flows, s_id, t_id, total, n_flows=flow_edge_count)
         _seg("validate", _t)
     edges.unpersist()
     return MaxFlowResult(value=total, flows=flows, s_id=s_id, t_id=t_id, metrics=metrics)
 
 
-def _validate(edges: DataFrame, flows: DataFrame, s_id: int, t_id: int, total: int) -> None:
+def _validate(
+    edges: DataFrame,
+    flows: DataFrame,
+    s_id: int,
+    t_id: int,
+    total: int,
+    n_flows: int | None = None,
+) -> None:
     """The reference's fail-fast runtime invariants (SURVEY.md §5.2 /
     FIXTURES.md §6): capacity bounds (ff1/Edge.java:66-71) and per-vertex
     conservation with source/sink imbalance == reported value
-    (ff1/Vertex.java:161-162)."""
+    (ff1/Vertex.java:161-162). ``n_flows`` (the caller's exact
+    flow_edge_count) gates an explicit broadcast of the checkpointed
+    flows side — statless, it would otherwise SMJ-exchange the edge
+    cache."""
+    fl = flows
+    if n_flows is not None and n_flows <= _FLOW_BROADCAST_LIMIT:
+        fl = F.broadcast(flows)
     bad_cap_df = (
-        flows.join(edges, ["u", "v"])
+        fl.join(edges, ["u", "v"])
         .where(F.abs(F.col("f")) > F.col("cap"))
     )
     net = (

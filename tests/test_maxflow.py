@@ -241,3 +241,33 @@ def test_approx_early_stop_strictly_earlier_than_exact(spark):
     assert approx.metrics.early_stop_phase == approx.metrics.phases
     assert approx.metrics.phases < exact.metrics.phases
     assert 100 <= approx.value < exact.value
+
+
+def test_extend_probes_arc_cache_without_sort_merge(spark):
+    """The per-round extension and visited anti-join must probe the
+    cached residual-arc table via broadcast joins when the driver-known
+    frontier/visited counts sit under the gate — checkpointed frontiers
+    carry no size statistics, so Catalyst otherwise exchanges and sorts
+    the arc cache for BOTH joins every round (the r13 probe measured
+    77 MB of per-query shuffle, 11 MB after gating)."""
+    from pysparkflow.algo.maxflow import _extend, _residual_arcs
+
+    edges = [(10, 11, 3), (11, 12, 2), (12, 13, 5), (11, 13, 4)]
+    g = _build(spark, edges)
+    arcs = _residual_arcs(g.edges.persist(), None, True).persist()
+    seed = spark.createDataFrame(
+        [(10, [10], [])], "vertex long, verts array<long>, ress array<long>"
+    )
+    f1 = _extend(seed, arcs, seed, True, 1, 42, 1, None, n_frontier=1, n_own=1).localCheckpoint()
+    out = _extend(f1, arcs, f1, True, 1, 42, 2, None, n_frontier=2, n_own=3)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # ungated (counts unknown) keeps the legacy shuffle-join fallback
+    fallback = _extend(f1, arcs, f1, True, 1, 42, 2, None)
+    fplan = fallback._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in fplan
