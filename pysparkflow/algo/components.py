@@ -99,9 +99,16 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        # convergence check: both sides are checkpointed |V|-row tables
+        # with no size statistics — gate the old-labels side so the
+        # fresh table is probed in place instead of a per-round
+        # sort-merge exchange of both
         changed = (
             doubled.alias("n")
-            .join(labels.alias("o"), "vertex")
+            .join(
+                state_join_side(labels.alias("o"), n_arcs, arc_parts, "vertex"),
+                "vertex",
+            )
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )

@@ -74,8 +74,11 @@ def pagerank(
     )
     arc_parts = sized_partitions(n_edges, edges)
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
-    # static side: edges with outdegree attached, cached once (schimmy)
-    arcs = e.join(deg, "u").persist()
+    # static side: edges with outdegree attached, cached once (schimmy).
+    # The degree side (<= n_edges rows) is broadcast-gated: the aggregate
+    # output otherwise re-exchanges and Catalyst sort-merge-joins it
+    # against the edge cache — one avoidable |E|-sort per query at build
+    arcs = e.join(state_join_side(deg, n_edges, arc_parts, "u"), "u").persist()
     verts = arcs.select(F.col("u").alias("vertex")).distinct().persist()
     n = verts.count()  # materializes arcs/verts from e's cache
     e.unpersist()  # rounds scan arcs; the raw edge cache is done
@@ -174,8 +177,9 @@ def personalized_pagerank(
     track(e)  # register the persisted copy for the caller's release
     deg = e.groupBy("u").agg(F.count("*").alias("outdeg"))
     # tracked persists: the returned lazy ranks plan still scans these;
-    # callers release via engine/cache.release_tracked after consuming
-    arcs = track(e.join(deg, "u"))
+    # callers release via engine/cache.release_tracked after consuming.
+    # deg broadcast-gated as in pagerank (one fewer |E| sort at build)
+    arcs = track(e.join(state_join_side(deg, n_edges, arc_parts, "u"), "u"))
     verts = track(arcs.select(F.col("u").alias("vertex")).distinct())
     seeds = [int(s) for s in sources]
     if validate:

@@ -112,10 +112,14 @@ def label_propagation(
             labels = new.select("vertex", F.col("_new").alias("label"))
         else:
             # message-less vertices keep their label (no silent shrink on
-            # graphs where some vertex receives nothing this round)
-            labels = labels.join(new, "vertex", "left").select(
-                "vertex", F.coalesce("_new", "label").alias("label")
-            )
+            # graphs where some vertex receives nothing this round); the
+            # winner table (<= |V| <= n_arcs rows) is broadcast-gated so
+            # the checkpointed (statless) labels side is probed in place
+            labels = labels.join(
+                state_join_side(new, n_arcs, arc_parts, "vertex"),
+                "vertex",
+                "left",
+            ).select("vertex", F.coalesce("_new", "label").alias("label"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
             labels = labels.localCheckpoint()
     return labels
