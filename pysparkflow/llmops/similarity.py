@@ -325,40 +325,15 @@ def embedding_near_dups_lsh(
         .distinct()
     )
     # normalize ONCE per vector (not per candidate pair); the verify dot
-    # then runs as one Arrow-batched numpy row-wise product per partition
-    # (zip_with/aggregate HigherOrderFunctions evaluate INTERPRETED in
-    # Catalyst — at low thresholds the candidate set approaches all-pairs
-    # and the interpreted per-pair fold dominated the whole operator)
+    # then runs as one Arrow-batched numpy row-wise product per partition.
+    # _normalized_rows is the bit-exact kernel form of the old Catalyst
+    # transform/try_divide expression (r13 opt: the transform lambda
+    # re-evaluated the l2_norm fold per ELEMENT — O(dim^2) interpreted;
+    # zero-norm -> zero vector and the ADVICE-r12 NULL semantics are
+    # preserved clause by clause, see the kernel docstring)
     import pandas as pd
 
-    from pysparkflow.functions.vector import l2_norm
-
-    nrm = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            # try_divide + coalesce (the functions/vector.py r9 pattern,
-            # aligned with the _veckernel zero-branch): a zero COMPUTED
-            # norm — true zero vectors and full-underflow rows whose
-            # squares all flush to 0 — normalizes to the zero vector
-            # (cos 0 with everything); any nonzero norm divides
-            # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
-            # underflow rows by 1e-300, manufacturing ~1e100 elements
-            # and false near-dup pairs.
-            # NULL handling (ADVICE r12): the coalesce also maps NULL
-            # ELEMENTS — and vectors whose norm folds to NULL — to 0.0
-            # components rather than propagating NULL. That is the
-            # module's documented precondition (embeddings must be
-            # non-NULL, the semdedup contract); a partially-NULL row is
-            # malformed input and participates as if its NULL dims were
-            # zero instead of poisoning the whole similarity pass.
-            F.col(vec_col),
-            lambda x: F.coalesce(
-                F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),
-                F.lit(0.0),
-            ),
-        ).alias("nv"),
-    )
-    nrm = track(nrm)
+    nrm = track(_normalized_rows(emb, id_col, vec_col))
     va = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
     vb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
     thr = float(threshold)
@@ -414,8 +389,6 @@ def knn_graph(
 
     from pyspark.sql.window import Window
 
-    from pysparkflow.functions.vector import l2_norm
-
     banded = _band_buckets(emb, id_col, vec_col, n_bits, bands, dim, seed)
     cands = (
         banded.select(F.col("id").alias("id_a"), "bucket")
@@ -424,32 +397,11 @@ def knn_graph(
         .select("id_a", "id_b")
         .distinct()
     )
-    nrm = emb.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            # try_divide + coalesce (the functions/vector.py r9 pattern,
-            # aligned with the _veckernel zero-branch): a zero COMPUTED
-            # norm — true zero vectors and full-underflow rows whose
-            # squares all flush to 0 — normalizes to the zero vector
-            # (cos 0 with everything); any nonzero norm divides
-            # IEEE-exact. The old greatest(norm, 1e-300) clamp divided
-            # underflow rows by 1e-300, manufacturing ~1e100 elements
-            # and false near-dup pairs.
-            # NULL handling (ADVICE r12): the coalesce also maps NULL
-            # ELEMENTS — and vectors whose norm folds to NULL — to 0.0
-            # components rather than propagating NULL. That is the
-            # module's documented precondition (embeddings must be
-            # non-NULL, the semdedup contract); a partially-NULL row is
-            # malformed input and participates as if its NULL dims were
-            # zero instead of poisoning the whole similarity pass.
-            F.col(vec_col),
-            lambda x: F.coalesce(
-                F.try_divide(x.cast("double"), l2_norm(F.col(vec_col))),
-                F.lit(0.0),
-            ),
-        ).alias("nv"),
-    )
-    nrm = track(nrm)
+    # bit-exact kernel form of the old Catalyst transform/try_divide
+    # normalize (r13 opt — see _normalized_rows; O(dim^2) interpreted
+    # evals per row replaced by one vectorized Arrow pass, zero-norm and
+    # ADVICE-r12 NULL semantics preserved clause by clause)
+    nrm = track(_normalized_rows(emb, id_col, vec_col))
     va = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("va"))
     vb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("vb"))
 
@@ -491,6 +443,84 @@ def knn_graph(
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def _normalized_rows(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, nv): per-vector L2 normalization as ONE Arrow-batched numpy
+    pass, arithmetic BIT-IDENTICAL to the Catalyst expression it replaces
+    (``transform(vec, x -> coalesce(try_divide(x, l2_norm(vec)), 0.0))``).
+
+    Why a kernel (guide §4.2, r13 opt): Catalyst higher-order functions
+    evaluate INTERPRETED, and the transform lambda re-evaluates the
+    ``l2_norm`` fold once PER ELEMENT — O(dim^2) interpreted expression
+    evals per row (measured 19.6/24.8 executor-CPU-sec at sf0.1 for the
+    two consumers; the kernel is O(dim) vectorized).
+
+    Bit-exactness contract (each clause mirrors the Catalyst path):
+    * squares are summed SEQUENTIALLY left-to-right in float64 — the
+      ``F.aggregate`` fold order, reproduced as a vectorized per-dim
+      accumulate (0.0 + x_0^2 + x_1^2 + ...), so the norm is the same
+      double bit pattern, subnormal/overflow behavior included;
+    * a computed norm of exactly 0.0 (true zero vectors, full-underflow
+      rows) -> the ZERO vector (try_divide NULL -> coalesce 0.0, the
+      shared _veckernel zero-branch contract);
+    * a NaN/inf norm propagates through the same IEEE division (one
+      boundary artifact: Arrow's pandas->JVM conversion reads NaN list
+      elements as NULL, so a NaN COMPONENT surfaces as NULL in ``nv``
+      where the Catalyst path kept NaN — both read back as NaN through
+      ``np.asarray`` in the downstream verify kernels, so every operator
+      OUTPUT is unchanged; pinned by
+      tests/test_similarity.py::test_normalized_rows_matches_catalyst);
+    * any NULL ELEMENT nulls the Catalyst norm, so every component
+      coalesces to 0.0 -> the whole row becomes the zero vector (the
+      ADVICE-r12-documented malformed-input behavior). NULL elements
+      are detected JVM-side (``exists(vec, isnull)``, an O(dim)
+      interpreted pass) because Arrow->pandas folds NULL and NaN
+      elements together;
+    * a NULL vector stays NULL.
+    """
+    import pandas as pd
+
+    def op(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            arrs = list(pdf["v"])
+            none_mask = np.array([a is None for a in arrs], dtype=bool)
+            has_null = pdf["_hn"].fillna(False).to_numpy(dtype=bool)
+            width = 0
+            for a in arrs:
+                if a is not None:
+                    width = len(a)
+                    break
+            X = np.asarray(
+                [a if a is not None else np.zeros(width) for a in arrs],
+                dtype=np.float64,
+            )
+            acc = np.zeros(len(X), dtype=np.float64)
+            for d in range(X.shape[1]):
+                xd = X[:, d]
+                acc = acc + xd * xd  # sequential fold order per row
+            nrm = np.sqrt(acc)
+            zero = nrm == 0.0
+            NV = X / np.where(zero, np.nan, nrm)[:, None]
+            NV[zero] = 0.0
+            NV[has_null] = 0.0
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "nv": [
+                        None if none_mask[i] else NV[i]
+                        for i in range(len(arrs))
+                    ],
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.exists(F.col(vec_col), lambda x: x.isNull()).alias("_hn"),
+    ).mapInPandas(op, "id long, nv array<double>")
 
 
 def _fit_centroids_sample(

@@ -237,3 +237,63 @@ def test_knn_graph_symmetric_scoring(spark, emb):
     for (a, b), c in sc.items():
         if (b, a) in sc:
             assert abs(sc[(b, a)] - c) < 1e-12
+
+
+def test_normalized_rows_matches_catalyst(spark, emb):
+    """_normalized_rows (the r13 Arrow normalize kernel) is BIT-identical
+    to the Catalyst transform/try_divide expression it replaced, on real
+    data and on the pathological battery (zero vectors, underflow,
+    NULL element, NULL vector, inf, overflow, -0.0). The one documented
+    boundary artifact: a NaN component surfaces as NULL in nv (Arrow
+    nan-as-null on the pandas->JVM hop) — both forms read back as NaN
+    through np.asarray in the downstream verify kernels."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from pysparkflow.functions.vector import l2_norm
+    from pysparkflow.llmops.similarity import _normalized_rows
+
+    path = spark.createDataFrame(
+        [
+            (100001, [0.0] * 64),
+            (100002, [1e-200] * 64),
+            (100003, [float("nan")] + [1.0] * 63),
+            (100004, [None] + [1.0] * 63),
+            (100005, None),
+            (100006, [float("inf")] + [1.0] * 63),
+            (100007, [-0.0] * 64),
+            (100008, [1e200] * 64),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for df in (emb, path):
+        old = df.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.coalesce(
+                    F.try_divide(x.cast("double"), l2_norm(F.col("embedding"))),
+                    F.lit(0.0),
+                ),
+            ).alias("nv"),
+        )
+        o = {r["id"]: r["nv"] for r in old.collect()}
+        n = {
+            r["id"]: r["nv"]
+            for r in _normalized_rows(df, "vec_id", "embedding").collect()
+        }
+        assert o.keys() == n.keys()
+        for k in o:
+            a, b = o[k], n[k]
+            if a is None or b is None:
+                assert a is None and b is None, k
+                continue
+            assert len(a) == len(b), k
+            for x, y in zip(a, b):
+                if x is not None and math.isnan(x):
+                    # documented boundary artifact: NaN -> NULL in nv
+                    assert y is None or math.isnan(y), (k, x, y)
+                    continue
+                assert struct.pack("<d", x) == struct.pack("<d", y), (k, x, y)

@@ -27,6 +27,8 @@ def parse_eventlog(path: str) -> dict:
     jobs = stages = tasks = 0
     sh_read = sh_write = 0
     input_bytes = 0
+    cpu_ns = run_ms = 0
+    gc_ms = fetch_ms = wrt_ns = deser_ms = rser_ms = 0
     for line in open(path):
         try:
             ev = json.loads(line)
@@ -48,6 +50,17 @@ def parse_eventlog(path: str) -> dict:
                 "Shuffle Bytes Written", 0
             )
             input_bytes += (m.get("Input Metrics") or {}).get("Bytes Read", 0)
+            cpu_ns += m.get("Executor CPU Time", 0)
+            run_ms += m.get("Executor Run Time", 0)
+            gc_ms += m.get("JVM GC Time", 0)
+            fetch_ms += (m.get("Shuffle Read Metrics") or {}).get(
+                "Fetch Wait Time", 0
+            )
+            wrt_ns += (m.get("Shuffle Write Metrics") or {}).get(
+                "Shuffle Write Time", 0
+            )
+            deser_ms += m.get("Executor Deserialize Time", 0)
+            rser_ms += m.get("Result Serialization Time", 0)
     return {
         "jobs": jobs,
         "stages": stages,
@@ -55,6 +68,18 @@ def parse_eventlog(path: str) -> dict:
         "shuffle_read_mb": round(sh_read / 1e6, 2),
         "shuffle_write_mb": round(sh_write / 1e6, 2),
         "input_mb": round(input_bytes / 1e6, 2),
+        # total executor work (sum over tasks): CPU time measures cycles
+        # actually burned, far less host-noise-sensitive than wall clock
+        "executor_cpu_sec": round(cpu_ns / 1e9, 2),
+        "executor_run_sec": round(run_ms / 1e3, 2),
+        # run - cpu attribution (all sums over tasks): where blocked
+        # task time goes — GC, shuffle fetch waits, shuffle spill/write,
+        # task deserialize, result serialize
+        "jvm_gc_sec": round(gc_ms / 1e3, 2),
+        "fetch_wait_sec": round(fetch_ms / 1e3, 2),
+        "shuffle_write_sec": round(wrt_ns / 1e9, 2),
+        "task_deser_sec": round(deser_ms / 1e3, 2),
+        "result_ser_sec": round(rser_ms / 1e3, 2),
     }
 
 
