@@ -38,24 +38,56 @@ def cooccurrence_similarity(
     hubs would contribute width^2 pairs and no signal). Returns
     (item_a, item_b, co_count, jaccard) with item_a < item_b; jaccard
     is a plain int/int division — an exact double across engines."""
-    bi = baskets.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
-    ok = (
-        bi.groupBy("b")
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") <= max_basket)
-        .select("b")
-    )
-    bi = bi.join(ok, "b")
-    deg = bi.groupBy("i").agg(F.count("*").alias("n"))
-    pairs = (
-        bi.alias("x")
-        .join(bi.alias("y"), "b")
-        .where(F.col("x.i") < F.col("y.i"))
-        .groupBy(
-            F.col("x.i").alias("item_a"), F.col("y.i").alias("item_b")
+    from pysparkflow.engine.cache import track
+
+    # r13 opt (guide §2.2/§1.2): ONE shuffle of the bipartite table (the
+    # groupBy-basket collect_set, which dedups (b, i) as it aggregates)
+    # replaces the old distinct -> width-agg -> semi-join -> self-join
+    # chain, which exchanged the (basket, item) table four times. Pair
+    # generation becomes MAP-SIDE array combinatorics over each basket's
+    # sorted item set — still bounded by basket width, never item
+    # popularity, exactly as before (array_sort uses the same type
+    # ordering as the old ``x.i < y.i`` join predicate, so pair identity
+    # and orientation are unchanged).
+    #
+    # NULL-key equivalence with the old join form: NULL baskets never
+    # produced pairs or degree rows (inner join on b), so they are
+    # filtered up front; a NULL ITEM never pairs and its degree row was
+    # output-invisible, but it DID count toward the old width filter
+    # (distinct kept the (b, NULL) row) — the has-null flag restores
+    # that one observable effect.
+    grouped = (
+        baskets.where(F.col(basket_col).isNotNull())
+        .groupBy(F.col(basket_col).alias("b"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col(item_col))
+            ).alias("s"),
+            F.max(F.col(item_col).isNull()).alias("hn"),
         )
+        .where(
+            F.size("s") + F.when(F.col("hn"), 1).otherwise(0)
+            <= F.lit(max_basket)
+        )
+        .select("s")
+    )
+    grouped = track(grouped)  # consumed twice: pair gen + degrees
+    deg = (
+        grouped.select(F.explode("s").alias("i"))
+        .groupBy("i")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        grouped.select(
+            F.col("s"), F.posexplode("s").alias("p", "item_a")
+        )
+        .select(
+            "item_a",
+            F.explode(
+                F.slice("s", F.col("p") + F.lit(2), F.size("s"))
+            ).alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("co_count"))
         .where(F.col("co_count") >= min_count)
     )
