@@ -82,7 +82,10 @@ def bfs_distances(
                 "vertex",
                 "left_anti",
             )
-            .localCheckpoint()
+            # lazy + count: the count job computes every partition, so it
+            # materializes the checkpoint itself — one job per round
+            # instead of checkpoint-job + count-job (r13 opt, guide §2.6)
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         if n == 0:
@@ -98,10 +101,17 @@ def bfs_distances(
             merged = levels[0]
             for lv in levels[1:]:
                 merged = merged.unionAll(lv)
-            levels = [merged.localCheckpoint()]
+            # lazy: every level is already a materialized checkpoint, so
+            # the fold only needs the PLAN truncated — the final consumer
+            # computes the union once; an eager cut here re-copied every
+            # accumulated row per fold (r13 opt)
+            levels = [merged.localCheckpoint(eager=False)]
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionAll(lv)
-    out = out.localCheckpoint()
+    # lazy for the same reason: out unions checkpointed frontiers only
+    # (no arc lineage), and the caller's first action materializes it —
+    # the eager job was a pure extra pass over the result
+    out = out.localCheckpoint(eager=False)
     arcs.unpersist()
     return out

@@ -59,7 +59,10 @@ def connected_components(
             F.col("a").alias("vertex"),
             F.least(F.col("a"), F.col("nb_min")).alias("component"),
         )
-        .localCheckpoint()
+        # lazy: round 1's first job over labels computes every partition
+        # and materializes the checkpoint — the eager cut was one extra
+        # dedicated job (r13 opt; plan truncation is identical)
+        .localCheckpoint(eager=False)
     )
     from pysparkflow.engine.partitioning import state_join_side
 
@@ -97,7 +100,10 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("ll"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            # lazy + the convergence count below: the count job streams
+            # every doubled partition through the join, materializing the
+            # checkpoint in the same job (r13 opt)
+            .localCheckpoint(eager=False)
         )
         # convergence check: both sides are checkpointed |V|-row tables
         # with no size statistics — gate the old-labels side so the

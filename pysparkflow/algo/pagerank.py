@@ -129,7 +129,9 @@ def pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: the next round's first job over ranks materializes
+            # the checkpoint — no dedicated cut job (r13 opt)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -236,5 +238,7 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            # lazy: the next round's first job over ranks materializes
+            # the checkpoint — no dedicated cut job (r13 opt)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

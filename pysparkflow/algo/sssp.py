@@ -96,5 +96,7 @@ def bounded_sssp(
             .agg(F.min("dist").alias("dist"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < max_hops:
-            dist = dist.localCheckpoint()
+            # lazy: the next round's first job over dist materializes
+            # the checkpoint — no dedicated cut job (r13 opt)
+            dist = dist.localCheckpoint(eager=False)
     return dist

@@ -45,7 +45,11 @@ def kcore_vertices(
     Lineage truncates every round (see the loop comment — a peel
     round's plan references the edge table three times, so anything
     less than per-round truncation grows the plan tree 3^rounds)."""
-    from pysparkflow.engine.partitioning import sized_cache
+    from pysparkflow.engine.partitioning import (
+        sized_cache,
+        sized_partitions,
+        state_join_side,
+    )
 
     # edge table cached once at the data-sized partition count
     # (engine/partitioning.py): the partition count is every peel
@@ -54,6 +58,7 @@ def kcore_vertices(
     # is carried across rounds: this round's n_before IS last round's
     # n_after, so no per-round recount.
     e, n_before = sized_cache(canonical_edges(edges, src, dst), "a")
+    arc_parts = sized_partitions(n_before, e)
     rounds = 0
     while True:
         deg = (
@@ -63,8 +68,19 @@ def kcore_vertices(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("v").persist()
-        ka = keep.select(F.col("v").alias("a"))
-        kb = keep.select(F.col("v").alias("b"))
+        # surviving vertices <= 2 * surviving edges (each edge holds 2
+        # endpoints), so the broadcast gate bound is driver-known from
+        # last round's convergence count. Without the explicit hint the
+        # persisted keep set has no size statistics and both per-round
+        # semi-joins plan sort-merge — re-exchanging and re-sorting the
+        # (checkpointed) edge table twice per peel round
+        # (engine/partitioning.py state_join_side, guide §2.4/§3.1).
+        ka = state_join_side(
+            keep.select(F.col("v").alias("a")), 2 * n_before, arc_parts, "a"
+        )
+        kb = state_join_side(
+            keep.select(F.col("v").alias("b")), 2 * n_before, arc_parts, "b"
+        )
         # localCheckpoint EVERY round, not persist + an occasional cut:
         # each round's plan references e THREE times (deg + both semi
         # joins), so the lineage tree grows 3^rounds — persist bounds
@@ -72,7 +88,14 @@ def kcore_vertices(
         # rendering of a deep peel OOM'd the driver (seen at round ~4
         # on a loaded heap). The round materializes anyway for the
         # convergence count, so truncation here is nearly free.
-        e2 = e.join(ka, "a", "left_semi").join(kb, "b", "left_semi").localCheckpoint()
+        # lazy + count below: the convergence count computes every
+        # partition, materializing the checkpoint in the same job
+        # (was checkpoint-job + count-job; r13 opt)
+        e2 = (
+            e.join(ka, "a", "left_semi")
+            .join(kb, "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
         # stable iff no edge was dropped (vertex counts can't change
         # without edge counts changing)
         n_after = e2.count()

@@ -121,7 +121,9 @@ def label_propagation(
                 "left",
             ).select("vertex", F.coalesce("_new", "label").alias("label"))
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
-            labels = labels.localCheckpoint()
+            # lazy: the next round's first job over labels materializes
+            # the checkpoint — no dedicated cut job (r13 opt)
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
