@@ -633,10 +633,20 @@ def span_dedup(
     data this operator removes."""
     from pyspark.sql.window import Window
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the words array is projected ONCE below the span generator: with
+    # the split inlined in the lambda, the interpreted higher-order
+    # transform re-evaluated split(trim(text)) per SPAN INDEX —
+    # O(words^2 / chunk) re-tokenization per document (the same
+    # interpreted-lambda trap as the similarity normalize, r13 opt;
+    # CollapseProject keeps the projection separate because the alias
+    # is referenced more than once and split is non-cheap)
+    words = F.col("_ws")
     n_spans = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     spans = df.select(
         F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_ws"),
+    ).select(
+        "id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_spans - 1),

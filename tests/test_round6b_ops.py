@@ -111,6 +111,32 @@ def test_cooccurrence_similarity_jaccard(spark):
     assert abs(r["jaccard"] - 2 / 3) < 1e-12
 
 
+def test_cooccurrence_null_keys_match_join_semantics(spark):
+    """r13 opt pin: the window-based hub filter must keep the old join
+    form's NULL-key behavior — a NULL basket contributes nothing, a NULL
+    item never pairs and never surfaces in degrees, but DOES count
+    toward the basket-width hub filter (a 3-item basket with a NULL
+    item is 4 wide and must be hub-dropped at max_basket=3)."""
+    from pysparkflow.operators.cooccurrence import cooccurrence_similarity
+
+    rows = [
+        # basket a: 3 real items + NULL -> width 4 -> dropped at mb=3
+        ("a", 1), ("a", 2), ("a", 3), ("a", None),
+        # baskets b, c: items 1,2 together twice
+        ("b", 1), ("b", 2), ("c", 1), ("c", 2), ("c", None),
+        # NULL basket: contributes nothing anywhere
+        (None, 1), (None, 2),
+    ]
+    df = spark.createDataFrame(rows, "b string, i int")
+    got = cooccurrence_similarity(df, "b", "i", min_count=2, max_basket=3)
+    out = got.collect()
+    assert len(out) == 1
+    r = out[0]
+    # basket c is width 3 (2 items + NULL) -> kept; co=2 over deg 2,2
+    assert (r["item_a"], r["item_b"], r["co_count"]) == (1, 2, 2)
+    assert abs(r["jaccard"] - 2 / 2) < 1e-12
+
+
 def test_nucleus_select_prefix(spark):
     from pysparkflow.llmops.sampling import nucleus_select
 

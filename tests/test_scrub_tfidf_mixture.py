@@ -121,6 +121,46 @@ def test_span_dedup_short_doc_is_identity(spark):
     assert r["n_spans"] == 1 and r["n_dropped"] == 0
 
 
+def test_span_dedup_splits_text_once_per_doc(spark):
+    """r13 opt pin: the span generator reads a PROJECTED words array
+    (one split per document). With the split inlined in the transform
+    lambda, the interpreted higher-order function re-tokenized the full
+    text once per SPAN — O(words^2/chunk) per doc (measured 20.3s vs
+    0.9s on 2000 x 3000-word docs). The plan must carry exactly one
+    split(...) under the generate, and results must match the naive
+    expression on a multi-span doc with irregular whitespace."""
+    words = [f"w{i % 7}" for i in range(100)]
+    text = "  " + "  ".join(words) + " "
+    df = _docs(spark, [(1, "s", text), (2, "s", " ".join(words[:50]))])
+    out = span_dedup(df, chunk_words=16)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"\bsplit\(trim", plan)) == 1, plan
+    got = {r["id"]: r for r in out.collect()}
+    # naive reference: spans of the python-split word list
+    for doc_id, t in ((1, text), (2, " ".join(words[:50]))):
+        ws = t.strip().split()
+        spans = [
+            " ".join(ws[i : i + 16]) for i in range(0, len(ws), 16)
+        ]
+        assert got[doc_id]["n_spans"] == len(spans)
+    # doc 1 contains every doc-2 span pattern? no — just check doc 2's
+    # surviving text equals first-occurrence reassembly across the corpus
+    seen: set = set()
+    for doc_id in (1, 2):
+        ws = (text if doc_id == 1 else " ".join(words[:50])).strip().split()
+        spans = [" ".join(ws[i : i + 16]) for i in range(0, len(ws), 16)]
+        keep = []
+        for s in spans:
+            if s not in seen:
+                keep.append(s)
+                seen.add(s)
+        assert got[doc_id]["text_clean"] == " ".join(keep), doc_id
+
+
 # ---------------------------------------------------------------- mixture
 
 
