@@ -47,9 +47,12 @@ shuffles move only the frontier (thin rows: vertex + walk-prefix arrays).
 Checkpointed frontiers carry NO size statistics, so Catalyst would plan
 every round's join sort-merge and exchange the arc cache once per round;
 the driver loop instead gates explicit broadcasts on the frontier/visited
-counts it already tracks (engine/partitioning.STATE_BROADCAST_ROWS — the
-same schimmy discipline as the pagerank family), falling back to the
-shuffle join above the gate. Driver traffic per phase is
+counts it already tracks (the same schimmy discipline as the pagerank
+family), falling back to the shuffle join above the gate. Path-carrying
+sides (frontier, stored-path meet) gate on ESTIMATED BYTES — rows x
+(24 + 16*path-length bound) against engine/partitioning.
+STATE_BROADCAST_BYTES — because their rows are arrays, not scalars; the
+narrow visited column keeps the STATE_BROADCAST_ROWS row gate. Driver traffic per phase is
 the meet candidates (bounded by ``max_candidates``) and the accepted-flow
 deltas — both tiny. All randomness is hash-seeded (ff1/Vertex.java:60
 discipline), so task retries and speculative execution are safe.
@@ -252,6 +255,7 @@ def _extend(
     max_path_len: int | None,
     n_frontier: int | None = None,
     n_own: int | None = None,
+    frontier_row_bytes: int | None = None,
 ) -> DataFrame:
     """One frontier extension round (D4 + D5 + D10).
 
@@ -264,17 +268,28 @@ def _extend(
     ff1/Vertex.java:118-131 — deterministic seed per ff1 discipline).
 
     ``n_frontier`` / ``n_own`` are caller-known row counts (the loop
-    counts every frontier anyway): under STATE_BROADCAST_ROWS the
-    frontier and the visited set ship as explicit broadcasts, so the
-    static residual-arc cache is probed in place — checkpointed inputs
-    carry no size statistics and Catalyst would otherwise exchange and
-    sort the arc cache for BOTH joins every round (guide §2.4/§3.1).
-    Join results are identical either way."""
-    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
+    counts every frontier anyway): small sides ship as explicit
+    broadcasts, so the static residual-arc cache is probed in place —
+    checkpointed inputs carry no size statistics and Catalyst would
+    otherwise exchange and sort the arc cache for BOTH joins every round
+    (guide §2.4/§3.1). The frontier carries ``verts``/``ress`` path
+    arrays, so its gate is BYTE-aware: ``frontier_row_bytes`` is the
+    caller's static per-row byte bound and the broadcast only fires
+    under the 32 MB STATE_BROADCAST_BYTES budget (VERDICT r13 #1 — the
+    row gate alone would happily broadcast a hundreds-of-MB frontier at
+    cluster scale). The visited side is a single long column, so its
+    row gate's 16-B/row arithmetic holds as-is. Join results are
+    identical either way."""
+    from pysparkflow.engine.partitioning import (
+        STATE_BROADCAST_ROWS,
+        wide_rows_broadcastable,
+    )
 
     if max_path_len is not None:
         frontier = frontier.where(F.size("verts") <= max_path_len)
-    if n_frontier is not None and n_frontier <= STATE_BROADCAST_ROWS:
+    if n_frontier is not None and wide_rows_broadcastable(
+        n_frontier, frontier_row_bytes if frontier_row_bytes is not None else 16
+    ):
         frontier = F.broadcast(frontier)
     if forward:
         ext = frontier.join(arcs, frontier.vertex == arcs.src).select(
@@ -358,7 +373,21 @@ def max_flow(
     # accumulated visited counts stay valid) — the broadcast gates below
     # need a bound, never an exact count (guide §3.1)
     stored: tuple[DataFrame, DataFrame, int, int] | None = None
-    from pysparkflow.engine.partitioning import STATE_BROADCAST_ROWS
+    from pysparkflow.engine.partitioning import wide_rows_broadcastable
+
+    def _path_row_bytes() -> int:
+        """Static per-row byte bound for path-carrying tables (frontier /
+        stored paths): ``verts`` + ``ress`` are long arrays of at most
+        ``len_bound`` elements each (paths grow ONE vertex per extension
+        round, globally, and ``max_path_len`` caps the extension input
+        when set), 8 B per element x 2 arrays + 24 B of fixed row
+        overhead. Always an over-estimate, never an under-estimate —
+        the broadcast gates below must not OOM at cluster scale
+        (VERDICT r13 #1)."""
+        len_bound = metrics.rounds + 1
+        if cfg.max_path_len is not None:
+            len_bound = min(len_bound, cfg.max_path_len + 1)
+        return 24 + 16 * len_bound
 
     _seg("init", _t_init)
     while cfg.max_phases is None or metrics.phases < cfg.max_phases:
@@ -406,7 +435,7 @@ def max_flow(
                 F.col("verts").alias("o_verts"),
                 F.col("ress").alias("o_ress"),
             )
-            if v_t <= STATE_BROADCAST_ROWS:
+            if wide_rows_broadcastable(v_t, _path_row_bytes()):
                 o = F.broadcast(o)
             meets_df = (
                 paths_s.join(o, "vertex")
@@ -449,6 +478,7 @@ def max_flow(
                 cfg.max_path_len,
                 n_frontier=n_s if extend_s else n_t,
                 n_own=v_s if extend_s else v_t,
+                frontier_row_bytes=_path_row_bytes(),
             ).localCheckpoint()  # materialize + truncate lineage (one job)
             other = paths_t if extend_s else paths_s
             o = other.select(
@@ -456,9 +486,10 @@ def max_flow(
                 F.col("verts").alias("o_verts"),
                 F.col("ress").alias("o_ress"),
             )
-            if (v_t if extend_s else v_s) <= STATE_BROADCAST_ROWS:
+            if wide_rows_broadcastable(v_t if extend_s else v_s, _path_row_bytes()):
                 # the opposite side's path table is bounded by its visited
-                # count — probe the fresh frontier in place for the meet
+                # count; its rows carry path arrays, so the gate is
+                # byte-aware — probe the fresh frontier in place for the meet
                 o = F.broadcast(o)
             meets_df = (
                 new_f.join(o, "vertex")

@@ -37,6 +37,25 @@ ROWS_PER_PARTITION = 150_000
 # broadcast — comfortable for driver and executors at any sane config.
 STATE_BROADCAST_ROWS = 2_000_000
 
+# Byte budget matching the row gate's own arithmetic (2M rows x ~16 B =
+# 32 MB): state whose rows carry variable-width payloads (path arrays)
+# must gate on ESTIMATED BYTES, not rows — a 1.9M-row frontier of
+# 30-element long arrays is hundreds of MB and would OOM the driver/
+# executors if the row gate shipped it (VERDICT r13 #1).
+STATE_BROADCAST_BYTES = 32 * 2**20
+
+
+def wide_rows_broadcastable(rows: int, row_bytes: int) -> bool:
+    """Broadcast gate for join sides whose rows carry variable-width
+    payloads: ``rows`` is a caller-known row-count upper bound and
+    ``row_bytes`` a static per-row byte bound (e.g. 24 + 16*max_path_len
+    for a maxflow frontier carrying two long arrays). True only when the
+    estimated relation fits the same 32 MB budget the narrow-row
+    STATE_BROADCAST_ROWS gate encodes; callers fall back to the shuffle
+    join above it. Strictly tighter than the row gate for any
+    ``row_bytes`` >= 16."""
+    return rows * row_bytes <= STATE_BROADCAST_BYTES
+
 # streaming state stores are created per shuffle partition (a
 # stream-stream join opens FOUR per partition); at local sf0.1 the
 # 32-partition session default costs ~3.5s of store setup/commit per

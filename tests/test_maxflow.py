@@ -271,3 +271,68 @@ def test_extend_probes_arc_cache_without_sort_merge(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "SortMergeJoin" in fplan
+
+
+def test_wide_frontier_gate_is_byte_aware(spark):
+    """A path-carrying frontier must NOT broadcast when rows x row-bytes
+    exceeds the 32 MB STATE_BROADCAST_BYTES budget, even when the row
+    count alone sits far under STATE_BROADCAST_ROWS (VERDICT r13 #1: at
+    max_path_len ~30 a 1.9M-row frontier is hundreds of MB — an OOM the
+    row gate would happily broadcast). The narrow visited side keeps its
+    row gate."""
+    from pysparkflow.algo.maxflow import _extend, _residual_arcs
+    from pysparkflow.engine.partitioning import (
+        STATE_BROADCAST_BYTES,
+        STATE_BROADCAST_ROWS,
+        wide_rows_broadcastable,
+    )
+
+    # the helper's arithmetic: at 520 B/row (max_path_len=31 bound),
+    # the fallback fires at ~64.5k rows — three orders of magnitude
+    # under the 2M row gate
+    row_bytes = 24 + 16 * 31
+    limit = STATE_BROADCAST_BYTES // row_bytes
+    assert wide_rows_broadcastable(limit, row_bytes)
+    assert not wide_rows_broadcastable(limit + 1, row_bytes)
+    assert limit + 1 < STATE_BROADCAST_ROWS  # the row gate WOULD have shipped it
+    # narrow rows (16 B) keep exactly the legacy 2M-row behaviour
+    assert wide_rows_broadcastable(STATE_BROADCAST_ROWS, 16)
+
+    edges = [(10, 11, 3), (11, 12, 2), (12, 13, 5), (11, 13, 4)]
+    g = _build(spark, edges)
+    arcs = _residual_arcs(g.edges.persist(), None, True).persist()
+    seed = spark.createDataFrame(
+        [(10, [10], [])], "vertex long, verts array<long>, ress array<long>"
+    )
+    f1 = _extend(seed, arcs, seed, True, 1, 42, 1, None, n_frontier=1, n_own=1).localCheckpoint()
+    # at fixture scale Catalyst auto-broadcasts the tiny arc cache and
+    # masks the gate; pin the GATE's behaviour by making explicit hints
+    # the only broadcast source
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # same tiny frontier, but a declared byte width that blows the
+        # budget: the frontier join must fall back to the shuffle join
+        # while the narrow visited anti-join stays broadcast (row gate)
+        wide = _extend(
+            f1, arcs, f1, True, 1, 42, 2, None,
+            n_frontier=2, n_own=3, frontier_row_bytes=STATE_BROADCAST_BYTES,
+        )
+        plan = wide._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        # under the bound, the frontier broadcasts: no shuffle join left
+        ok = _extend(
+            f1, arcs, f1, True, 1, 42, 2, None,
+            n_frontier=2, n_own=3, frontier_row_bytes=row_bytes,
+        )
+        okplan = ok._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" not in okplan, okplan[:2000]
+        # and results are identical across the two physical strategies
+        assert sorted(map(tuple, wide.collect())) == sorted(map(tuple, ok.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
