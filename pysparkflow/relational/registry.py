@@ -6882,77 +6882,71 @@ _ALWAYS_IN_CORE = [
 # the horizon from growing, new-entry additions are capped at ~3 per
 # round — each new entry displaces a stale regrade 1:1.
 #
-# round 13 front (VERDICT r12 #1): the TWELVE r9 spillovers named by
-# the r12 rotation comment LEAD (now exactly at the 3-round horizon,
-# pinned by tests/test_round12_ops.py::test_driver_window_rotation_r12
-# and tests/test_round13_ops.py::test_driver_window_rotation_r13), then
-# the three new r13 entries (bpe_train_merges, bpe_train_encode,
-# embedding_quantize — never driver-graded; new entries always front,
-# and three sits exactly at the contract's ~3 cap; embedding_quantize's
-# addition displaced knn_bruteforce, the alphabetically-last of the 30
-# r10 regrades, into the round-14 spill 1:1), then the 29
-# alphabetically-first of the 44 entries whose most recent driver-green
-# row is r10. The FIFTEEN remaining r10 entries — knn_bruteforce,
-# knn_graph, knn_ivf, knn_ivf_recall, knn_lsh, lang_id, min_cut,
-# mixture_drift, nucleus_select, quality_rank_fusion,
-# stream_merge_state, token_budget_select, topk_per_group,
-# unpivot_metrics, zorder_layout — SPILL TO ROUND 14 and must lead its
-# front.
-# 6 core + 12 r9 + 3 new + 29 r10 = the full 50-slot window.
+# round 14 front (VERDICT r13 #3): the FIFTEEN r10 spillovers named by
+# the r13 rotation comment LEAD (now exactly at the 3-round horizon,
+# pinned by tests/test_round14_ops.py::test_driver_window_rotation_r14),
+# then the 29 alphabetically-first of the 44 entries whose most recent
+# driver-green row is r11 (no new entries this round — optimization
+# round, feature-frozen). The FIFTEEN remaining r11 entries —
+# psi_drift, quality_classify, quality_quantile_filter, range_join,
+# rolling_30d_spend, salted_skew_join, scd2_history,
+# semantic_contamination, semantic_dedup, simhash, span_dedup,
+# stratified_sample, text_quality, token_totals, url_dedup — SPILL TO
+# ROUND 15 and must lead its front.
+# 6 core + 15 r10 + 29 r11 = the full 50-slot window.
 # approx_distinct / approx_quantiles / approx_topk /
 # source_overlap_sampled are deliberately NOT fronted: their sketch /
 # sampled plans have no equality oracle (the driver would record a
 # weaker rows-only row); their banded verification lives in
 # TOLERANCE_ORACLES / ORACLE_CHECK_LOCAL.json.
 _ROUND_FRONT = [
-    # the pinned r13 spillovers (last driver-graded round 9)
-    "rollup",
-    "running_total",
-    "scd2_temporal_join",
-    "semi_join",
-    "sessionize",
-    "set_except",
-    "set_intersect",
-    "simhash_near_dups",
-    "sliding_window_avg",
-    "sort_limit",
-    "source_overlap",
-    "video_frames",
-    # new in round 13 (never driver-graded)
-    "bpe_train_merges",
-    "bpe_train_encode",
-    "embedding_quantize",
-    # last driver-graded in round 10 (the 44-entry cohort minus the
-    # fifteen alphabetically-last, which spill to round 14 and lead it)
-    "activity_islands",
-    "bm25_score",
-    "boilerplate_ngrams",
-    "bpe_token_count",
-    "centroid_affinity",
-    "cluster_sample",
-    "cluster_split",
-    "contamination_score",
-    "copurchase_similarity",
-    "curation_pipeline",
-    "decontaminate",
-    "dedup_ngram_jaccard",
-    "doc_fingerprints",
-    "doc_repetition",
-    "dup_cluster_stats",
-    "editdist_pairs",
-    "embedding_near_dups",
-    "embedding_near_dups_lsh",
-    "embedding_outliers",
-    "events_stream_dedup",
-    "events_stream_drift",
-    "events_stream_enrich",
-    "events_stream_join",
-    "events_stream_sessions",
-    "events_stream_windowed",
-    "hash_split",
-    "incremental_dedup",
-    "incremental_near_dup",
-    "interval_merge",
+    # the pinned r14 spillovers (last driver-graded round 10)
+    "knn_bruteforce",
+    "knn_graph",
+    "knn_ivf",
+    "knn_ivf_recall",
+    "knn_lsh",
+    "lang_id",
+    "min_cut",
+    "mixture_drift",
+    "nucleus_select",
+    "quality_rank_fusion",
+    "stream_merge_state",
+    "token_budget_select",
+    "topk_per_group",
+    "unpivot_metrics",
+    "zorder_layout",
+    # last driver-graded in round 11 (the 44-entry cohort minus the
+    # fifteen alphabetically-last, which spill to round 15 and lead it)
+    "asof_join",
+    "binaryfile_ingest",
+    "bloom_prefiltered_join",
+    "bpe_merge_candidates",
+    "cohort_retention",
+    "cube",
+    "curation_pipeline_v2",
+    "curation_pipeline_v3",
+    "dedup_keep_best",
+    "dedup_resolution",
+    "doc_chunking",
+    "events_stream_stateful",
+    "funnel_conversion",
+    "gap_fill_hourly",
+    "grouping_sets",
+    "heavy_hitters",
+    "latest_per_key",
+    "lm_unigram_score",
+    "mad_anomaly",
+    "mode_per_group",
+    "multimodal_decode",
+    "multimodal_features",
+    "mutual_information",
+    "orc_roundtrip",
+    "pack_documents",
+    "percentiles",
+    "pii_scrub",
+    "pivot_events",
+    "png_decode",
 ]
 _front = [k for k in _ALWAYS_IN_CORE if k not in _ROUND_FRONT] + _ROUND_FRONT
 assert set(_front) <= set(QUERIES), sorted(set(_front) - set(QUERIES))

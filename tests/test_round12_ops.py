@@ -163,22 +163,11 @@ def test_bpe_encode_plan_is_arrow_batched(spark, sf_dir):
 
 # --------------------------------------------------------------- rotation
 
-def test_driver_window_rotation_r12():
-    """The r12 window itself was graded and committed
-    (CORRECTNESS_r12.json, 50/50); what survives of the r12 contract is
-    the SPILLOVER PIN — the twelve alphabetically-last r9 entries the
-    r12 window could not fit must lead the r13 front (after the
-    always-in core). The full r13 window composition and the 3-round
-    horizon are pinned by tests/test_round13_ops.py; this test keeps
-    the handoff honest."""
-    from pysparkflow.relational.registry import _ROUND_FRONT
-
-    assert _ROUND_FRONT[:12] == [
-        "rollup", "running_total", "scd2_temporal_join", "semi_join",
-        "sessionize", "set_except", "set_intersect", "simhash_near_dups",
-        "sliding_window_avg", "sort_limit", "source_overlap",
-        "video_frames",
-    ]
+# test_driver_window_rotation_r12 retired with the r14 rotation — its
+# r9-spillover handoff was honored by the graded r13 window
+# (CORRECTNESS_r13.json); the live window pin is tests/
+# test_round14_ops.py::test_driver_window_rotation_r14 (one pin per
+# round, current round only).
 
 
 def test_rotation_horizon_r12():

@@ -328,42 +328,22 @@ def _docs_of(spark, texts):
 # --------------------------------------------------------------- rotation
 
 def test_driver_window_rotation_r13():
-    """VERDICT r12 #1: the r13 driver window leads with the twelve
-    pinned r9 spillovers, then the three new r13 entries (at the ~3
-    cap), then the 29 alphabetically-first r10-cohort entries; the
-    fifteen remaining r10 entries spill to round 14
-    (embedding_quantize's addition displaced knn_bruteforce 1:1)."""
-    from pysparkflow.relational.registry import QUERIES, TOLERANCE_ORACLES
+    """The r13 window itself was graded and committed
+    (CORRECTNESS_r13.json, 50/50); what survives of the r13 contract is
+    the SPILLOVER PIN — the fifteen alphabetically-last r10 entries the
+    r13 window could not fit must lead the r14 front (after the
+    always-in core). The full r14 window composition and the 3-round
+    horizon are pinned by tests/test_round14_ops.py; this test keeps
+    the handoff honest."""
+    from pysparkflow.relational.registry import _ROUND_FRONT
 
-    window = list(QUERIES)[:50]
-    core = [
-        "max_flow", "bfs_distances", "dedup_exact", "dedup_minhash_lsh",
-        "edge_symmetrize", "groupagg_pricing",
-    ]
-    assert window[: len(core)] == core
-    spill_twelve = [
-        "rollup", "running_total", "scd2_temporal_join", "semi_join",
-        "sessionize", "set_except", "set_intersect", "simhash_near_dups",
-        "sliding_window_avg", "sort_limit", "source_overlap",
-        "video_frames",
-    ]
-    assert window[6:18] == spill_twelve
-    assert window[18:21] == [
-        "bpe_train_merges", "bpe_train_encode", "embedding_quantize",
-    ]
-    r14_spill = [
+    assert _ROUND_FRONT[:15] == [
         "knn_bruteforce", "knn_graph", "knn_ivf", "knn_ivf_recall",
         "knn_lsh", "lang_id", "min_cut", "mixture_drift",
         "nucleus_select", "quality_rank_fusion", "stream_merge_state",
         "token_budget_select", "topk_per_group", "unpivot_metrics",
         "zorder_layout",
     ]
-    assert not set(r14_spill) & set(window)
-    r10_front = window[21:]
-    assert len(r10_front) == 29
-    assert r10_front == sorted(r10_front)
-    assert not set(TOLERANCE_ORACLES) & set(window)
-    assert len(window) == len(set(window)) == 50
 
 
 def test_rotation_horizon_r13():
