@@ -479,7 +479,7 @@ def max_flow(
                 n_frontier=n_s if extend_s else n_t,
                 n_own=v_s if extend_s else v_t,
                 frontier_row_bytes=_path_row_bytes(),
-            ).localCheckpoint()  # materialize + truncate lineage (one job)
+            ).localCheckpoint(eager=False)  # truncate lineage; the count below materializes
             other = paths_t if extend_s else paths_s
             o = other.select(
                 F.col("vertex"),
@@ -496,13 +496,13 @@ def max_flow(
                 .orderBy("vertex", F.xxhash64("verts"))
                 .limit(cfg.max_candidates - len(candidates))
             )
-            # frontier count + meet collect are independent jobs over the
-            # same checkpointed relation — submit them concurrently
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_count = pool.submit(new_f.count)
-                f_meets = pool.submit(meets_df.collect)
-                n_new = f_count.result()
-                meets = f_meets.result()
+            # ONE job materializes the lazy checkpoint and returns the
+            # convergence count (the batch-8 checkpoint+count fusion —
+            # eager checkpoint + concurrent count was two jobs of full
+            # compute + scan); the meet collect then probes the already-
+            # checkpointed blocks, a cheap second job
+            n_new = new_f.count()
+            meets = meets_df.collect()
             if extend_s:
                 frontier_s, n_s = new_f, n_new
             else:
