@@ -94,10 +94,25 @@ def temperature_mixture(
     (rate capped at 1), matching temperature-sampling-with-ceiling."""
     if alpha != 0.5:
         raise ValueError("alpha is fixed at 0.5 (sqrt) for oracle-exact replay")
+    from pysparkflow.engine.cache import track
+
     counts = docs.groupBy(group_col).agg(F.count("*").alias("_c"))
     counts = counts.withColumn(
         "_w", F.floor(F.sqrt(F.col("_c")) * F.lit(1e6)).cast("long")
     )
+    # the per-group aggregation is consumed twice — scalars (eager, below)
+    # and the threshold table in the returned plan. Untracked, the final
+    # plan RE-AGGREGATES the whole input (a second full pass over the
+    # corpus — or over the gated pipeline prefix in curation_pipeline_v3)
+    # just to rebuild this |groups|-row table; the scalar collect
+    # computes every partition, so it materializes the cache in the same
+    # job (guide §1.2). coalesce(1) before the cache: groups are
+    # low-cardinality by the mixture's contract, map-side partials stay
+    # parallel, and a cached plan is NOT AQE-coalesced (canChangeCached
+    # PlanOutputPartitioning defaults false) — without it the tiny table
+    # materializes at the full session partition count. Released by the
+    # caller via release_tracked.
+    counts = track(counts.coalesce(1))
     scal = counts.select(
         F.sum("_c").alias("t"), F.sum("_w").alias("d")
     ).collect()[0]

@@ -86,13 +86,15 @@ def bm25_scores(
     Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``
     and token-count length normalization.
 
-    Plan shape (and why it scales): document length is one doc-keyed
-    combiner aggregation; term frequency is aggregated AFTER filtering
-    the token stream to the query terms, so that shuffle carries only
-    matching tokens (a thin slice of the corpus); idf is a
-    |query_terms|-row table — broadcast; the final per-doc sum groups
-    the tf rows (≤ |matching docs| × |query_terms|). No corpus-sized
-    join and nothing quadratic.
+    Plan shape (and why it scales): document length is the MAP-ONLY
+    ``size(split(...))`` — token-count identical to counting exploded
+    rows, with no explode and no exchange; the corpus stats (doc count +
+    average length) are ONE fused map-side aggregation job; term
+    frequency is aggregated AFTER filtering the token stream to the
+    query terms, so that shuffle carries only matching tokens (a thin
+    slice of the corpus); idf is a |query_terms|-row table — broadcast;
+    the final per-doc sum groups the tf rows (≤ |matching docs| ×
+    |query_terms|). No corpus-sized join and nothing quadratic.
 
     Returns (doc_id, score, rank) for the ``top_k`` docs, ties broken by
     doc id — deterministic, oracle-replayable.
@@ -103,9 +105,19 @@ def bm25_scores(
         F.col(id_col).alias("did"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
-    n_docs = docs.count()
-    doclen = toks.groupBy("did").agg(F.count("*").alias("dl"))
-    avgdl = doclen.agg(F.avg("dl").alias("a")).collect()[0]["a"]
+    # dl == the exploded token count per doc: split(trim(text)) yields
+    # >= 1 element whenever text is non-NULL (empty text -> ['']), and
+    # NULL text -> size NULL == no toks rows at all. Cast long so the
+    # downstream arithmetic is bit-identical to the old count(*) form.
+    dl_expr = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # one fused map-side job replaces the old docs.count() + a FULL
+    # tokenize-and-aggregate collect (two eager corpus passes at build
+    # time, guide §1.2); avg() skips NULL-text docs exactly like the
+    # explode-based form did
+    stats = docs.agg(
+        F.count("*").alias("n"), F.avg(dl_expr).alias("a")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["a"]
     if n_docs == 0 or avgdl is None:
         # empty corpus (or all-null text): avg() collects as None and
         # float(avgdl) would raise (ADVICE r7) — the well-defined answer
@@ -116,6 +128,10 @@ def bm25_scores(
             F.lit(0).alias("rank"),
         )
         return empty
+    # map-only doc-length table: no explode, no groupBy exchange — the
+    # old explode+combiner form shuffled a |docs|-row aggregate and
+    # re-tokenized the whole corpus a second time inside the final plan
+    doclen = docs.select(F.col(id_col).alias("did"), dl_expr.alias("dl"))
     qtoks = toks.where(F.col("term").isin(query_terms))
     df_tbl = qtoks.groupBy("term").agg(F.count_distinct("did").alias("df"))
     tf_tbl = qtoks.groupBy("did", "term").agg(F.count("*").alias("tf"))
