@@ -129,8 +129,11 @@ def pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            # lazy: the next round's first job over ranks materializes
-            # the checkpoint — no dedicated cut job (r13 opt)
+            # lazy: plan truncation is immediate; the CALLER's first full
+            # action materializes the chain of lazy checkpoints (rounds
+            # run no per-round action here — a partial action like
+            # take/limit recomputes unmaterialized partitions until a
+            # full pass runs). No dedicated cut job (r13 opt, ADVICE r13)
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
@@ -238,7 +241,10 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            # lazy: the next round's first job over ranks materializes
-            # the checkpoint — no dedicated cut job (r13 opt)
+            # lazy: plan truncation is immediate; the CALLER's first full
+            # action materializes the chain of lazy checkpoints (rounds
+            # run no per-round action here — a partial action like
+            # take/limit recomputes unmaterialized partitions until a
+            # full pass runs). No dedicated cut job (r13 opt, ADVICE r13)
             ranks = ranks.localCheckpoint(eager=False)
     return ranks

@@ -493,6 +493,15 @@ def _normalized_rows(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                 if a is not None:
                     width = len(a)
                     break
+            # fixed dim is the module precondition; a ragged batch would
+            # otherwise surface as a generic numpy shape error for the
+            # whole task — name the offending row instead (ADVICE r13)
+            for i, a in enumerate(arrs):
+                if a is not None and len(a) != width:
+                    raise ValueError(
+                        f"ragged vector batch: id={pdf['id'].iloc[i]} has "
+                        f"dim {len(a)}, expected {width}"
+                    )
             X = np.asarray(
                 [a if a is not None else np.zeros(width) for a in arrs],
                 dtype=np.float64,

@@ -95,6 +95,10 @@ def main() -> None:
     for name in names:
         if name in bench.MIN_OF_2_ALWAYS:
             clear_flow_memos()
+        # the event-log listener bus is asynchronous: without draining
+        # it, a query's tail task-end events can flush after the line
+        # snapshot and be attributed to the NEXT query (ADVICE r13)
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         start = _lines()
         t0 = time.time()
         df = QUERIES[name](spark, sf_dir)
