@@ -3128,6 +3128,10 @@ def q_events_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"{sf_dir}/events.parquet",
         query_name="events_stream_topk_sink",
+        # the rank only reads n_events: skip the value-sum aggregate so
+        # the per-batch scan prunes the value column and the state row
+        # drops its double (r14 opt; the windowed entry keeps sums)
+        with_sums=False,
     )
     w = Window.partitionBy("window_start").orderBy(
         F.col("n_events").desc(), F.col("event_type")

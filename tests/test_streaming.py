@@ -362,3 +362,28 @@ def test_left_outer_join_emits_expired_unmatched_only(spark, tmp_path, encoding)
     assert by_click[3]["p_ts"] is None            # expired unmatched: null row
     assert 4 not in by_click                      # inside horizon: withheld
     assert by_click[5]["p_value"] == 1.0          # same-instant match emits
+
+
+def test_topk_windowed_agg_prunes_value_column(spark, tmp_path):
+    """The counts-only windowed aggregate (events_stream_topk's shape,
+    with_sums=False) must not read the ``value`` column: its state rows
+    carry no sum and the parquet scan's ReadSchema excludes value —
+    verified on the batch-side optimized plan, which shares the
+    expression path with the streaming one (r14 opt)."""
+    from pysparkflow.streaming.events import windowed_event_counts
+
+    rows = [(1, "2024-01-01 00:10:00", 1, "click", 2.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "ev.parquet")
+    df.write.parquet(p)
+    src = spark.read.parquet(p)
+    lean = windowed_event_counts(src, with_sums=False)
+    plan = lean._jdf.queryExecution().executedPlan().toString()
+    assert "value" not in plan.split("ReadSchema")[-1], plan[-1500:]
+    assert "sum_value" not in lean.columns
+    full = windowed_event_counts(src)
+    assert "sum_value" in full.columns
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "value" in fplan.split("ReadSchema")[-1]
